@@ -1,0 +1,315 @@
+"""Timeseries operators (SURVEY.md §2: P1/P3, W1-W5, A1-A6, O1-O3, U1/U2).
+
+All operators take and return long-format DataFrames
+``(series_id, ts, value, ...)`` and are pure DataFrame transformations
+— partition-parallel by ``series_id``, no driver-side loops, no
+row-at-a-time Python. The only pandas-UDF op is RDP downsampling (W4),
+which is inherently per-series sequential math.
+
+Scale notes (100 TB): every window here partitions by ``series_id``;
+with millions of series the shuffle is well-spread. Aggregations are
+hash-aggs with map-side partials (Catalyst default). The merge-dedup
+uses ``row_number`` over an explicit ingest-time ordering —
+deterministic, unlike ``dropDuplicates`` (SURVEY.md §7 hard-part 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from my_weather_spark.model import (
+    POINT_AVERAGE_VALUE,
+    POINT_INSTANT_VALUE,
+    UtcPeriod,
+)
+
+SERIES = "series_id"
+TS = "ts"
+VALUE = "value"
+
+
+def _series_window(order_col: str = TS) -> W:
+    return W.partitionBy(SERIES).orderBy(order_col)
+
+
+# ----------------------------------------------------------------------
+# P1 — inclusive period filter (reference: repository.py:109,116-117).
+# The ONE place the inclusive-[start,end] contract is encoded.
+def period_filter(df: DataFrame, period: UtcPeriod, ts_col: str = TS) -> DataFrame:
+    return df.where(
+        (F.col(ts_col) >= F.lit(period.start)) & (F.col(ts_col) <= F.lit(period.end))
+    )
+
+
+# P3 — null normalization (reference: repository.py:88-91 None->NaN).
+# Internal convention is the inverse (SURVEY.md §7 hard-part 3): NaN ->
+# NULL inside the engine (Spark aggs skip NULL but propagate NaN);
+# surface NaN only at numpy-facing edges.
+def nan_to_null(df: DataFrame, value_col: str = VALUE) -> DataFrame:
+    c = F.col(value_col)
+    return df.withColumn(value_col, F.when(F.isnan(c), F.lit(None)).otherwise(c))
+
+
+def null_to_nan(df: DataFrame, value_col: str = VALUE) -> DataFrame:
+    return df.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(float("nan"))))
+
+
+# ----------------------------------------------------------------------
+# W1 — consecutive-point delta (reference: repository.py:138).
+def with_point_delta(df: DataFrame, out_col: str = "dt_seconds") -> DataFrame:
+    prev = F.lag(TS).over(_series_window())
+    return df.withColumn(
+        out_col, (F.unix_timestamp(TS) - F.unix_timestamp(prev)).cast("double")
+    )
+
+
+# A4 — mode of inter-point deltas per series (reference:
+# repository.py:138-139: max(set(dt), key=count)). Ties broken toward
+# the SMALLEST dt for determinism (oracle-hash stability).
+def dt_mode(df: DataFrame) -> DataFrame:
+    deltas = with_point_delta(df).where(F.col("dt_seconds").isNotNull())
+    counts = deltas.groupBy(SERIES, "dt_seconds").count()
+    w = W.partitionBy(SERIES).orderBy(F.desc("count"), F.asc("dt_seconds"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(SERIES, F.col("dt_seconds").alias("dt_mode_seconds"))
+    )
+
+
+# W2 — end-of-validity extension (reference: repository.py:137-140):
+# append one synthetic axis point at t_last + mode(dt) so the last
+# value has an end. The synthetic row carries the last value.
+def end_extension(df: DataFrame) -> DataFrame:
+    w = _series_window()
+    last_rows = (
+        df.withColumn("_rn", F.row_number().over(W.partitionBy(SERIES).orderBy(F.desc(TS))))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    modes = dt_mode(df)
+    synthetic = (
+        last_rows.join(modes, SERIES, "inner")
+        .withColumn(
+            TS,
+            (F.unix_timestamp(TS) + F.col("dt_mode_seconds")).cast("timestamp"),
+        )
+        .drop("dt_mode_seconds")
+    )
+    return df.unionByName(synthetic)
+
+
+# W3 — point-interpretation expansion (reference: visual/utils.py:12-23):
+# AVERAGE (staircase): each value spans [t_i, t_{i+1}) -> emit both
+# corner points (t_i, v), (t_{i+1}, v). INSTANT: points as-is (the
+# terminal synthetic axis point, if present, is dropped by rank).
+def interpretation_expand(df: DataFrame, point_fx: str) -> DataFrame:
+    if point_fx == POINT_INSTANT_VALUE:
+        return df.select(SERIES, TS, VALUE)
+    if point_fx != POINT_AVERAGE_VALUE:
+        raise ValueError(f"unknown point interpretation {point_fx!r}")
+    with_next = df.withColumn("_next_ts", F.lead(TS).over(_series_window()))
+    pairs = with_next.select(
+        SERIES,
+        F.explode(
+            F.array(
+                F.struct(F.col(TS).alias(TS), F.col(VALUE).alias(VALUE)),
+                F.struct(F.col("_next_ts").alias(TS), F.col(VALUE).alias(VALUE)),
+            )
+        ).alias("_p"),
+    )
+    return pairs.select(SERIES, F.col("_p.ts").alias(TS), F.col("_p.value").alias(VALUE)).where(
+        F.col(TS).isNotNull()
+    )
+
+
+# ----------------------------------------------------------------------
+# A1/A2/A3 — per-series stats over the fetched period (reference:
+# dashboard_data.py:84-89 min/max, values[-1] last; np.nanmin/nanmax
+# static_plot.py:116-117 — NULLs are skipped by Spark min/max, which
+# matches nan-skipping once NaN is normalized to NULL).
+def series_stats(df: DataFrame) -> DataFrame:
+    return df.groupBy(SERIES).agg(
+        F.min(VALUE).alias("min_value"),
+        F.max(VALUE).alias("max_value"),
+        F.max_by(VALUE, TS).alias("last_value"),
+        F.max(TS).alias("last_ts"),
+        F.count(VALUE).alias("n_points"),
+        F.avg(VALUE).alias("avg_value"),
+    )
+
+
+# O3 — bounded history / top-k most recent per series (reference:
+# Bokeh stream(new, 100) dashboard_test.py:81).
+def last_k_points(df: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy(SERIES).orderBy(F.desc(TS))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# A5/W5 — sliding-window count: "# actions in the trailing T seconds"
+# (reference: rate_limiter.py:39-47 as control-plane deque; this is the
+# data-plane twin as a range-bounded window).
+def sliding_count(df: DataFrame, timespan_seconds: int, out_col: str = "n_in_window") -> DataFrame:
+    w = (
+        W.partitionBy(SERIES)
+        .orderBy(F.unix_timestamp(TS).cast("long"))
+        .rangeBetween(-timespan_seconds, 0)
+    )
+    return df.withColumn(out_col, F.count(F.lit(1)).over(w))
+
+
+# ----------------------------------------------------------------------
+# U1 — chunk extend: successive pagination chunks of the same series
+# are disjoint in time by construction (reference: repository.py:187-192)
+# -> plain unionByName.
+def extend_union(*chunks: DataFrame) -> DataFrame:
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c, allowMissingColumns=True)
+    return out
+
+
+# U2/S6 — merge-on-write dedup: union old+new, keep newest ingest per
+# (series_id, ts). Deterministic row_number (NOT dropDuplicates) so
+# repeated ingestion is idempotent and oracle-hash stable
+# (reference semantics proven at test_dtss_host.py:116-128).
+def merge_dedup(df: DataFrame, tie_break_cols: list[str] | None = None) -> DataFrame:
+    order = [F.desc("ingest_time")] + [F.desc(c) for c in (tie_break_cols or [])]
+    w = W.partitionBy(SERIES, TS).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ----------------------------------------------------------------------
+# Resampling: time-bucketed aggregation honoring point interpretation.
+# INSTANT -> avg of points in bucket; AVERAGE -> time-weighted mean of
+# the staircase over the bucket would need segment intersection; the
+# reference never needs it (its dashboards resample INSTANT series), so
+# we provide avg/min/max/last buckets — the Spark-native resample.
+def resample(df: DataFrame, bucket: str, agg: str = "avg") -> DataFrame:
+    aggs = {
+        "avg": F.avg(VALUE),
+        "min": F.min(VALUE),
+        "max": F.max(VALUE),
+        "last": F.max_by(VALUE, TS),
+        "sum": F.sum(VALUE),
+        "count": F.count(VALUE),
+    }
+    if agg not in aggs:
+        raise ValueError(f"unknown agg {agg!r}")
+    return (
+        df.groupBy(SERIES, F.window(TS, bucket).alias("_w"))
+        .agg(aggs[agg].alias(VALUE))
+        .select(SERIES, F.col("_w.start").alias(TS), VALUE)
+    )
+
+
+# W4a — bucketed downsample for rendering (cheap alternative to RDP).
+def bucket_downsample(df: DataFrame, n_buckets: int, period: UtcPeriod) -> DataFrame:
+    span = max(1, int(period.end_epoch - period.start_epoch))
+    bucket_s = max(1, span // n_buckets)
+    return resample(df, f"{bucket_s} seconds", agg="avg")
+
+
+# W4b — Ramer-Douglas-Peucker polyline reduction (reference:
+# dtss_serve_test.py:237-241, epsilon = value-range/10 heuristic).
+# Inherently sequential per series -> grouped-map pandas UDF
+# (applyInPandas), Arrow-batched; partition-parallel across series.
+def rdp_downsample(df: DataFrame, epsilon: float | None = None) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    schema = "series_id string, ts timestamp, value double"
+
+    def _rdp_mask(xs: "np.ndarray", ys: "np.ndarray", eps: float) -> "np.ndarray":
+        # Iterative Douglas-Peucker on (x, y) with a stack; keeps
+        # endpoint + farthest-point recursion pattern.
+        n = len(xs)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i0, i1 = stack.pop()
+            if i1 <= i0 + 1:
+                continue
+            x0, y0, x1, y1 = xs[i0], ys[i0], xs[i1], ys[i1]
+            dx, dy = x1 - x0, y1 - y0
+            norm = float(np.hypot(dx, dy))
+            seg_x = xs[i0 + 1 : i1]
+            seg_y = ys[i0 + 1 : i1]
+            if norm == 0.0:
+                dists = np.hypot(seg_x - x0, seg_y - y0)
+            else:
+                dists = np.abs(dy * seg_x - dx * seg_y + x1 * y0 - y1 * x0) / norm
+            imax = int(np.argmax(dists)) if len(dists) else 0
+            if len(dists) and dists[imax] > eps:
+                mid = i0 + 1 + imax
+                keep[mid] = True
+                stack.append((i0, mid))
+                stack.append((mid, i1))
+        return keep
+
+    def _reduce(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        if len(pdf) < 3:
+            return pdf[["series_id", "ts", "value"]]
+        ys = pdf["value"].to_numpy(dtype=float)
+        xs = pdf["ts"].astype("int64").to_numpy(dtype=float) / 1e9
+        finite = np.isfinite(ys)
+        eps = epsilon
+        if eps is None:
+            rng = (np.nanmax(ys[finite]) - np.nanmin(ys[finite])) if finite.any() else 0.0
+            eps = float(rng) / 10.0  # reference epsilon heuristic
+        ys_f = np.where(finite, ys, 0.0)
+        keep = _rdp_mask(xs, ys_f, eps) | ~finite
+        return pdf.loc[keep, ["series_id", "ts", "value"]]
+
+    return (
+        df.select(SERIES, TS, VALUE)
+        .groupBy(SERIES)
+        .applyInPandas(_reduce, schema=schema)
+    )
+
+
+# ----------------------------------------------------------------------
+# As-of alignment of two series (the natural multi-series extension,
+# SURVEY.md §2 joins row "range/as-of"): for every point of `left`,
+# the latest `right` point at-or-before it (within optional tolerance).
+# Implemented Spark-native: union-tag + last_value(ignorenulls) over an
+# ordered window — one shuffle on series_id, no pandas.
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    tolerance_seconds: int | None = None,
+    right_value_col: str = "right_value",
+) -> DataFrame:
+    l = left.select(SERIES, TS, VALUE, F.lit(1).alias("_is_l"), F.lit(None).cast("double").alias("_rv"), F.lit(None).cast("timestamp").alias("_rts"))
+    r = right.select(
+        SERIES, TS, F.lit(None).cast("double").alias(VALUE), F.lit(0).alias("_is_l"),
+        F.col(VALUE).alias("_rv"), F.col(TS).alias("_rts"),
+    )
+    merged = l.unionByName(r)
+    # Right rows sort before left rows at equal ts so "at-or-before"
+    # includes the simultaneous right point.
+    w = (
+        W.partitionBy(SERIES)
+        .orderBy(TS, "_is_l")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = (
+        merged.withColumn("_rv_ff", F.last("_rv", ignorenulls=True).over(w))
+        .withColumn("_rts_ff", F.last("_rts", ignorenulls=True).over(w))
+        .where(F.col("_is_l") == 1)
+    )
+    if tolerance_seconds is not None:
+        in_tol = (F.unix_timestamp(TS) - F.unix_timestamp("_rts_ff")) <= tolerance_seconds
+        out = out.withColumn("_rv_ff", F.when(in_tol, F.col("_rv_ff")))
+    return out.select(SERIES, TS, VALUE, F.col("_rv_ff").alias(right_value_col))

@@ -1,0 +1,159 @@
+"""TsStore — parquet-backed timeseries store with merge-on-write.
+
+Reference behavior being re-expressed (NOT ported): the DTSS container
+store holds binary ts files per repo directory and ``store_ts(...,
+overwrite_on_write=False)`` merges new points into existing series —
+storing [t0..t3]=1,2,3 then [t3..t6]=4,5,6 yields 1..6
+(reference: weather/service/dtss_host.py:141-151, semantics proven at
+weather/test/test_dtss_host.py:102-134).
+
+Spark-native design:
+* one parquet dataset, long format (series_id, ts, value, ingest_time),
+  hive-partitioned by (source, date). ``source`` is the store repo name
+  (the container analog), ``date`` the UTC day of ``ts`` — so period
+  filters prune partitions and a 100 TB store scans only the touched
+  days.
+* merge-on-write = read back only the PARTITIONS overlapping the
+  incoming batch, union, keep newest ingest per (series_id, ts) via a
+  deterministic row_number, and dynamically overwrite just those
+  partitions. At scale this is the standard copy-on-write upsert
+  pattern (Delta/Hudi MERGE without the table format).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from my_weather_spark.model import OBSERVATION_SCHEMA, UtcPeriod
+from my_weather_spark.ops.timeseries import merge_dedup, period_filter
+
+PARTITION_COLS = ["source", "date"]
+
+
+class TsStore:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        # Dynamic partition overwrite: INSERT OVERWRITE touches only
+        # partitions present in the written frame.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- helpers --------------------------------------------------------
+    def _exists(self) -> bool:
+        # Use the JVM Hadoop FS (works for any scheme, not just file://).
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        conf = jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return p.getFileSystem(conf).exists(p)
+
+    @staticmethod
+    def _with_partitions(df: DataFrame, source: str) -> DataFrame:
+        return df.withColumn("source", F.lit(source)).withColumn(
+            "date", F.to_date("ts")
+        )
+
+    # -- S3: store scan ---------------------------------------------------
+    def scan(
+        self,
+        series_ids: list[str] | None = None,
+        period: UtcPeriod | None = None,
+        source: str | None = None,
+    ) -> DataFrame:
+        """Read observations; filters push down to parquet row groups
+        and (source, date) partition pruning."""
+        df = self.spark.read.schema(self._full_schema()).parquet(self.path)
+        if source is not None:
+            df = df.where(F.col("source") == source)
+        if period is not None:
+            # date-partition pruning + row-group predicate
+            df = df.where(
+                (F.col("date") >= F.lit(period.start.date()))
+                & (F.col("date") <= F.lit(period.end.date()))
+            )
+            df = period_filter(df, period)
+        if series_ids is not None:
+            df = df.where(F.col("series_id").isin(series_ids))
+        return df.select("series_id", "ts", "value", "ingest_time")
+
+    def _full_schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            OBSERVATION_SCHEMA.fields
+            + [T.StructField("source", T.StringType()), T.StructField("date", T.DateType())]
+        )
+
+    # -- S6/U2: merge-on-write sink --------------------------------------
+    def store(
+        self,
+        df: DataFrame,
+        source: str = "default",
+        overwrite_on_write: bool = False,
+        ingest_time: datetime | None = None,
+    ) -> None:
+        """Write observations. ``overwrite_on_write=False`` (the
+        reference default) merges: existing points at the same
+        (series_id, ts) are replaced by the newest ingest, all other
+        existing points are kept.
+        """
+        it = ingest_time or datetime.now(tz=timezone.utc)
+        if "ingest_time" not in df.columns:
+            df = df.withColumn("ingest_time", F.lit(it))
+        incoming = self._with_partitions(
+            df.select("series_id", "ts", "value", "ingest_time"), source
+        )
+
+        if not self._exists():
+            incoming.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(self.path)
+            return
+
+        if overwrite_on_write:
+            # Replace whole series: drop ALL existing rows of the
+            # incoming series ids (any date), keep other series. This
+            # rewrites the dataset (static overwrite) — the rare path;
+            # the reference default is merge.
+            keep = self.spark.read.parquet(self.path).join(
+                F.broadcast(incoming.select("series_id").distinct()),
+                "series_id",
+                "left_anti",
+            )
+            out = incoming.unionByName(keep.select(*incoming.columns))
+            out = out.localCheckpoint(eager=True)
+            out.write.partitionBy(*PARTITION_COLS).option(
+                "partitionOverwriteMode", "static"
+            ).mode("overwrite").parquet(self.path)
+            return
+        else:
+            # Merge path: only read partitions the incoming batch touches.
+            touched = incoming.select(*PARTITION_COLS).distinct()
+            existing = self.spark.read.parquet(self.path).join(
+                F.broadcast(touched), PARTITION_COLS, "left_semi"
+            )
+            out = merge_dedup(incoming.unionByName(existing))
+
+        # Write to the final location with dynamic partition overwrite.
+        # The union plan reads the parquet files being overwritten, so
+        # materialize through a staging dataframe first (local checkpoint
+        # breaks the lineage to the input files).
+        out = out.localCheckpoint(eager=True)
+        out.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(self.path)
+
+    # -- find(): catalog over stored series (TsInfo analog) ---------------
+    def find(self, pattern: str | None = None, source: str | None = None) -> DataFrame:
+        """Per-series metadata derived from the store: name, data
+        period, point count (reference TsInfo: repository.py:293-301)."""
+        df = self.spark.read.parquet(self.path)
+        if source is not None:
+            df = df.where(F.col("source") == source)
+        if pattern is not None:
+            df = df.where(F.col("series_id").rlike(pattern))
+        return df.groupBy(F.col("series_id").alias("name")).agg(
+            F.min("ts").alias("data_period_start"),
+            F.max("ts").alias("data_period_end"),
+            F.count("value").alias("n_points"),
+            F.max("ingest_time").alias("modified"),
+        )

@@ -1,0 +1,139 @@
+"""Timeseries-operator golden tests over tiny in-memory frames."""
+
+import math
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from my_weather_spark.model import POINT_AVERAGE_VALUE, POINT_INSTANT_VALUE, UtcPeriod
+from my_weather_spark.ops import timeseries as ts_ops
+
+
+def _dt(s):
+    return datetime.fromtimestamp(s, tz=timezone.utc)
+
+
+def _ndt(s):
+    # collected timestamps are naive in the UTC session timezone
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _series(spark, points, series_id="s1"):
+    return spark.createDataFrame(
+        [(series_id, _dt(t), float(v) if v is not None else None) for t, v in points],
+        "series_id string, ts timestamp, value double",
+    )
+
+
+def test_period_filter_inclusive(spark):
+    df = _series(spark, [(0, 1), (100, 2), (200, 3), (300, 4)])
+    got = ts_ops.period_filter(df, UtcPeriod(100, 200)).select("value").collect()
+    assert sorted(r[0] for r in got) == [2.0, 3.0]
+
+
+def test_nan_null_normalization(spark):
+    df = _series(spark, [(0, 1), (1, float("nan")), (2, None)])
+    vals = ts_ops.nan_to_null(df).select("value").collect()
+    assert [r[0] for r in vals].count(None) == 2
+    vals2 = ts_ops.null_to_nan(ts_ops.nan_to_null(df)).select("value").collect()
+    assert sum(1 for r in vals2 if r[0] is not None and math.isnan(r[0])) == 2
+
+
+def test_point_delta_and_dt_mode(spark):
+    # dts: 10, 10, 20 -> mode 10
+    df = _series(spark, [(0, 1), (10, 2), (20, 3), (40, 4)])
+    deltas = ts_ops.with_point_delta(df).orderBy("ts").select("dt_seconds").collect()
+    assert [r[0] for r in deltas] == [None, 10.0, 10.0, 20.0]
+    mode = ts_ops.dt_mode(df).collect()
+    assert mode[0]["dt_mode_seconds"] == 10.0
+
+
+def test_end_extension_appends_mode_dt_point(spark):
+    # reference: repository.py:137-140 — last point extended by mode(dt)
+    df = _series(spark, [(0, 1), (10, 2), (20, 3)])
+    out = ts_ops.end_extension(df).orderBy("ts").collect()
+    assert len(out) == 4
+    assert out[-1]["ts"] == _ndt(30)
+    assert out[-1]["value"] == 3.0
+
+
+def test_staircase_expansion(spark):
+    # reference: visual/utils.py:12-23 — AVERAGE duplicates corner points
+    df = _series(spark, [(0, 1), (10, 2), (20, 3)])
+    stair = (
+        ts_ops.interpretation_expand(df, POINT_AVERAGE_VALUE)
+        .orderBy("ts", "value")
+        .collect()
+    )
+    got = [(r["ts"], r["value"]) for r in stair]
+    assert got == [
+        (_ndt(0), 1.0),
+        (_ndt(10), 1.0),
+        (_ndt(10), 2.0),
+        (_ndt(20), 2.0),
+        (_ndt(20), 3.0),
+    ]
+    instant = ts_ops.interpretation_expand(df, POINT_INSTANT_VALUE).count()
+    assert instant == 3
+
+
+def test_series_stats_skip_null(spark):
+    df = _series(spark, [(0, 5), (10, None), (20, 1), (30, 9), (40, 2)])
+    row = ts_ops.series_stats(ts_ops.nan_to_null(df)).collect()[0]
+    assert row["min_value"] == 1.0
+    assert row["max_value"] == 9.0
+    assert row["last_value"] == 2.0
+    assert row["n_points"] == 4
+
+
+def test_last_k_points(spark):
+    df = _series(spark, [(i, i) for i in range(10)])
+    got = ts_ops.last_k_points(df, 3).orderBy("ts").collect()
+    assert [r["value"] for r in got] == [7.0, 8.0, 9.0]
+
+
+def test_sliding_count(spark):
+    df = _series(spark, [(0, 1), (5, 1), (9, 1), (30, 1)])
+    got = ts_ops.sliding_count(df, 10).orderBy("ts").collect()
+    assert [r["n_in_window"] for r in got] == [1, 2, 3, 1]
+
+
+def test_merge_dedup_keeps_newest_ingest(spark):
+    rows = [
+        ("s1", _dt(0), 1.0, _dt(100)),
+        ("s1", _dt(0), 99.0, _dt(200)),  # newer ingest wins
+        ("s1", _dt(10), 2.0, _dt(100)),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double, ingest_time timestamp"
+    )
+    got = ts_ops.merge_dedup(df).orderBy("ts").collect()
+    assert [(r["value"]) for r in got] == [99.0, 2.0]
+
+
+def test_resample_buckets(spark):
+    df = _series(spark, [(0, 1), (30, 3), (60, 5), (90, 7)])
+    got = ts_ops.resample(df, "60 seconds", "avg").orderBy("ts").collect()
+    assert [r["value"] for r in got] == [2.0, 6.0]
+
+
+def test_rdp_downsample_keeps_corners(spark):
+    # A straight ramp with one spike: RDP must keep the spike.
+    pts = [(i, float(i)) for i in range(50)]
+    pts[25] = (25, 100.0)
+    df = _series(spark, pts)
+    got = ts_ops.rdp_downsample(df, epsilon=1.0).orderBy("ts").collect()
+    vals = [r["value"] for r in got]
+    assert 100.0 in vals
+    assert len(vals) < 20  # heavy reduction of collinear points
+    assert vals[0] == 0.0 and vals[-1] == 49.0
+
+
+def test_asof_join(spark):
+    left = _series(spark, [(10, 1), (20, 2), (30, 3)], "s1")
+    right = _series(spark, [(5, 50), (25, 52)], "s1")
+    got = ts_ops.asof_join(left, right).orderBy("ts").collect()
+    assert [r["right_value"] for r in got] == [50.0, 50.0, 52.0]
+    # with tolerance: right point must be within 10s
+    got_tol = ts_ops.asof_join(left, right, tolerance_seconds=10).orderBy("ts").collect()
+    assert [r["right_value"] for r in got_tol] == [50.0, None, 52.0]

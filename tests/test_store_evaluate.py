@@ -1,0 +1,149 @@
+"""Store + evaluate integration tests.
+
+Mirrors the reference's service-layer goldens (SURVEY.md §5):
+* routing fan-out across two mock repos -> first values [1,2,3] in
+  input order (test_dtss_host.py:54-61)
+* store-merge: [1,2,3] at t0..2 then [4,5,6] at t3..5 -> [1..6]
+  (test_dtss_host.py:102-134)
+* incremental collection idempotence (test_data_collection_task.py:66-106)
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from my_weather_spark.evaluate import TsEngine
+from my_weather_spark.model import UtcPeriod
+from my_weather_spark.pipeline import (
+    DataCollectionPeriodAbsolute,
+    DataCollectionTask,
+)
+from my_weather_spark.session import EngineSession
+from my_weather_spark.sources.heartbeat import HeartbeatAdapter
+from my_weather_spark.sources.mock import MockAdapter
+from my_weather_spark.store import TsStore
+
+
+def _dt(s):
+    return datetime.fromtimestamp(s, tz=timezone.utc)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    sess = EngineSession(spark)
+    sess.register_adapter(MockAdapter("mock1", dt_seconds=1))
+    sess.register_adapter(MockAdapter("mock2", dt_seconds=1))
+    sess.register_adapter(HeartbeatAdapter())
+    store = TsStore(spark, str(tmp_path / "ts_store"))
+    return TsEngine(sess, store)
+
+
+def test_routing_fanout_preserves_input_order(engine):
+    # golden: FIXTURES.md / reference test_dtss_host.py:54-61
+    ids = [
+        "mock1://something/1",
+        "mock2://something_else/2",
+        "mock1://something_strange/3",
+    ]
+    res = engine.evaluate(ids, UtcPeriod(0, 9))
+    rows = res.collect()  # ordered by (query_index, ts)
+    firsts = {}
+    for r in rows:
+        firsts.setdefault(r["query_index"], r["value"])
+    assert [firsts[i] for i in range(3)] == [1.0, 2.0, 3.0]
+    # every series spans the inclusive period at 1 Hz -> 10 points each
+    assert len(rows) == 30
+
+
+def test_unknown_scheme_raises(engine):
+    with pytest.raises(KeyError, match="bogus"):
+        engine.evaluate(["bogus://x/1"], UtcPeriod(0, 1))
+
+
+def test_store_merge_union_of_time_ranges(spark, engine):
+    # golden: reference test_dtss_host.py:116-128 ([1,2,3] + [4,5,6] -> [1..6])
+    sid = "shyft://netatmo/superstation/livingroom/temperature"
+    df1 = spark.createDataFrame(
+        [(sid, _dt(t), float(v)) for t, v in [(0, 1), (1, 2), (2, 3)]],
+        "series_id string, ts timestamp, value double",
+    )
+    df2 = spark.createDataFrame(
+        [(sid, _dt(t), float(v)) for t, v in [(3, 4), (4, 5), (5, 6)]],
+        "series_id string, ts timestamp, value double",
+    )
+    engine.store_ts(df1, ingest_time=_dt(1000))
+    engine.store_ts(df2, ingest_time=_dt(2000))
+    out = engine.evaluate([sid], UtcPeriod(0, 100)).collect()
+    assert [r["value"] for r in out] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+
+def test_store_merge_overwrites_same_ts_with_newest(spark, engine):
+    sid = "shyft://netatmo/s/m/t"
+    df1 = spark.createDataFrame(
+        [(sid, _dt(0), 1.0), (sid, _dt(1), 2.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    df2 = spark.createDataFrame(
+        [(sid, _dt(1), 99.0)], "series_id string, ts timestamp, value double"
+    )
+    engine.store_ts(df1, ingest_time=_dt(1000))
+    engine.store_ts(df2, ingest_time=_dt(2000))
+    out = engine.evaluate([sid], UtcPeriod(0, 10)).collect()
+    assert [r["value"] for r in out] == [1.0, 99.0]
+
+
+def test_store_overwrite_on_write_replaces_series(spark, engine):
+    sid = "shyft://netatmo/s/m/t2"
+    df1 = spark.createDataFrame(
+        [(sid, _dt(0), 1.0), (sid, _dt(1), 2.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    df2 = spark.createDataFrame(
+        [(sid, _dt(5), 9.0)], "series_id string, ts timestamp, value double"
+    )
+    engine.store_ts(df1, ingest_time=_dt(1000))
+    engine.store_ts(df2, overwrite_on_write=True, ingest_time=_dt(2000))
+    out = engine.evaluate([sid], UtcPeriod(0, 10)).collect()
+    assert [r["value"] for r in out] == [9.0]
+
+
+def test_find_over_store(spark, engine):
+    sid = "shyft://netatmo/findme/m/t"
+    df = spark.createDataFrame(
+        [(sid, _dt(0), 1.0), (sid, _dt(9), 2.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    engine.store_ts(df, ingest_time=_dt(1000))
+    info = engine.find(sid).collect()
+    assert len(info) == 1
+    assert info[0]["n_points"] == 2
+
+
+def test_incremental_collection_idempotent(spark, engine):
+    # mirror of reference test_data_collection_task.py:66-106:
+    # pass 1 over [0, 3600] then pass 2 over [3600, 7200]; endpoints of
+    # both passes present; re-ingestion of the overlap point (3600) is
+    # deduped, total = 7201 points at 1 Hz inclusive.
+    read_ids = ["mock1://station/7"]
+    store_ids = ["shyft://collected/station/module/seven"]
+    task1 = DataCollectionTask(
+        "short", engine, read_ids, store_ids,
+        DataCollectionPeriodAbsolute(_dt(0), _dt(3600)),
+    )
+    task1.collect(now=_dt(5000))
+    first = engine.evaluate(store_ids, UtcPeriod(0, 10**6)).collect()
+    assert len(first) == 3601
+    assert first[0]["ts"].second == 0
+
+    task2 = DataCollectionTask(
+        "short2", engine, read_ids, store_ids,
+        DataCollectionPeriodAbsolute(_dt(3600), _dt(7200)),
+    )
+    task2.collect(now=_dt(9000))
+    second = engine.evaluate(store_ids, UtcPeriod(0, 10**6)).collect()
+    assert len(second) == 7201  # 0..7200 inclusive, overlap deduped
+    assert all(r["value"] == 7.0 for r in second[:5])
+
+
+def test_engine_healthy(engine):
+    assert engine.healthy()
