@@ -1,38 +1,945 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+LLM-data ops); each takes (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — the DuckDB-equivalent ANSI SQL per query.
+
+Engine-portability conventions used throughout (so Spark and DuckDB
+hash-match): epoch math in integer MICROSECONDS (unix_micros /
+epoch_us), doubles rounded via round(x, n), integer sums cast to
+BIGINT, deterministic tie-breaks on every ranking window, and literal
+doubles CAST AS DOUBLE in SQL (DuckDB decimals otherwise).
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from my_weather_spark.tables import load_table
+from my_weather_spark.ops import scalars as sc
+from my_weather_spark.ops import timeseries as ts_ops
+from my_weather_spark.llm import dedup, similarity, text as text_ops
+from my_weather_spark.model import UtcPeriod, MEASUREMENT_TYPES
+from my_weather_spark.sources.heartbeat import synthetic_series
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _events_series(spark, sf_dir, series_col="event_type"):
+    """events as a long-format timeseries: series = event_type."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col(series_col).alias("series_id"), "ts", "value", "event_id", "user_id"
+    )
+
+
+_E = "epoch_us(ts)"  # duckdb epoch micros
+
+
+# ---------------------------------------------------------------------------
+# Query registry: name -> (spark_fn, oracle_sql | None)
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Relational core over the star schema (joins/aggs/windows/set ops —
+# SURVEY.md §2 "built-in" rows, exercised as declared queries).
+# ===========================================================================
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """Flagship: join + agg + top-k. Dimension side (filtered
+    customers) broadcasts; lineitem (the fact) never moves twice."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """J1 catalog-lookup join shape: small dims broadcast onto facts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_q(
+    "rollup_order_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_q(
+    "cube_events",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, user_bucket)
+    """,
+)
+def cube_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return e.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@_q(
+    "topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    WHERE rk <= 3
+    """,
+)
+def topk_orders_per_segment(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@_q(
+    "semi_join_suppliers",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey)
+    """,
+)
+def semi_join_suppliers(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(
+        c.select(F.col("c_nationkey").alias("s_nationkey")), "s_nationkey", "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_q(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ===========================================================================
+# Timeseries operators over the events table (series = event_type).
+# ===========================================================================
+
+@_q(
+    "p1_period_filter",
+    f"""
+    SELECT event_id, {_E} AS ts_us, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def p1_period_filter(spark, sf_dir):
+    e = _events_series(spark, sf_dir)
+    out = ts_ops.period_filter(e, UtcPeriod("2024-01-10T00:00:00", "2024-01-15T00:00:00"))
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("series_id").alias("event_type"),
+        "value",
+    )
+
+
+@_q(
+    "a1_series_stats",
+    f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT e.event_type AS series_id,
+           round(min(e.value), 6) AS min_value,
+           round(max(e.value), 6) AS max_value,
+           round(avg(e.value), 6) AS avg_value,
+           count(e.value) AS n_points,
+           round(max(r.value), 6) AS last_value
+    FROM events e JOIN ranked r ON e.event_type = r.event_type AND r.rn = 1
+    GROUP BY e.event_type
+    """,
+)
+def a1_series_stats(spark, sf_dir):
+    """A1/A2/A3: min/max/avg/count/last per series with a fully
+    deterministic 'last' (ts desc, event_id desc)."""
+    e = _events_series(spark, sf_dir)
+    w = W.partitionBy("series_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("series_id", F.round("value", 6).alias("last_value"))
+    )
+    stats = e.groupBy("series_id").agg(
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count("value").alias("n_points"),
+    )
+    return stats.join(last, "series_id").select(
+        "series_id", "min_value", "max_value", "avg_value", "n_points", "last_value"
+    )
+
+
+@_q(
+    "w1_lag_delta",
+    f"""
+    SELECT event_type, event_id,
+           {_E} - lag({_E}) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta_us
+    FROM events
+    """,
+)
+def w1_lag_delta(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    return e.select(
+        "event_type",
+        "event_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("delta_us"),
+    )
+
+
+@_q(
+    "a4_dt_mode",
+    f"""
+    WITH deltas AS (
+      SELECT event_type,
+             {_E} - lag({_E}) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dt
+      FROM events),
+    counts AS (
+      SELECT event_type, dt, count(*) AS c FROM deltas WHERE dt IS NOT NULL
+      GROUP BY event_type, dt)
+    SELECT event_type, dt AS dt_mode_us FROM (
+      SELECT event_type, dt, row_number() OVER (PARTITION BY event_type
+             ORDER BY c DESC, dt ASC) AS rn
+      FROM counts)
+    WHERE rn = 1
+    """,
+)
+def a4_dt_mode(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    deltas = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    counts = deltas.groupBy("event_type", "dt").agg(F.count(F.lit(1)).alias("c"))
+    w2 = W.partitionBy("event_type").orderBy(F.desc("c"), F.asc("dt"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("dt").alias("dt_mode_us"))
+    )
+
+
+@_q(
+    "w5_sliding_count",
+    f"""
+    SELECT event_id, event_type,
+           count(*) OVER (PARTITION BY event_type ORDER BY {_E} // 1000000
+                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_in_window
+    FROM events
+    """,
+)
+def w5_sliding_count(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.expr("unix_micros(ts) div 1000000"))
+        .rangeBetween(-600, 0)
+    )
+    return e.select(
+        "event_id", "event_type", F.count(F.lit(1)).over(w).alias("n_in_window")
+    )
+
+
+@_q(
+    "u2_merge_dedup",
+    """
+    WITH batches AS (
+      SELECT event_id, ts, value, 1 AS ingest FROM events
+      WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+      UNION ALL
+      SELECT event_id, ts, value * 2 AS value, 2 AS ingest FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00')
+    SELECT event_id, epoch_us(ts) AS ts_us, round(value, 6) AS value FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ingest DESC) AS rn
+      FROM batches)
+    WHERE rn = 1
+    """,
+)
+def u2_merge_dedup(spark, sf_dir):
+    """S6/U2 merge-on-write semantics: overlapping re-ingestion, newest
+    batch wins, via the engine's deterministic merge_dedup."""
+    e = load_table(spark, sf_dir, "events")
+    b1 = e.where(F.col("ts") <= F.lit("2024-01-20 00:00:00")).select(
+        F.col("event_id").alias("series_id"),
+        "ts",
+        "value",
+        F.lit(1).cast("timestamp").alias("ingest_time"),
+    )
+    b2 = e.where(F.col("ts") >= F.lit("2024-01-10 00:00:00")).select(
+        F.col("event_id").alias("series_id"),
+        "ts",
+        (F.col("value") * 2).alias("value"),
+        F.lit(2).cast("timestamp").alias("ingest_time"),
+    )
+    merged = ts_ops.merge_dedup(b1.unionByName(b2))
+    return merged.select(
+        F.col("series_id").alias("event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@_q(
+    "resample_hourly",
+    """
+    SELECT event_type AS series_id, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+           round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM events GROUP BY event_type, bucket_us
+    """,
+)
+def resample_hourly(spark, sf_dir):
+    e = _events_series(spark, sf_dir)
+    return e.groupBy(
+        "series_id", F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_us")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "w2_end_extension",
+    """
+    WITH hourly AS (
+      SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
+             round(avg(value), 6) AS value
+      FROM events GROUP BY series_id, date_trunc('hour', ts)),
+    deltas AS (
+      SELECT series_id,
+             epoch_us(ts)//1000000 - lag(epoch_us(ts)//1000000)
+               OVER (PARTITION BY series_id ORDER BY ts) AS dt
+      FROM hourly),
+    mode_dt AS (
+      SELECT series_id, dt FROM (
+        SELECT series_id, dt, row_number() OVER (PARTITION BY series_id
+               ORDER BY count(*) DESC, dt ASC) AS rn
+        FROM deltas WHERE dt IS NOT NULL GROUP BY series_id, dt)
+      WHERE rn = 1),
+    last_pt AS (
+      SELECT series_id, ts, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY ts DESC) AS rn
+        FROM hourly)
+      WHERE rn = 1)
+    SELECT series_id, epoch_us(ts) AS ts_us, value FROM hourly
+    UNION ALL
+    SELECT l.series_id, (epoch_us(l.ts)//1000000 + m.dt) * 1000000 AS ts_us, l.value
+    FROM last_pt l JOIN mode_dt m ON l.series_id = m.series_id
+    """,
+)
+def w2_end_extension(spark, sf_dir):
+    """End-of-validity extension (reference repository.py:137-140) on
+    the hourly-resampled series, via the engine's end_extension op."""
+    e = _events_series(spark, sf_dir)
+    hourly = ts_ops.resample(e, "1 hour", "avg").withColumn(
+        "value", F.round("value", 6)
+    )
+    return ts_ops.end_extension(hourly).select(
+        "series_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+
+@_q(
+    "w3_staircase",
+    """
+    WITH hourly AS (
+      SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
+             round(avg(value), 6) AS value
+      FROM events GROUP BY series_id, date_trunc('hour', ts)),
+    nxt AS (
+      SELECT series_id, ts, value,
+             lead(ts) OVER (PARTITION BY series_id ORDER BY ts) AS next_ts
+      FROM hourly)
+    SELECT series_id, epoch_us(ts) AS ts_us, value FROM nxt
+    UNION ALL
+    SELECT series_id, epoch_us(next_ts) AS ts_us, value FROM nxt WHERE next_ts IS NOT NULL
+    """,
+)
+def w3_staircase(spark, sf_dir):
+    from my_weather_spark.model import POINT_AVERAGE_VALUE
+
+    e = _events_series(spark, sf_dir)
+    hourly = ts_ops.resample(e, "1 hour", "avg").withColumn("value", F.round("value", 6))
+    stair = ts_ops.interpretation_expand(hourly, POINT_AVERAGE_VALUE)
+    return stair.select("series_id", F.unix_micros("ts").alias("ts_us"), "value")
+
+
+@_q(
+    "asof_join_views",
+    """
+    SELECT c.user_id, epoch_us(c.ts) AS ts_us, c.value AS click_value,
+           v.value AS prior_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_join_views(spark, sf_dir):
+    """As-of join (range/as-of row of SURVEY §2): latest 'view' value
+    at-or-before each 'click', per user — via the engine's
+    union+window asof_join (one shuffle, no pandas)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").cast("string").alias("series_id"), "ts", "value"
+    )
+    out = ts_ops.asof_join(clicks, views, right_value_col="prior_view_value")
+    return out.select(
+        F.col("series_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("click_value"),
+        "prior_view_value",
+    )
+
+
+@_q(
+    "heartbeat_series",
+    """
+    SELECT ts, CAST(1.0 AS DOUBLE) AS value
+    FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                         TIMESTAMP '2024-01-01 01:00:00',
+                         INTERVAL 1 SECOND) t(ts)
+    """,
+)
+def heartbeat_series(spark, sf_dir):
+    """S4: synthetic constant series over an inclusive period, 1 Hz."""
+    df = synthetic_series(
+        spark,
+        ["heartbeat://probe"],
+        UtcPeriod("2024-01-01T00:00:00", "2024-01-01T01:00:00"),
+        value=1.0,
+        dt_seconds=1,
+    )
+    return df.select("ts", "value")
+
+
+@_q(
+    "order_restore",
+    f"""
+    WITH manifest AS (
+      SELECT * FROM (VALUES (0, 'error'), (1, 'click'), (2, 'view')) m(query_index, event_type))
+    SELECT m.query_index, m.event_type, count(*) AS n_points,
+           min({_E}) AS first_ts_us, max({_E}) AS last_ts_us
+    FROM manifest m JOIN events e ON e.event_type = m.event_type
+    GROUP BY m.query_index, m.event_type
+    ORDER BY m.query_index
+    """,
+)
+def order_restore(spark, sf_dir):
+    """J2/J3/O1: manifest with query_index carried as data; order
+    restored at the edge by orderBy(query_index)."""
+    e = load_table(spark, sf_dir, "events")
+    manifest = spark.createDataFrame(
+        [(0, "error"), (1, "click"), (2, "view")], "query_index int, event_type string"
+    )
+    return (
+        e.join(F.broadcast(manifest), "event_type")
+        .groupBy("query_index", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(F.unix_micros("ts")).alias("first_ts_us"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+        .orderBy("query_index")
+    )
+
+
+# ===========================================================================
+# Scalar functions (F1-F8, J4).
+# ===========================================================================
+
+_MEASUREMENT_VALUES = ", ".join(f"('{m}')" for m, _, _ in MEASUREMENT_TYPES)
+
+@_q(
+    "f1_camel_to_snake",
+    f"""
+    SELECT name, lower(regexp_replace(regexp_replace(name,
+           '(.)([A-Z][a-z]+)', '\\1_\\2', 'g'),
+           '([a-z0-9])([A-Z])', '\\1_\\2', 'g')) AS snake
+    FROM (VALUES {_MEASUREMENT_VALUES}) t(name)
+    """,
+)
+def f1_camel_to_snake(spark, sf_dir):
+    df = spark.createDataFrame([(m,) for m, _, _ in MEASUREMENT_TYPES], "name string")
+    return df.select("name", sc.camel_to_snake("name").alias("snake"))
+
+
+@_q(
+    "f2_ascii_clean",
+    """
+    SELECT name, lower(regexp_replace(regexp_replace(name,
+           '[^a-zA-Z0-9]', '-', 'g'), '[^\\x01-\\x7F]', '', 'g')) AS slug
+    FROM (VALUES ('Eftasåsen4'), ('Superstation'), ('Living Room'), ('Ute (Nord)')) t(name)
+    """,
+)
+def f2_ascii_clean(spark, sf_dir):
+    df = spark.createDataFrame(
+        [("Eftasåsen4",), ("Superstation",), ("Living Room",), ("Ute (Nord)",)],
+        "name string",
+    )
+    return df.select("name", sc.ascii_clean("name").alias("slug"))
+
+
+@_q(
+    "f4_url_roundtrip",
+    """
+    WITH urls AS (
+      SELECT DISTINCT 'netatmo://?station_name=s' || (user_id % 5)::VARCHAR ||
+             '&module_name=' || event_type || '&data_type=value' AS url
+      FROM events)
+    SELECT url,
+           regexp_extract(url, '^(\\w+)://', 1) AS scheme,
+           regexp_extract(url, 'station_name=([^&]*)', 1) AS station_name,
+           regexp_extract(url, 'module_name=([^&]*)', 1) AS module_name,
+           regexp_extract(url, 'data_type=([^&]*)', 1) AS data_type
+    FROM urls
+    """,
+)
+def f4_url_roundtrip(spark, sf_dir):
+    """F3+F4: build query-form series ids, then parse them back with
+    JVM-native parse_url."""
+    e = load_table(spark, sf_dir, "events")
+    urls = e.select(
+        sc.query_id_col(
+            "netatmo",
+            F.concat(F.lit("s"), (F.col("user_id") % 5).cast("string")),
+            F.col("event_type"),
+            F.lit("value"),
+        ).alias("url")
+    ).distinct()
+    return urls.select(
+        "url",
+        sc.url_scheme("url").alias("scheme"),
+        sc.url_param("url", "station_name").alias("station_name"),
+        sc.url_param("url", "module_name").alias("module_name"),
+        sc.url_param("url", "data_type").alias("data_type"),
+    )
+
+
+@_q(
+    "f5_monthly_orders",
+    """
+    SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_label,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def f5_monthly_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    m = F.date_trunc("month", "o_orderdate")
+    return o.groupBy(
+        F.unix_micros(m).alias("month_us"),
+        F.date_format(m, "yyyy-MM").alias("month_label"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_q(
+    "f8_threshold_bins",
+    """
+    SELECT CASE WHEN value < 5 THEN 'low' WHEN value < 20 THEN 'mid' ELSE 'high' END AS bin,
+           count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def f8_threshold_bins(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        sc.threshold_bins("value", [5.0, 20.0], ["low", "mid", "high"]).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+@_q(
+    "j4_fuzzy_match",
+    """
+    SELECT n_name, levenshtein(n_name, 'JAPPAN') AS dist
+    FROM nation ORDER BY dist, n_name LIMIT 3
+    """,
+)
+def j4_fuzzy_match(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.select("n_name", F.levenshtein("n_name", F.lit("JAPPAN")).alias("dist"))
+        .orderBy("dist", "n_name")
+        .limit(3)
+    )
+
+
+# ===========================================================================
+# LLM-data operators: dedup / similarity / text / multimodal.
+# ===========================================================================
+
+_SQL_WORDS = (
+    "words AS (SELECT DISTINCT doc_id, w FROM "
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '')"
+)
+
+
+@_q(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+@_q(
+    "minhash_signatures",
+    f"""
+    WITH {_SQL_WORDS},
+    seeds AS (SELECT unnest(range(16)) AS seed),
+    sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || w)) AS sig
+             FROM words, seeds GROUP BY doc_id, seed)
+    SELECT doc_id, (seed // 8)::INT AS band,
+           string_agg(sig, ',' ORDER BY seed) AS band_key
+    FROM sigs GROUP BY doc_id, band
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, num_hashes=16, band_size=8)
+
+
+@_q(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_SQL_WORDS},
+    seeds AS (SELECT unnest(range(16)) AS seed),
+    sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || w)) AS sig
+             FROM words, seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 8 AS band, string_agg(sig, ',' ORDER BY seed) AS band_key
+              FROM sigs GROUP BY doc_id, band)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=8)
+
+
+@_q(
+    "jaccard_pairs_by_source",
+    f"""
+    WITH {_SQL_WORDS},
+    sz AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+    d AS (SELECT doc_id, source FROM documents),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM words a JOIN d x ON a.doc_id = x.doc_id
+      JOIN d y ON x.source = y.source
+      JOIN words b ON b.doc_id = y.doc_id AND a.w = b.w
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+    WHERE jaccard >= 0.8
+    """,
+)
+def jaccard_pairs_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, pair_scope_col="source", min_jaccard=0.8)
+
+
+@_q(
+    "simhash_docs",
+    f"""
+    WITH {_SQL_WORDS},
+    wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words),
+    bits AS (SELECT unnest(range(16)) AS b),
+    c AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM wh, bits GROUP BY doc_id, b)
+    SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM c GROUP BY doc_id
+    """,
+)
+def simhash_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=16)
+
+
+@_q(
+    "knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos_raw
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def knn_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=3)
+
+
+@_q(
+    "cosine_threshold_pairs",
+    """
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+    """,
+)
+def cosine_threshold_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_threshold_pairs(emb, emb, threshold=0.3)
+
+
+@_q(
+    "text_token_stats",
+    """
+    SELECT doc_id, length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est,
+           round(list_sum(list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                 w -> length(w))) /
+                 len(list_filter(string_split(text, ' '), w -> w <> '')), 6) AS avg_word_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_stats(docs)
+
+
+@_q(
+    "text_quality_stats",
+    """
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+                      text FROM documents)
+    SELECT doc_id, length(text) AS n_chars, len(ws) AS n_words,
+           round(len(list_filter(ws, x -> list_contains(
+             ['the','and','of','to','a','in','is','that','it','for','on','with','as','are','was'],
+             lower(x)))) / len(ws), 6) AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) /
+                 length(text), 6) AS punct_ratio,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) /
+                 length(text), 6) AS digit_ratio
+    FROM w
+    """,
+)
+def text_quality_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.quality_stats(docs)
+
+
+@_q(
+    "text_fingerprint",
+    """
+    WITH sh AS (
+      SELECT doc_id, md5(substr(text, pos, 8)) AS h
+      FROM documents, LATERAL (
+        SELECT unnest(range(1, greatest(length(text) - 8 + 1, 1) + 1)) AS pos))
+    SELECT doc_id, array_to_string(list_sort(list_distinct(list(h)))[1:4], ',') AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.fingerprint(docs, shingle_len=8, k=4)
+
+
+@_q(
+    "mm_payload_stats",
+    """
+    SELECT doc_id AS asset_id, length(text) AS byte_len, sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
+def mm_payload_stats(spark, sf_dir):
+    """Multimodal payload plumbing: binary column + content digest
+    (the decode step itself is the stubbed pandas path, tested in
+    tests/test_llm.py)."""
+    from my_weather_spark.llm.multimodal import media_from_documents
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "asset_id",
+        F.length("payload").alias("byte_len"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+    )
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

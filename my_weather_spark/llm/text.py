@@ -1,0 +1,142 @@
+"""Text analysis operators: quality scoring, language ID, token
+counting, document fingerprinting.
+
+All pure column expressions (JVM-side); counts are exact integers and
+ratios are rounded — engine-portable for cross-checking against a SQL
+oracle. Designed to run as one narrow projection pass over a 100 TB
+documents table (no shuffle except the explicit groupBys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword marker sets for the n-gram/stopword-hit language heuristic.
+# Tiny on purpose: the heuristic is argmax of marker-hit counts.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un"],
+    "it": ["il", "di", "che", "la", "per", "un", "sono", "con"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "are", "was"]
+
+
+def _words(text_col: Column) -> Column:
+    return F.filter(F.split(text_col, " "), lambda w: w != "")
+
+
+# ----------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish estimate.
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, n_words, n_tokens_est, avg_word_len).
+
+    n_tokens_est is the ceil(chars/4) BPE-ish heuristic; avg word
+    length rounds to 6."""
+    t = F.col(text_col)
+    w = _words(t)
+    return df.select(
+        id_col,
+        F.length(t).alias("n_chars"),
+        F.size(w).alias("n_words"),
+        F.ceil(F.length(t) / 4).cast("long").alias("n_tokens_est"),
+        F.round(
+            F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.size(w),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Quality scoring: length/punctuation/stopword/digit ratios.
+def quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    t = F.col(text_col)
+    w = _words(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return df.select(
+        id_col,
+        F.length(t).alias("n_chars"),
+        F.size(w).alias("n_words"),
+        F.round(n_stop / F.size(w), 6).alias("stopword_ratio"),
+        F.round(n_punct / F.length(t), 6).alias("punct_ratio"),
+        F.round(n_digit / F.length(t), 6).alias("digit_ratio"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_words: int = 10,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Gopher-rules-shaped keep/drop filter over quality_stats."""
+    s = quality_stats(df, text_col, id_col)
+    keep = s.where(
+        (F.col("n_words") >= min_words)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ----------------------------------------------------------------------
+# Language ID: argmax of marker-word hit counts (n-gram heuristic).
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, predicted_lang, lang_score). Deterministic tie-break:
+    lexicographically smallest language code among maxima."""
+    t = F.lower(F.col(text_col))
+    w = F.filter(F.split(t, " "), lambda x: x != "")
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(w, lambda x: F.array_contains(markers, x)))
+        scores.append(F.struct((-hits).alias("neg"), F.lit(lang).alias("lang"), hits.alias("hits")))
+    best = F.array_min(F.array(*scores))
+    return df.select(
+        id_col,
+        best["lang"].alias("predicted_lang"),
+        best["hits"].alias("lang_score"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Document fingerprinting: min-k of rolling character-shingle hashes
+# (winnowing-lite). Engine-portable md5 shingle hashes.
+def fingerprint(
+    df: DataFrame,
+    shingle_len: int = 8,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fingerprint): concat of the k smallest md5(shingle) hex
+    values over all rolling ``shingle_len``-char shingles."""
+    t = F.col(text_col)
+    n_sh = F.greatest(F.length(t) - shingle_len + 1, F.lit(1))
+    shingles = df.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), n_sh)).alias("pos"),
+        t.alias("_t"),
+    ).select(
+        id_col, F.md5(F.substring(F.col("_t"), F.col("pos"), shingle_len)).alias("h")
+    )
+    return (
+        shingles.groupBy(id_col)
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_mins"))
+        .select(id_col, F.array_join("_mins", ",").alias("fingerprint"))
+    )

@@ -151,6 +151,9 @@ class UtcPeriod:
 def _to_dt(t) -> datetime:
     if isinstance(t, datetime):
         return t if t.tzinfo else t.replace(tzinfo=timezone.utc)
+    if isinstance(t, str):
+        dt = datetime.fromisoformat(t)
+        return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
     return datetime.fromtimestamp(float(t), tz=timezone.utc)
 
 

@@ -1,0 +1,104 @@
+"""Driver-style correctness check: run every queries() entry on Spark
+and its oracle_sql() twin on DuckDB at sf0.01; compare row count,
+column names, and order-insensitive values.
+
+Usage: python scripts/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from my_weather_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        s = v.isoformat()
+        return s.replace("+00:00", "")
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c.lower() for c in sorted(cols)], out
+
+
+def main(names=None):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    spark = get_spark(app_name="check_correctness")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = names or list(qs)
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        sc, sr = canon_rows(s_cols, s_rows)
+        dc, dr = canon_rows(d_cols, d_rows)
+        ok = True
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            ok = False
+        elif len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            ok = False
+        elif sr != dr:
+            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            print(f"FAIL {name}: values differ; first diffs: {diffs}")
+            ok = False
+        if ok:
+            print(f"PASS {name} ({len(sr)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
