@@ -744,11 +744,12 @@ def dedup_exact_groups(spark, sf_dir):
     "minhash_signatures",
     f"""
     WITH {_SQL_WORDS},
-    seeds AS (SELECT unnest(range(16)) AS seed),
-    sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || w)) AS sig
-             FROM words, seeds GROUP BY doc_id, seed)
+    wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words),
+    params AS (SELECT * FROM (VALUES (0, 387420489, 15485863), (1, 576460801, 32452843), (2, 268435399, 49979687), (3, 402653189, 67867967), (4, 536870923, 86028121), (5, 671088667, 104395301), (6, 805306457, 122949823), (7, 939524129, 141650939), (8, 73014449, 160481183), (9, 206158463, 179424673), (10, 339738391, 198491317), (11, 473059897, 217645177), (12, 606580379, 236887691), (13, 739978753, 256203161), (14, 873463093, 275604541), (15, 1006895341, 295075147)) p(seed, a, b)),
+    sigs AS (SELECT doc_id, p.seed, min((p.a * h + p.b) % 2147483647) AS sig
+             FROM wh, params p GROUP BY doc_id, p.seed)
     SELECT doc_id, (seed // 8)::INT AS band,
-           string_agg(sig, ',' ORDER BY seed) AS band_key
+           string_agg(sig::VARCHAR, ',' ORDER BY seed) AS band_key
     FROM sigs GROUP BY doc_id, band
     """,
 )
@@ -761,10 +762,11 @@ def minhash_signatures(spark, sf_dir):
     "minhash_lsh_pairs",
     f"""
     WITH {_SQL_WORDS},
-    seeds AS (SELECT unnest(range(16)) AS seed),
-    sigs AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || w)) AS sig
-             FROM words, seeds GROUP BY doc_id, seed),
-    bands AS (SELECT doc_id, seed // 8 AS band, string_agg(sig, ',' ORDER BY seed) AS band_key
+    wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words),
+    params AS (SELECT * FROM (VALUES (0, 387420489, 15485863), (1, 576460801, 32452843), (2, 268435399, 49979687), (3, 402653189, 67867967), (4, 536870923, 86028121), (5, 671088667, 104395301), (6, 805306457, 122949823), (7, 939524129, 141650939), (8, 73014449, 160481183), (9, 206158463, 179424673), (10, 339738391, 198491317), (11, 473059897, 217645177), (12, 606580379, 236887691), (13, 739978753, 256203161), (14, 873463093, 275604541), (15, 1006895341, 295075147)) p(seed, a, b)),
+    sigs AS (SELECT doc_id, p.seed, min((p.a * h + p.b) % 2147483647) AS sig
+             FROM wh, params p GROUP BY doc_id, p.seed),
+    bands AS (SELECT doc_id, seed // 8 AS band, string_agg(sig::VARCHAR, ',' ORDER BY seed) AS band_key
               FROM sigs GROUP BY doc_id, band)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -797,7 +799,7 @@ def minhash_lsh_pairs(spark, sf_dir):
 )
 def jaccard_pairs_by_source(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, pair_scope_col="source", min_jaccard=0.8)
+    return dedup.jaccard_pairs_dense(docs, pair_scope_col="source", min_jaccard=0.8)
 
 
 @_q(

@@ -25,6 +25,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism when the input
+    has fewer partitions than cores.
+
+    CPU-heavy narrow ops (md5 over shingle sets) are bottlenecked by
+    input partitioning: a corpus arriving as one small parquet file
+    plans one task and serializes the whole computation on one core.
+    At 100 TB inputs arrive with thousands of partitions and this is a
+    no-op; on small/few-file inputs the cheap shuffle buys full-core
+    parallelism for the expensive map that follows.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ----------------------------------------------------------------------
 # Exact dedup: hash-groupBy on content.
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -61,6 +78,22 @@ def word_set(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
 
 # ----------------------------------------------------------------------
 # MinHash signatures + LSH banding.
+#
+# Fixed universal-hash constants (odd, < 2^30 so a*h fits int64 with a
+# 32-bit word hash; p = 2^31-1, Mersenne prime).
+_MINHASH_P = 2147483647
+_MINHASH_A = [
+    387420489, 576460801, 268435399, 402653189, 536870923, 671088667,
+    805306457, 939524129, 73014449, 206158463, 339738391, 473059897,
+    606580379, 739978753, 873463093, 1006895341,
+]
+_MINHASH_B = [
+    15485863, 32452843, 49979687, 67867967, 86028121, 104395301,
+    122949823, 141650939, 160481183, 179424673, 198491317, 217645177,
+    236887691, 256203161, 275604541, 295075147,
+]
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -74,29 +107,56 @@ def minhash_signatures(
     doc's word set. Band key joins ``band_size`` consecutive signature
     values. Min over lexicographic md5 hex is a valid uniform minhash
     (any total order over a uniform hash works).
+
+    Implementation is SHUFFLE-FREE and hashes each word ONCE: the
+    universal-hash family h_i(w) = (a_i * h(w) + b_i) mod p derives all
+    ``num_hashes`` minhashes from a single md5 per word (h(w) = first
+    8 md5 hex chars as int, p = 2^31-1, a_i < 2^30 so products fit
+    int64 in every engine). The whole signature is built in-row with
+    array higher-order functions — at 100 TB this is one narrow map
+    pass over the corpus instead of an exploded
+    (docs x words x hashes) shuffle.
     """
-    words = word_set(df, text_col, id_col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    sigs = (
-        words.select(id_col, "word", seeds)
-        .withColumn(
-            "h", F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("word")))
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("sig"))
+    if num_hashes > len(_MINHASH_A):
+        raise ValueError(f"at most {len(_MINHASH_A)} hash functions supported")
+    df = _fan_out(df)
+    n_bands = num_hashes // band_size
+    a_arr = F.array(*[F.lit(a) for a in _MINHASH_A[:num_hashes]])
+    b_arr = F.array(*[F.lit(b) for b in _MINHASH_B[:num_hashes]])
+    words = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     )
-    return (
-        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                    lambda s: s["sig"],
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    with_h = df.select(F.col(id_col), hashes.alias("_wh"))
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("_wh"),
+                lambda h: (
+                    F.element_at(a_arr, s + 1) * h + F.element_at(b_arr, s + 1)
+                )
+                % F.lit(_MINHASH_P),
+            )
+        ),
+    )
+    with_sigs = with_h.select(F.col(id_col), sigs.alias("_sigs"))
+    return with_sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.array_join(
+                    F.transform(
+                        F.slice(F.col("_sigs"), b * band_size + 1, band_size),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
                 ),
-                ",",
-            ).alias("band_key")
-        )
+            )
+        ).alias("band", "band_key"),
     )
 
 
@@ -170,6 +230,51 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+def jaccard_pairs_dense(
+    df: DataFrame,
+    pair_scope_col: str,
+    min_jaccard: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Array-based exact Jaccard: self-join docs within the scope
+    group, intersect word-set ARRAYS in-row (array_intersect).
+
+    Chooses the opposite trade-off from :func:`jaccard_pairs`: the
+    explode-join shape wins when vocabulary is large and overlap is
+    sparse (few docs share a word); this dense shape wins when groups
+    are small and vocabulary is dense (every doc shares words with
+    every other, so the word-level join explodes quadratically anyway
+    and per-pair array intersection is cheaper than shuffling the
+    exploded word pairs).
+    """
+    words = F.array_sort(
+        F.array_distinct(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+    )
+    d = _fan_out(df).select(
+        F.col(id_col), F.col(pair_scope_col).alias("_scope"), words.alias("_ws")
+    )
+    a = d.select(
+        F.col(id_col).alias("doc_a"), F.col("_scope"), F.col("_ws").alias("_wa")
+    )
+    b = d.select(
+        F.col(id_col).alias("doc_b"), F.col("_scope"), F.col("_ws").alias("_wb")
+    )
+    return (
+        a.join(b, "_scope")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("_ni", F.size(F.array_intersect("_wa", "_wb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_ni") / (F.size("_wa") + F.size("_wb") - F.col("_ni")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ----------------------------------------------------------------------
 # SimHash: sign of per-bit weighted sums of word hashes.
 def simhash(
@@ -181,21 +286,23 @@ def simhash(
     base-16 conv); bit b of the simhash is 1 iff sum over words of
     (+1 if word_hash bit b set else -1) > 0.
     """
-    words = word_set(df, text_col, id_col).withColumn(
-        "wh", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    words = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # shiftright/shiftleft take a literal bit count in the Python API;
-    # go through expr for a column-valued shift.
-    contrib = words.select(id_col, "wh", bit).withColumn(
-        "c", F.when(F.expr("(wh >> bit) & 1") == 1, 1).otherwise(-1)
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
     )
-    bitsum = contrib.groupBy(id_col, "bit").agg(F.sum("c").alias("s"))
-    return bitsum.groupBy(id_col).agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)).alias(
-            "simhash"
-        )
+    # Shuffle-free: both the per-bit signed sums and the final bit-pack
+    # happen in-row over the word-hash array (integer sums are
+    # order-independent, so this matches any exploded formulation).
+    with_h = _fan_out(df).select(F.col(id_col), hashes.alias("_wh"))
+    sim = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, b) -> acc + "
+        f"IF(aggregate(_wh, CAST(0 AS BIGINT), "
+        f"(a2, h) -> a2 + IF(((h >> b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0, "
+        f"CAST(shiftleft(1, b) AS BIGINT), CAST(0 AS BIGINT)))"
     )
+    return with_h.select(id_col, sim.alias("simhash"))
 
 
 def simhash_buckets(

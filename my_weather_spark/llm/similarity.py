@@ -66,8 +66,10 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
+    from my_weather_spark.llm.dedup import _fan_out
+
     scored = (
-        c.join(F.broadcast(q))  # broadcast NL join: corpus stays distributed
+        _fan_out(c).join(F.broadcast(q))  # broadcast NL: corpus stays distributed
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
     )
@@ -87,15 +89,52 @@ def cosine_threshold_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All (query, neighbor) pairs with cosine >= threshold — the
-    embedding near-dup primitive (rank-free, so fully order-stable)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    return (
-        c.join(F.broadcast(q))
-        .where(F.col("query_id") < F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
-        .where(F.col("cos") >= threshold)
-        .select("query_id", "neighbor_id", "cos")
+    embedding near-dup primitive (rank-free, so fully order-stable).
+
+    Implementation: the query side is collected to a dense matrix and
+    broadcast; each Arrow batch of the corpus does ONE BLAS matrix
+    product against it (mapInPandas), emitting only over-threshold
+    pairs. This is the standard block-matrix similarity pattern: the
+    corpus never shuffles, work is (corpus x queries) fused
+    multiply-adds, and the emitted pair set is sparse. The query side
+    must be broadcast-sized (it is, by definition of a near-dup/query
+    batch); for corpus-x-corpus at 100 TB you'd tile the right side
+    into broadcastable column blocks and union the per-block outputs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy()
+    q_mat = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def _score(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = np.round(c_mat @ mat.T, 6)
+            # pair order: query_id < neighbor_id (corpus row is neighbor)
+            mask = (sims >= threshold) & (ids[None, :] < c_ids[:, None])
+            ci, qi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[qi],
+                    "neighbor_id": c_ids[ci],
+                    "cos": sims[ci, qi],
+                }
+            )
+
+    from my_weather_spark.llm.dedup import _fan_out
+
+    return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cos double"
     )
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from my_weather_spark.llm.dedup import _fan_out
+
 # Stopword marker sets for the n-gram/stopword-hit language heuristic.
 # Tiny on purpose: the heuristic is argmax of marker-hit counts.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -126,17 +128,16 @@ def fingerprint(
 ) -> DataFrame:
     """(id, fingerprint): concat of the k smallest md5(shingle) hex
     values over all rolling ``shingle_len``-char shingles."""
-    t = F.col(text_col)
-    n_sh = F.greatest(F.length(t) - shingle_len + 1, F.lit(1))
-    shingles = df.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), n_sh)).alias("pos"),
-        t.alias("_t"),
-    ).select(
-        id_col, F.md5(F.substring(F.col("_t"), F.col("pos"), shingle_len)).alias("h")
+    # Shuffle-free: the rolling-shingle hash set is built in-row with
+    # array HOFs (one narrow map pass; no explode->groupBy). substring
+    # with a column-valued position goes through expr.
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {shingle_len} + 1, 1)), "
+        f"p -> md5(substring({text_col}, p, {shingle_len})))"
     )
-    return (
-        shingles.groupBy(id_col)
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_mins"))
-        .select(id_col, F.array_join("_mins", ",").alias("fingerprint"))
+    return _fan_out(df).select(
+        id_col,
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(hashes)), 1, k), ","
+        ).alias("fingerprint"),
     )

@@ -55,7 +55,8 @@ def get_spark(
         # in the table loader (my_weather_spark.tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = driver-only JVM: driver memory is THE memory knob
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
