@@ -1,0 +1,199 @@
+"""Structured Streaming pipelines (SURVEY.md §2 T1/T2 + stream windows).
+
+The reference's collection loop is a scheduled micro-batch: every
+``wait_time`` seconds read a trailing window from the source and store
+it with merge semantics; the trailing window re-reads late data and
+the merge dedups it (weather/service/service_manager.py:39-50,
+data_collection_task.py:136-150, start_collection_netatmo.py:72-91).
+
+Spark-native: ``readStream`` over the landing area -> ``foreachBatch``
+that runs the SAME merge-on-write used by the batch path (one code
+path for dedup semantics), with checkpointing for exactly-once sink
+behavior. Late data is handled twice over: the watermark bounds state,
+and the idempotent merge makes re-delivery harmless.
+
+Also provides the streaming windows the reference never had but a
+Spark engine gets for free: tumbling/sliding windowed aggregation and
+session windows — plus a custom stateful operator
+(``applyInPandasWithState``) for in-plane burst detection, the
+data-plane twin of the control-plane rate limiter (T4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from my_weather_spark.model import OBSERVATION_SCHEMA
+from my_weather_spark.store import TsStore
+
+
+# ----------------------------------------------------------------------
+# T1/T2 — streaming collection into the merge store.
+def stream_observations(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """readStream over a parquet landing area of observation files."""
+    return (
+        spark.readStream.schema(OBSERVATION_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(landing_dir)
+    )
+
+
+def stream_collect(
+    spark: SparkSession,
+    landing_dir: str,
+    store: TsStore,
+    checkpoint_dir: str,
+    source: str = "stream",
+    trigger_available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Start the collection stream: each micro-batch merges into the
+    TsStore via the engine's deterministic merge-on-write (idempotent
+    under re-delivery, mirroring the reference's overlapping re-read).
+
+    Returns the StreamingQuery. ``trigger_available_now=True`` drains
+    what's there and stops (the scheduled-batch analog, exactly the
+    reference's 5-minute cadence pattern when run under a scheduler);
+    otherwise a continuous micro-batch trigger at ``processing_time``.
+    """
+    obs = stream_observations(spark, landing_dir)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.store(batch_df, source=source, overwrite_on_write=False)
+
+    writer = (
+        obs.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+# ----------------------------------------------------------------------
+# Streaming windowed aggregation with late-data watermark.
+def windowed_stats(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) per-series min/max/avg/count with a
+    watermark bounding late data — the streaming twin of
+    ops.timeseries.resample/series_stats."""
+    w = (
+        F.window("ts", window, slide)
+        if slide
+        else F.window("ts", window)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("series_id", w.alias("win"))
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value"),
+            F.count("value").alias("n_points"),
+        )
+        .select(
+            "series_id",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "min_value",
+            "max_value",
+            "avg_value",
+            "n_points",
+        )
+    )
+
+
+def sessionized(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows per series: a session closes after ``gap`` of
+    silence (dynamic-length window — state bounded by the watermark)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("series_id", F.session_window("ts", gap).alias("sess"))
+        .agg(F.count("value").alias("n_points"), F.avg("value").alias("avg_value"))
+        .select(
+            "series_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_points",
+            "avg_value",
+        )
+    )
+
+
+def dedup_late_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming dedup on (series_id, ts) within the watermark horizon —
+    the in-plane analog of the store's merge dedup for at-least-once
+    sources (reference's overlapping 30-min re-read, T2)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["series_id", "ts"]
+    )
+
+
+# ----------------------------------------------------------------------
+# T4 data-plane twin: stateful burst detection per series.
+def burst_flags(
+    stream: DataFrame,
+    action_limit: int = 45,
+    timespan_seconds: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per series,
+    flag micro-batches whose trailing-``timespan`` event count exceeds
+    ``action_limit`` — the sliding-deque rate check as managed state.
+
+    State per series is a bounded list of recent event timestamps
+    (epoch seconds), pruned each batch — O(action_limit) state per key,
+    safe at millions of keys.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "series_id string, batch_max_ts timestamp, n_in_window int, over_limit boolean"
+    )
+    state_schema = "ts_list array<double>"
+
+    def _update(key, pdfs, state: GroupState):
+        (series_id,) = key
+        ts_seen: list[float] = list(state.get[0]) if state.exists else []
+        max_ts = None
+        for pdf in pdfs:
+            secs = pdf["ts"].astype("int64") / 1e9
+            ts_seen.extend(secs.tolist())
+            m = pdf["ts"].max()
+            max_ts = m if max_ts is None else max(max_ts, m)
+        ts_seen.sort()
+        cutoff = ts_seen[-1] - timespan_seconds if ts_seen else 0.0
+        ts_seen = [t for t in ts_seen if t > cutoff][-10 * action_limit :]
+        state.update((ts_seen,))
+        n = len(ts_seen)
+        yield pd.DataFrame(
+            {
+                "series_id": [series_id],
+                "batch_max_ts": [max_ts],
+                "n_in_window": [n],
+                "over_limit": [n > action_limit],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("series_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

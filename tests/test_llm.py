@@ -1,0 +1,139 @@
+"""LLM-data operator tests: dedup recall, ANN vs brute force,
+multimodal decode plumbing, text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_weather_spark.llm import dedup, multimodal, similarity, text as text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "a"),
+        (1, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog", "a"),  # near dup of 0
+        (3, "completely different content about spark engines", "b"),
+        (4, "completely different content about spark engines here", "b"),  # near dup of 3
+        (5, "unrelated text with nothing in common whatsoever today", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    dup_groups = [g for g in groups if g["n_copies"] > 1]
+    assert len(dup_groups) == 1 and dup_groups[0]["keep_id"] == 0
+    kept = dedup.drop_exact_duplicates(docs)
+    assert kept.count() == 5
+    assert kept.where(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup likely collides
+    assert (0, 5) not in pairs  # unrelated must not
+
+
+def test_jaccard_verify_step(docs):
+    lsh = dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
+    jac = dedup.jaccard_pairs(docs, min_jaccard=0.5)
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jac.collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.5 <= j[(0, 2)] < 1.0
+    # dense variant agrees with explode variant on the same scope
+    jd = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs_dense(docs, "source", min_jaccard=0.5).collect()
+    }
+    for k, v in jd.items():
+        assert j.get(k) == v
+
+
+def test_simhash_near_dups_close(docs):
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=16).collect()}
+    assert h[0] == h[1]
+    ham_near = bin(h[0] ^ h[2]).count("1")
+    ham_far = bin(h[0] ^ h[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from my_weather_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    centroids = (
+        emb.where(F.col("vec_id") % 31 == 0)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    approx = similarity.ivf_topk(emb, queries, centroids, k=3, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # IVF probes 4/17 buckets; demand non-trivial overlap with exact
+    assert len(a) == len(e)
+    assert len(e & a) >= len(e) // 3
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    from my_weather_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.decode_image_features(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 50
+    r = rows[0]
+    assert r["byte_len"] > 0 and len(r["sha1"]) == 40
+    assert r["width"] == 64 and r["height"] == 64
+    # schema is the declared one
+    assert feats.columns == ["asset_id", "byte_len", "sha1", "mean_intensity", "width", "height"]
+
+
+def test_multimodal_real_decoder_raises(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"xx"), (64, 64, 3, None, None, "raw"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        multimodal.decode_image_features(media, decoder="real").collect()
+
+
+def test_frame_sample_manifest(spark):
+    media = spark.createDataFrame(
+        [(7, "video", None, (None, None, None, 44100, 3.5, "fake/vid"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.frame_sample_manifest(media, every_n_seconds=1.0).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert rows[-1]["frame_ts_s"] == 3.0
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog in a house"),
+            (1, "der Hund und die Katze ist nicht da"),
+            (2, "le chat et la maison est une des choses"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in text_ops.language_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_quality_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again it runs"),
+            (1, "x! y? z. !!! ??? ..."),
+        ],
+        "doc_id long, text string",
+    )
+    kept = text_ops.quality_filter(df, min_words=10, max_punct_ratio=0.2)
+    assert [r["doc_id"] for r in kept.collect()] == [0]

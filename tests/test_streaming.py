@@ -1,0 +1,125 @@
+"""Structured Streaming tests: collection-into-store (T1/T2),
+windowed/session aggregation, streaming dedup, stateful burst flags."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from my_weather_spark import streaming as st
+from my_weather_spark.model import UtcPeriod
+from my_weather_spark.store import TsStore
+
+
+def _dt(s):
+    return datetime.fromtimestamp(s, tz=timezone.utc)
+
+
+def _obs(spark, points, series_id="s1"):
+    return spark.createDataFrame(
+        [(series_id, _dt(t), float(v), _dt(t)) for t, v in points],
+        "series_id string, ts timestamp, value double, ingest_time timestamp",
+    )
+
+
+def test_stream_collect_merges_idempotently(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = TsStore(spark, str(tmp_path / "store"))
+
+    # batch 1 lands [0..4], batch 2 re-delivers [3..4] and adds [5..7]
+    _obs(spark, [(i, i) for i in range(5)]).write.mode("append").parquet(landing)
+    q = st.stream_collect(spark, landing, store, ckpt)
+    q.awaitTermination(120)
+    _obs(spark, [(i, i) for i in range(3, 8)]).write.mode("append").parquet(landing)
+    q = st.stream_collect(spark, landing, store, ckpt)
+    q.awaitTermination(120)
+
+    got = store.scan(period=UtcPeriod(0, 100)).orderBy("ts").collect()
+    assert [r["value"] for r in got] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+
+
+def test_windowed_stats_stream(spark, tmp_path):
+    landing = str(tmp_path / "landing2")
+    _obs(spark, [(0, 1), (30, 3), (70, 5), (90, 7)]).write.mode("append").parquet(landing)
+    stream = st.stream_observations(spark, landing)
+    agg = st.windowed_stats(stream, window="1 minute", watermark="10 minutes")
+    # append mode only emits watermark-finalized windows; a drained
+    # availableNow run never advances past the last event, so assert on
+    # the complete-mode materialization instead.
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winstats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["window_start"].second + r["window_start"].minute * 60: r
+        for r in spark.sql("SELECT * FROM winstats").collect()
+    }
+    assert rows[0]["n_points"] == 2 and rows[0]["avg_value"] == 2.0
+    assert rows[60]["n_points"] == 2 and rows[60]["max_value"] == 7.0
+
+
+def test_sessionized_stream(spark, tmp_path):
+    landing = str(tmp_path / "landing3")
+    # two bursts separated by > gap
+    _obs(spark, [(0, 1), (60, 1), (4000, 1), (4030, 1)]).write.mode("append").parquet(
+        landing
+    )
+    stream = st.stream_observations(spark, landing)
+    q = (
+        st.sessionized(stream, gap="10 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions ORDER BY session_start").collect()
+    assert len(rows) == 2
+    assert [r["n_points"] for r in rows] == [2, 2]
+
+
+def test_dedup_late_stream(spark, tmp_path):
+    landing = str(tmp_path / "landing4")
+    # epoch-0 timestamps equal the stream's initial watermark and get
+    # dropped as late — use modern timestamps
+    B = 1_700_000_000
+    _obs(spark, [(B + 0, 1), (B + 0, 1), (B + 10, 2)]).write.mode("append").parquet(landing)
+    stream = st.stream_observations(spark, landing)
+    q = (
+        st.dedup_late_stream(stream)
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM deduped").collect()[0]["c"] == 2
+
+
+def test_burst_flags_stateful(spark, tmp_path):
+    landing = str(tmp_path / "landing5")
+    # 6 events within 10s for s1; 2 sparse events for s2
+    pts_s1 = [(i, 1) for i in range(6)]
+    pts_s2 = [(0, 1), (100, 1)]
+    _obs(spark, pts_s1, "s1").unionByName(_obs(spark, pts_s2, "s2")).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = st.stream_observations(spark, landing)
+    q = (
+        st.burst_flags(stream, action_limit=4, timespan_seconds=10)
+        .writeStream.format("memory")
+        .queryName("bursts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["series_id"]: r for r in spark.sql("SELECT * FROM bursts").collect()}
+    assert rows["s1"]["over_limit"] is True
+    assert rows["s2"]["over_limit"] is False
