@@ -931,6 +931,231 @@ def mm_payload_stats(spark, sf_dir):
 
 
 # ===========================================================================
+# Additional coverage: sessionization, pivot, set ops, part dim,
+# language ID, scheme routing, rows-only ops (RDP, IVF).
+# ===========================================================================
+
+@_q(
+    "sessionize_users",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    flg AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+    sess AS (
+      SELECT user_id, us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM flg)
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(us) AS session_start_us, max(us) AS session_end_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_users(spark, sf_dir):
+    """Batch sessionization via the engine's gaps-and-islands op
+    (series = user); 30-minute inactivity gap."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("series_id"), "ts", "value", "event_id"
+    )
+    s = ts_ops.sessionize(e, gap_seconds=1800, order_tiebreak="event_id")
+    return (
+        s.groupBy(F.col("series_id").alias("user_id"), "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+        )
+    )
+
+
+@_q(
+    "pivot_daily_event_values",
+    """
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+           round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view,
+           round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+           round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_daily_event_values(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    piv = (
+        e.groupBy(F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"))
+        .pivot("event_type", ["click", "view", "error", "purchase", "signup"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+    return piv
+
+
+@_q(
+    "set_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@_q(
+    "set_except_nations",
+    """
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT c_nationkey FROM customer
+    """,
+)
+def set_except_nations(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return n.exceptAll(c).distinct()
+
+
+@_q(
+    "part_size_bins",
+    """
+    SELECT p_brand,
+           CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium'
+                ELSE 'large' END AS size_bin,
+           count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+    FROM part GROUP BY p_brand, size_bin
+    """,
+)
+def part_size_bins(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy(
+        "p_brand",
+        sc.threshold_bins("p_size", [10, 30], ["small", "medium", "large"]).alias(
+            "size_bin"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
+
+
+def _langid_oracle() -> str:
+    from my_weather_spark.llm.text import LANG_MARKERS
+
+    selects = []
+    for lang in sorted(LANG_MARKERS):
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(ws, x -> list_contains([{lst}], x))) AS hits FROM w"
+        )
+    union = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    scores AS ({union})
+    SELECT doc_id, lang AS predicted_lang, hits AS lang_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+      FROM scores)
+    WHERE rn = 1
+    """
+
+
+@_q("text_language_id", _langid_oracle())
+def text_language_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.language_id(docs)
+
+
+@_q(
+    "p4_scheme_routing",
+    """
+    WITH urls AS (
+      SELECT CASE WHEN event_id % 3 = 0
+                  THEN 'shyft://netatmo/station' || (user_id % 5)::VARCHAR || '/mod/' || event_type
+                  ELSE 'netatmo://?station_name=s' || (user_id % 5)::VARCHAR ||
+                       '&module_name=' || event_type || '&data_type=value'
+             END AS url
+      FROM events)
+    SELECT regexp_extract(url, '^(\\w+)://', 1) AS scheme, count(*) AS n
+    FROM urls GROUP BY 1
+    """,
+)
+def p4_scheme_routing(spark, sf_dir):
+    """P4: partition a batch of series ids by URL scheme (the routing
+    predicate of evaluate()), via JVM parse_url."""
+    e = load_table(spark, sf_dir, "events")
+    urls = e.select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("shyft://netatmo/station"),
+                (F.col("user_id") % 5).cast("string"),
+                F.lit("/mod/"),
+                F.col("event_type"),
+            ),
+        )
+        .otherwise(
+            sc.query_id_col(
+                "netatmo",
+                F.concat(F.lit("s"), (F.col("user_id") % 5).cast("string")),
+                F.col("event_type"),
+                F.lit("value"),
+            )
+        )
+        .alias("url")
+    )
+    return urls.groupBy(sc.url_scheme("url").alias("scheme")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- rows-only entries (no SQL oracle; driver records weaker check) ---
+
+@_q("w4_rdp_downsample", None)
+def w4_rdp_downsample(spark, sf_dir):
+    """RDP polyline reduction per series (reference W4,
+    dtss_serve_test.py:237-241) — iterative geometric algorithm, not
+    SQL-expressible; grouped-map pandas implementation."""
+    e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
+    hourly = ts_ops.resample(e, "1 hour", "avg")
+    return ts_ops.rdp_downsample(hourly, epsilon=2.0)
+
+
+@_q("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate nearest neighbors (scale path of the
+    similarity search) — centroid assignment is iterative/argmax-
+    structured; validated against brute force in tests instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    centroids = emb.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, centroids, k=3, nprobe=4)
+
+
+@_q("w2_end_extension_raw", None)
+def w2_end_extension_raw(spark, sf_dir):
+    """End-extension directly via the engine op on the raw event series
+    (the oracle-matched variant runs on the hourly resample)."""
+    e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
+    return ts_ops.end_extension(e)
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 

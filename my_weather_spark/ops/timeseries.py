@@ -280,6 +280,27 @@ def rdp_downsample(df: DataFrame, epsilon: float | None = None) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Batch sessionization (gaps-and-islands): a new session starts after
+# more than `gap_seconds` of silence within a series. The batch twin of
+# streaming.sessionized (session_window); one shuffle on series_id.
+def sessionize(
+    df: DataFrame, gap_seconds: int, order_tiebreak: str | None = None
+) -> DataFrame:
+    """Assign a per-series session index (0-based) to every row."""
+    order = [F.col(TS)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = W.partitionBy(SERIES).orderBy(*order)
+    us = F.unix_micros(F.col(TS))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = W.partitionBy(SERIES).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn("_new", new_sess).withColumn(
+        "session_idx", (F.sum("_new").over(run) - 1).cast("long")
+    ).drop("_new")
+
+
+# ----------------------------------------------------------------------
 # As-of alignment of two series (the natural multi-series extension,
 # SURVEY.md §2 joins row "range/as-of"): for every point of `left`,
 # the latest `right` point at-or-before it (within optional tolerance).
