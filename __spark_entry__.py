@@ -272,13 +272,15 @@ def anti_join_customers(spark, sf_dir):
     """,
 )
 def p1_period_filter(spark, sf_dir):
-    e = _events_series(spark, sf_dir)
-    out = ts_ops.period_filter(e, UtcPeriod("2024-01-10T00:00:00", "2024-01-15T00:00:00"))
+    from my_weather_spark.tables import load_events
+
+    period = UtcPeriod("2024-01-10T00:00:00", "2024-01-15T00:00:00")
+    # superset pushdown on the raw ns column (reaches parquet row
+    # groups), exact inclusive semantics re-applied post-conversion
+    e = load_events(spark, sf_dir, period=period)
+    out = ts_ops.period_filter(e, period)
     return out.select(
-        "event_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.col("series_id").alias("event_type"),
-        "value",
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
     )
 
 

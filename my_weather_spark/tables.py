@@ -42,6 +42,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events(spark: SparkSession, sf_dir: str, period=None) -> DataFrame:
+    """events with an optional period pushed down to the parquet scan.
+
+    The ts column is stored as TIMESTAMP(NANOS) and read as a long, so
+    a filter on the CONVERTED timestamp is a post-scan DataFilter —
+    it cannot prune row groups. This helper applies a superset filter
+    on the raw long (plain comparisons -> PushedFilters) before the
+    conversion; callers still apply the exact inclusive period filter
+    on the converted column (ops.timeseries.period_filter).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        if period is not None:
+            lo = int(period.start_epoch * 1_000_000) * 1000
+            hi = int(period.end_epoch * 1_000_000) * 1000 + 999
+            df = df.where((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif period is not None:
+        df = df.where(
+            (F.col("ts") >= F.lit(period.start)) & (F.col("ts") <= F.lit(period.end))
+        )
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
 
