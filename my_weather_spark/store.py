@@ -76,7 +76,16 @@ class TsStore:
             )
             df = period_filter(df, period)
         if series_ids is not None:
-            df = df.where(F.col("series_id").isin(series_ids))
+            if len(series_ids) <= 200:
+                # small vectors: IN-list constant-folds into the scan
+                df = df.where(F.col("series_id").isin(series_ids))
+            else:
+                # large vectors: a giant IN-list bloats the plan and
+                # never pushes down — broadcast semi-join instead
+                ids = self.spark.createDataFrame(
+                    [(s,) for s in set(series_ids)], "series_id string"
+                )
+                df = df.join(F.broadcast(ids), "series_id", "left_semi")
         return df.select("series_id", "ts", "value", "ingest_time")
 
     def _full_schema(self):
@@ -141,6 +150,29 @@ class TsStore:
         # breaks the lineage to the input files).
         out = out.localCheckpoint(eager=True)
         out.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(self.path)
+
+    # -- compaction --------------------------------------------------------
+    def compact(self, target_records_per_file: int = 5_000_000) -> None:
+        """Rewrite the dataset coalescing small files.
+
+        Repeated incremental merges leave one small file per (partition,
+        write); at 100 TB the 5-minute cadence would otherwise produce
+        288 files/partition/day and scans degrade on open() overhead.
+        Run periodically (the reference's daily backfill slot is the
+        natural place). sortWithinPartitions(series_id, ts) gives
+        row-group clustering so series/ts predicates skip row groups.
+        """
+        df = self.spark.read.parquet(self.path).sortWithinPartitions(
+            "source", "date", "series_id", "ts"
+        )
+        df = df.localCheckpoint(eager=True)
+        (
+            df.write.partitionBy(*PARTITION_COLS)
+            .option("maxRecordsPerFile", target_records_per_file)
+            .option("partitionOverwriteMode", "static")
+            .mode("overwrite")
+            .parquet(self.path)
+        )
 
     # -- find(): catalog over stored series (TsInfo analog) ---------------
     def find(self, pattern: str | None = None, source: str | None = None) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the pure scalar layer.
+
+The reference has no property testing (SURVEY.md §5); these harden the
+engine-portable codecs whose Spark/SQL twins must agree exactly.
+"""
+
+import re
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from my_weather_spark.model import SeriesRef, UtcPeriod, create_query_id, parse_query_id
+from my_weather_spark.ops.scalars import ascii_clean_py, camel_to_snake_py
+
+name_chars = st.text(
+    alphabet=string.ascii_letters + string.digits + "_", min_size=1, max_size=30
+).filter(lambda s: re.fullmatch(r"\w+", s))
+
+
+@given(name_chars, name_chars, name_chars)
+@settings(max_examples=200, deadline=None)
+def test_query_id_round_trip(station, module, dtype):
+    url = create_query_id("netatmo", station, module, dtype)
+    params = parse_query_id(url, {"station_name", "module_name", "data_type"})
+    assert params["station_name"] == station
+    assert params["module_name"] == module
+    assert params["data_type"] == dtype
+
+
+@given(st.text(min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_ascii_clean_invariants(s):
+    out = ascii_clean_py(s)
+    assert re.fullmatch(r"[a-z0-9\-]*", out), out
+    assert ascii_clean_py(out) == out  # idempotent
+
+
+@given(st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_camel_to_snake_invariants(s):
+    out = camel_to_snake_py(s)
+    assert out == out.lower()
+    assert camel_to_snake_py(out) == out  # idempotent on snake_case
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=100, deadline=None)
+def test_period_ordering_enforced(a, b):
+    lo, hi = sorted((a, b))
+    p = UtcPeriod(lo, hi)
+    assert p.contains(lo) and p.contains(hi)  # inclusive both ends
+    if hi + 1 <= 2**31:
+        assert not p.contains(hi + 1)
+
+
+@given(
+    st.text(max_size=10),
+    st.text(alphabet=string.printable, max_size=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_accepts_only_valid_schemes(scheme, rest):
+    url = f"{scheme}://{rest}"
+    try:
+        ref = SeriesRef.parse(url)
+        # whatever parsed must carry a syntactically valid scheme
+        assert re.fullmatch(r"[a-zA-Z][\w+.-]*", ref.scheme)
+    except ValueError:
+        # rejected: scheme must NOT have been a clean valid one
+        assert not re.fullmatch(r"[a-zA-Z][\w+.-]*", scheme)

@@ -147,3 +147,33 @@ def test_incremental_collection_idempotent(spark, engine):
 
 def test_engine_healthy(engine):
     assert engine.healthy()
+
+
+def test_large_series_vector_semi_join(spark, engine):
+    # >200 ids takes the broadcast semi-join path
+    sid = "shyft://many/s/m/t"
+    df = spark.createDataFrame(
+        [(sid, _dt(i), float(i)) for i in range(5)],
+        "series_id string, ts timestamp, value double",
+    )
+    engine.store_ts(df, ingest_time=_dt(1000))
+    ids = [sid] + [f"shyft://many/s/m/none{i}" for i in range(300)]
+    out = engine.evaluate(ids, UtcPeriod(0, 100))
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["query_index"] == 0 for r in rows)
+
+
+def test_store_compaction_preserves_data(spark, engine):
+    sid = "shyft://compact/s/m/t"
+    for batch in range(3):
+        df = spark.createDataFrame(
+            [(sid, _dt(batch * 10 + i), float(i)) for i in range(10)],
+            "series_id string, ts timestamp, value double",
+        )
+        engine.store_ts(df, ingest_time=_dt(1000 + batch))
+    before = engine.evaluate([sid], UtcPeriod(0, 1000)).collect()
+    engine.store.compact()
+    after = engine.evaluate([sid], UtcPeriod(0, 1000)).collect()
+    assert [r["value"] for r in after] == [r["value"] for r in before]
+    assert len(after) == 30
