@@ -1124,6 +1124,25 @@ def p4_scheme_routing(spark, sf_dir):
     )
 
 
+@_q(
+    "f7_format_tiles",
+    """
+    SELECT event_type,
+           printf('%.2f °C', min(value)) AS min_text,
+           printf('%.2f °C', max(value)) AS max_text
+    FROM events GROUP BY event_type
+    """,
+)
+def f7_format_tiles(spark, sf_dir):
+    """F7 number formatting (reference dashboard tiles
+    dtss_serve_test.py:314: f'{v:0.2f} °C')."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.format_string("%.2f °C", F.min("value")).alias("min_text"),
+        F.format_string("%.2f °C", F.max("value")).alias("max_text"),
+    )
+
+
 # --- rows-only entries (no SQL oracle; driver records weaker check) ---
 
 @_q("w4_rdp_downsample", None)

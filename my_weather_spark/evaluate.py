@@ -66,7 +66,11 @@ class TsEngine:
                 data = data.select("series_id", "ts", "value")
             else:
                 adapter = self.session.adapter(scheme)  # raises on unknown
-                data = adapter.read(self.spark, [refs[i] for i in idxs], period)
+                # Dedupe refs before the adapter call: data is keyed by
+                # series_id and the manifest join below fans results
+                # back out to every (duplicate) query position.
+                unique_refs = list({refs[i].url: refs[i] for i in idxs}.values())
+                data = adapter.read(self.spark, unique_refs, period)
                 data = data.select("series_id", "ts", "value").where(
                     (F.col("ts") >= F.lit(period.start))
                     & (F.col("ts") <= F.lit(period.end))

@@ -177,3 +177,15 @@ def test_store_compaction_preserves_data(spark, engine):
     after = engine.evaluate([sid], UtcPeriod(0, 1000)).collect()
     assert [r["value"] for r in after] == [r["value"] for r in before]
     assert len(after) == 30
+
+
+def test_evaluate_duplicate_ids_keep_positions(engine):
+    ids = ["mock1://a/1", "mock1://a/1", "mock2://b/2"]
+    rows = engine.evaluate(ids, UtcPeriod(0, 4)).collect()
+    per_idx = {}
+    for r in rows:
+        per_idx.setdefault(r["query_index"], []).append(r["value"])
+    # both positions of the duplicated id are materialized
+    assert len(per_idx[0]) == 5 and len(per_idx[1]) == 5
+    assert per_idx[0] == per_idx[1] == [1.0] * 5
+    assert per_idx[2] == [2.0] * 5
