@@ -1125,6 +1125,27 @@ def p4_scheme_routing(spark, sf_dir):
 
 
 @_q(
+    "a6_bool_aggregates",
+    """
+    SELECT user_id,
+           bool_or(event_type = 'error') AS had_error,
+           bool_and(value >= 0) AS all_nonneg,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def a6_bool_aggregates(spark, sf_dir):
+    """A6: any/all boolean health aggregation (reference
+    repository.py:185, service_manager.py:190-195)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "error").alias("had_error"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
     "f7_format_tiles",
     """
     SELECT event_type,

@@ -24,6 +24,7 @@ from my_weather_spark.model import (
 )
 from my_weather_spark.store import TsStore
 from my_weather_spark.evaluate import TsEngine
+from my_weather_spark.domain import Domain
 
 __all__ = [
     "get_spark",
@@ -35,6 +36,7 @@ __all__ = [
     "POINT_AVERAGE_VALUE",
     "TsStore",
     "TsEngine",
+    "Domain",
 ]
 
 __version__ = "0.1.0"
