@@ -34,7 +34,18 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """The driver may hand us a session built without our defaults;
+    nanosAsLong is dynamically settable, so set it defensively before
+    any read that may touch a TIMESTAMP(NANOS) column."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Normalize nanosecond-timestamp columns read as long (ns).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -52,6 +63,7 @@ def load_events(spark: SparkSession, sf_dir: str, period=None) -> DataFrame:
     conversion; callers still apply the exact inclusive period filter
     on the converted column (ops.timeseries.period_filter).
     """
+    _ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
         if period is not None:
