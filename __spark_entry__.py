@@ -1125,6 +1125,33 @@ def p4_scheme_routing(spark, sf_dir):
 
 
 @_q(
+    "resample_time_weighted",
+    """
+    WITH pts AS (
+      SELECT event_type AS s, epoch_us(ts) AS t, value AS v FROM events),
+    seg AS (
+      SELECT s, t, lead(t) OVER (PARTITION BY s ORDER BY t) AS tn, v FROM pts),
+    segs AS (SELECT * FROM seg WHERE tn IS NOT NULL AND tn > t),
+    bux AS (
+      SELECT s, t, tn, v, unnest(range(t // 21600000000, (tn - 1) // 21600000000 + 1)) AS b
+      FROM segs)
+    SELECT s AS series_id, b * 21600000000 AS bucket_us,
+           round(sum(v * (least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)))
+                 / sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)), 6)
+             AS twa_value,
+           CAST(sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)) AS BIGINT)
+             AS covered_us
+    FROM bux GROUP BY s, b
+    """,
+)
+def resample_time_weighted_q(spark, sf_dir):
+    """Time-weighted staircase resample to 6-hour buckets — the exact
+    POINT_AVERAGE-interpretation integral, not the point mean."""
+    e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
+    return ts_ops.resample_time_weighted(e, bucket_seconds=6 * 3600)
+
+
+@_q(
     "a6_bool_aggregates",
     """
     SELECT user_id,

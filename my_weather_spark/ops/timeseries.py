@@ -212,6 +212,58 @@ def resample(df: DataFrame, bucket: str, agg: str = "avg") -> DataFrame:
     )
 
 
+# Time-weighted resample for POINT_AVERAGE (staircase) series: value
+# v_i holds over [t_i, t_{i+1}); the resampled bucket value is the
+# time-integral of the staircase over the bucket divided by covered
+# time — NOT the plain mean of points (which over-weights dense spans).
+# This is the semantically-correct AVERAGE-interpretation resample the
+# simple point-mean `resample` approximates (SURVEY.md §7 hard-part 1).
+def resample_time_weighted(df: DataFrame, bucket_seconds: int) -> DataFrame:
+    """(series_id, bucket_us, twa_value, covered_us).
+
+    Pure DataFrame: segments from lead(), exploded to the buckets they
+    overlap (a segment spanning k buckets emits k rows), then one
+    groupBy computing sum(v*overlap)/sum(overlap). Integer-microsecond
+    arithmetic end to end (engine-portable). The terminal point opens
+    no segment — run end_extension first if the last value must count.
+    """
+    w_us = int(bucket_seconds) * 1_000_000
+    win = _series_window()
+    segs = (
+        df.select(
+            SERIES,
+            F.unix_micros(F.col(TS)).alias("_t"),
+            F.col(VALUE).alias("_v"),
+        )
+        .withColumn("_tn", F.lead("_t").over(W.partitionBy(SERIES).orderBy("_t")))
+        .where(F.col("_tn").isNotNull() & (F.col("_tn") > F.col("_t")))
+    )
+    exploded = segs.select(
+        SERIES,
+        "_t",
+        "_tn",
+        "_v",
+        F.explode(
+            F.sequence(
+                F.expr(f"_t div {w_us}"), F.expr(f"(_tn - 1) div {w_us}")
+            )
+        ).alias("_b"),
+    )
+    overlap = F.least(F.col("_tn"), (F.col("_b") + 1) * w_us) - F.greatest(
+        F.col("_t"), F.col("_b") * w_us
+    )
+    return (
+        exploded.withColumn("_ov", overlap)
+        .groupBy(SERIES, (F.col("_b") * w_us).alias("bucket_us"))
+        .agg(
+            F.round(F.sum(F.col("_v") * F.col("_ov")) / F.sum("_ov"), 6).alias(
+                "twa_value"
+            ),
+            F.sum("_ov").alias("covered_us"),
+        )
+    )
+
+
 # W4a — bucketed downsample for rendering (cheap alternative to RDP).
 def bucket_downsample(df: DataFrame, n_buckets: int, period: UtcPeriod) -> DataFrame:
     span = max(1, int(period.end_epoch - period.start_epoch))

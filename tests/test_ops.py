@@ -137,3 +137,26 @@ def test_asof_join(spark):
     # with tolerance: right point must be within 10s
     got_tol = ts_ops.asof_join(left, right, tolerance_seconds=10).orderBy("ts").collect()
     assert [r["right_value"] for r in got_tol] == [50.0, None, 52.0]
+
+
+def test_resample_time_weighted_golden(spark):
+    # staircase: v=10 over [0, 30), v=0 over [30, 120) ; bucket = 60s
+    # bucket 0: (10*30 + 0*30)/60 = 5.0 ; bucket 1: fully 0
+    df = _series(spark, [(0, 10), (30, 0), (120, 99)])
+    got = {
+        r["bucket_us"]: (r["twa_value"], r["covered_us"])
+        for r in ts_ops.resample_time_weighted(df, 60).collect()
+    }
+    assert got[0] == (5.0, 60_000_000)
+    assert got[60_000_000] == (0.0, 60_000_000)
+    # terminal point (120, 99) opens no segment
+    assert 120_000_000 not in got
+
+
+def test_resample_time_weighted_vs_point_mean(spark):
+    # dense points at v=1 for 10s, then one long v=100 segment of 90s:
+    # point-mean is ~1, but the time-weighted average must be ~90.
+    pts = [(i, 1.0) for i in range(10)] + [(10, 100.0), (100, 0.0)]
+    df = _series(spark, pts)
+    tw = ts_ops.resample_time_weighted(df, 100).collect()[0]
+    assert abs(tw["twa_value"] - (9 * 1 + 90 * 100 + 1 * 1) / 100) < 1e-6
