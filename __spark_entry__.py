@@ -1173,6 +1173,42 @@ def a6_bool_aggregates(spark, sf_dir):
 
 
 @_q(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """Schema-on-read JSON metadata (the reference's dynamic DataClass
+    attrs, F10/§1.3): extract typed fields from the props JSON column
+    JVM-side (get_json_object), aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.countDistinct(k).alias("distinct_k"),
+    )
+
+
+@_q(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
     "f7_format_tiles",
     """
     SELECT event_type,
