@@ -1,0 +1,70 @@
+"""Dashboard-frame tests (reference visual-client analytics)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from my_weather_spark import visual
+from my_weather_spark.evaluate import TsEngine
+from my_weather_spark.model import POINT_AVERAGE_VALUE, UtcPeriod
+from my_weather_spark.session import EngineSession
+from my_weather_spark.store import TsStore
+
+
+def _dt(s):
+    return datetime.fromtimestamp(s, tz=timezone.utc)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    sess = EngineSession(spark)
+    store = TsStore(spark, str(tmp_path / "store"))
+    eng = TsEngine(sess, store)
+    rows = []
+    for i in range(200):
+        rows.append(("shyft://wx/home/out/temperature", _dt(i * 60), -5.0 + i * 0.1))
+        rows.append(("shyft://wx/home/in/co2", _dt(i * 60), 400.0 + i * 4))
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    eng.store_ts(df, ingest_time=_dt(10**6))
+    return eng
+
+
+def test_current_conditions_tiles(engine):
+    ids = ["shyft://wx/home/out/temperature", "shyft://wx/home/in/co2"]
+    tiles = {r["series_id"]: r for r in visual.current_conditions(
+        engine, ids, UtcPeriod(0, 10**6)
+    ).collect()}
+    t = tiles["shyft://wx/home/out/temperature"]
+    assert t["min_value"] == -5.0
+    assert abs(t["last_value"] - 14.9) < 1e-9
+    assert t["color"] == "red"  # last temp > 0
+    assert t["tile_text"].startswith("14.90")
+    c = tiles["shyft://wx/home/in/co2"]
+    assert c["color"] == "red"  # 400+199*4 = 1196 > 1000
+    assert c["max_value"] == 1196.0
+
+
+def test_history_plot_frame_downsamples(engine):
+    ids = ["shyft://wx/home/out/temperature"]
+    period = UtcPeriod(0, 200 * 60)
+    geom = visual.history_plot_frame(engine, ids, period, max_points=20)
+    n = geom.count()
+    assert 10 <= n <= 30  # ~20 buckets
+    cols = geom.columns
+    assert "plot_ms" in cols
+
+
+def test_history_plot_staircase_geometry(engine):
+    ids = ["shyft://wx/home/out/temperature"]
+    period = UtcPeriod(0, 10 * 60)
+    geom = visual.history_plot_frame(
+        engine, ids, period, point_fx=POINT_AVERAGE_VALUE, max_points=None
+    ).collect()
+    # staircase duplicates interior corner points: 11 pts -> 21 rows
+    assert len(geom) == 21
+
+
+def test_refreshing_tail_bounded(engine):
+    ids = ["shyft://wx/home/out/temperature"]
+    tail = visual.refreshing_tail(engine, ids, UtcPeriod(0, 10**6), keep_last=100)
+    assert tail.count() == 100
