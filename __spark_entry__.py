@@ -1173,6 +1173,45 @@ def a6_bool_aggregates(spark, sf_dir):
 
 
 @_q(
+    "p5_empty_guard",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+    WHERE ts >= TIMESTAMP '2030-01-01' AND ts <= TIMESTAMP '2030-02-01'
+    """,
+)
+def p5_empty_guard(spark, sf_dir):
+    """P5: a period outside the data returns an empty frame (not an
+    error) — the pagination stop condition."""
+    from my_weather_spark.tables import load_events
+
+    period = UtcPeriod("2030-01-01T00:00:00", "2030-02-01T00:00:00")
+    e = ts_ops.period_filter(load_events(spark, sf_dir, period=period), period)
+    return e.select("event_id", F.unix_micros("ts").alias("ts_us"), "value")
+
+
+@_q(
+    "u1_extend_union",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+    WHERE ts <= TIMESTAMP '2024-01-10'
+    UNION ALL
+    SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+    WHERE ts > TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'
+    """,
+)
+def u1_extend_union(spark, sf_dir):
+    """U1: disjoint pagination chunks stitched with extend_union —
+    equals one scan of the whole period."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    c1 = e.where(F.col("ts") <= F.lit("2024-01-10"))
+    c2 = e.where((F.col("ts") > F.lit("2024-01-10")) & (F.col("ts") <= F.lit("2024-01-20")))
+    out = ts_ops.extend_union(c1, c2)
+    return out.select("event_id", F.unix_micros("ts").alias("ts_us"), "value")
+
+
+@_q(
     "json_props_extract",
     """
     SELECT event_type,
