@@ -49,6 +49,8 @@ class TsEngine:
         (query_index, ts). Duplicate ids keep their positions (the
         reference preserves the input vector 1:1).
         """
+        if not series_ids:
+            raise ValueError("evaluate() requires at least one series id")
         refs = [SeriesRef.parse(s) for s in series_ids]  # raises on bad url
 
         # J3a: group indices by scheme (reference: dtss_host.py:211-216).
