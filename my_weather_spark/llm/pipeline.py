@@ -1,0 +1,93 @@
+"""Composed training-data cleaning pipeline.
+
+The standard large-corpus preparation flow, assembled from the engine's
+operators exactly the way a 100 TB run would chain them:
+
+    quality filter -> exact dedup -> MinHash-LSH candidates
+        -> Jaccard verify -> drop near-dups (keep smallest id)
+        -> attach analysis columns (tokens, language, fingerprint)
+
+Every stage is a DataFrame transformation; the only materialization
+points are the ones a production run would checkpoint anyway (the
+candidate-pair set). Connected-component near-dup clustering is
+approximated by the standard "keep the smallest doc_id of every
+verified pair's union" greedy rule — one pass, no iteration; a full
+union-find (iterative) refinement can be layered on when cluster
+chains matter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from my_weather_spark.llm import dedup, text as text_ops
+
+
+@dataclass
+class CleanReport:
+    n_input: int
+    n_after_quality: int
+    n_after_exact: int
+    n_after_near: int
+    n_near_dup_pairs: int
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_words: int = 10,
+    max_punct_ratio: float = 0.3,
+    jaccard_threshold: float = 0.85,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, CleanReport]:
+    """Returns (clean docs, stage-count report).
+
+    Near-dup removal keeps the smallest id of each verified pair and
+    drops the larger — deterministic survivor choice, same rule as
+    exact dedup, so re-runs are idempotent.
+    """
+    n_input = docs.count()
+
+    # 1. quality gate (cheap, narrow — run first to shrink everything)
+    q = text_ops.quality_filter(
+        docs, min_words=min_words, max_punct_ratio=max_punct_ratio,
+        text_col=text_col, id_col=id_col,
+    )
+    n_quality = q.count()
+
+    # 2. exact dedup (hash groupBy)
+    exact = dedup.drop_exact_duplicates(q, text_col, id_col)
+    n_exact = exact.count()
+
+    # 3. LSH candidates -> exact Jaccard verify on candidates only
+    cand = dedup.minhash_lsh_pairs(
+        exact, num_hashes=num_hashes, band_size=band_size,
+        text_col=text_col, id_col=id_col,
+    )
+    verified = (
+        dedup.jaccard_pairs(exact, min_jaccard=jaccard_threshold,
+                            text_col=text_col, id_col=id_col)
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    )
+    n_pairs = verified.count()
+
+    # 4. drop the larger id of every verified near-dup pair
+    losers = verified.select(F.col("doc_b").alias(id_col)).distinct()
+    survivors = exact.join(losers, id_col, "left_anti")
+    n_near = survivors.count()
+
+    # 5. analysis columns for the surviving corpus
+    stats = text_ops.token_stats(survivors, text_col, id_col)
+    lang = text_ops.language_id(survivors, text_col, id_col)
+    fp = text_ops.fingerprint(survivors, text_col=text_col, id_col=id_col)
+    out = (
+        survivors.join(stats, id_col)
+        .join(lang, id_col)
+        .join(fp, id_col)
+    )
+    return out, CleanReport(n_input, n_quality, n_exact, n_near, n_pairs)

@@ -137,3 +137,28 @@ def test_quality_filter(spark):
     )
     kept = text_ops.quality_filter(df, min_words=10, max_punct_ratio=0.2)
     assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_clean_corpus_pipeline(spark):
+    from my_weather_spark.llm.pipeline import clean_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base, "a"),
+        (1, base, "a"),  # exact dup -> dropped
+        (2, base.replace("runs", "sprints"), "a"),  # near dup -> dropped (vs 0)
+        (3, "completely different words about spark engines scaling large data very well", "b"),
+        (4, "x! y?", "b"),  # fails quality (too short)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    clean, report = clean_corpus(docs, min_words=5, jaccard_threshold=0.8)
+    ids = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert ids == [0, 3]
+    assert report.n_input == 5
+    assert report.n_after_quality == 4
+    assert report.n_after_exact == 3
+    assert report.n_after_near == 2
+    assert report.n_near_dup_pairs >= 1
+    # analysis columns attached
+    cols = set(clean.columns)
+    assert {"n_words", "predicted_lang", "fingerprint"} <= cols
