@@ -1173,6 +1173,23 @@ def a6_bool_aggregates(spark, sf_dir):
 
 
 @_q(
+    "p2_measurement_projection",
+    """
+    SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def p2_measurement_projection(spark, sf_dir):
+    """P2: restrict to a requested subset of measurement types
+    (reference mtype='Temperature,Humidity' repository.py:122) with
+    column pruning to exactly the projected columns."""
+    e = load_table(spark, sf_dir, "events")
+    return e.where(F.col("event_type").isin(["click", "purchase"])).select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+
+@_q(
     "p5_empty_guard",
     """
     SELECT event_id, epoch_us(ts) AS ts_us, value FROM events

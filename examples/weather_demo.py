@@ -1,0 +1,109 @@
+"""Executable walkthrough of the full engine lifecycle.
+
+Mirrors a day in the life of the reference platform, Spark-first:
+build the metadata domain, register source adapters, run an
+incremental collection into the merge store, evaluate mixed
+store+live query vectors, and derive dashboard frames — then run the
+corpus-cleaning pipeline over the synthetic documents table.
+
+Run: python examples/weather_demo.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from my_weather_spark import Domain, EngineSession, TsEngine, TsStore, UtcPeriod, visual
+from my_weather_spark.model import create_query_id
+from my_weather_spark.pipeline import DataCollectionPeriodAbsolute, DataCollectionTask
+from my_weather_spark.sources.domain_source import DomainAdapter
+from my_weather_spark.sources.file_source import ChunkedFileAdapter
+from my_weather_spark.sources.heartbeat import HeartbeatAdapter
+from my_weather_spark.sources.rate_limiter import RateLimiter
+from my_weather_spark.tables import load_table
+
+
+def dt(s):
+    return datetime.fromtimestamp(s, tz=timezone.utc)
+
+
+STATIONS = [
+    {
+        "_id": "demo:station:1",
+        "station_name": "Demohuset",
+        "module_name": "Inne",
+        "type": "NAMain",
+        "data_type": ["Temperature", "CO2"],
+        "place": {"timezone": "Europe/Oslo", "city": "Oslo", "country": "NO",
+                  "altitude": 90.0, "location": [10.75, 59.91]},
+        "modules": [
+            {"_id": "demo:module:1", "module_name": "Ute", "type": "NAModule1",
+             "data_type": ["Temperature"]},
+        ],
+    }
+]
+
+
+def main() -> None:
+    workdir = tempfile.mkdtemp(prefix="weather_demo_")
+    sess = EngineSession()
+    spark = sess.spark
+
+    # --- 1. metadata domain + backing "cloud" data -----------------------
+    dom = Domain(spark, STATIONS)
+    print("measurements:")
+    dom.measurements.select("measurement_name", "store_id", "query_id").show(truncate=False)
+
+    store_ids = [r["store_id"] for r in dom.measurements.collect()]
+    rows = []
+    for k, sid in enumerate(sorted(store_ids)):
+        rows += [(sid, dt(i * 300), 15.0 + k + (i % 12) * 0.5) for i in range(288)]
+    cloud_path = os.path.join(workdir, "cloud")
+    spark.createDataFrame(rows, "series_id string, ts timestamp, value double").write.parquet(cloud_path)
+
+    # --- 2. adapters: rate-limited paginated source + heartbeat ----------
+    backing = ChunkedFileAdapter(
+        "shyft", cloud_path, max_points_per_call=1024,
+        rate_limiters=[RateLimiter(45, 10, wait_time=0.01)],
+    )
+    sess.register_adapter(DomainAdapter("netatmo", dom, backing))
+    sess.register_adapter(HeartbeatAdapter())
+    engine = TsEngine(sess, TsStore(spark, os.path.join(workdir, "store")))
+    print("healthy:", engine.healthy())
+
+    # --- 3. incremental collection into the merge store ------------------
+    qid = create_query_id("netatmo", "Demohuset", "Ute", "Temperature")
+    m = dom.get_measurement("Demohuset", "Ute", "Temperature").collect()[0]
+    task = DataCollectionTask(
+        "demo", engine, [qid], [m["store_id"]],
+        DataCollectionPeriodAbsolute(dt(0), dt(287 * 300)),
+    )
+    stored = task.collect(now=dt(10**6))
+    print("collected points:", stored)
+
+    # --- 4. evaluate a mixed vector: store + live + heartbeat ------------
+    res = engine.evaluate(
+        [m["store_id"], qid, "heartbeat://canary"], UtcPeriod(0, 3600)
+    )
+    res.groupBy("query_index", "series_id").count().orderBy("query_index").show(truncate=False)
+
+    # --- 5. dashboard frames ---------------------------------------------
+    tiles = visual.current_conditions(engine, [m["store_id"]], UtcPeriod(0, 10**6))
+    tiles.select("series_id", "min_value", "max_value", "last_value", "tile_text").show(truncate=False)
+
+    # --- 6. corpus cleaning over the synthetic documents -----------------
+    from my_weather_spark.llm.pipeline import clean_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    clean, report = clean_corpus(docs, min_words=5, jaccard_threshold=0.9)
+    print("corpus report:", report)
+    clean.select("doc_id", "n_words", "predicted_lang").show(5)
+
+
+if __name__ == "__main__":
+    main()
