@@ -276,6 +276,64 @@ def jaccard_pairs_dense(
 
 
 # ----------------------------------------------------------------------
+# Connected components over the near-dup pair graph: docs A-B and B-C
+# verified as near-dups must land in ONE cluster even though (A, C) was
+# never compared. Iterative smallest-label propagation (the standard
+# large-scale CC algorithm — alternating large/small-star in spirit,
+# simplified to neighbor-min propagation), converging in O(diameter)
+# rounds; near-dup cluster diameters are tiny in practice.
+def connected_components(
+    pairs: DataFrame, max_iter: int = 10, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """(doc_id, component) — component = smallest doc_id reachable.
+
+    Each iteration joins every node's current label against its
+    neighbors' labels and keeps the min; stops early when no label
+    changed. Inputs are undirected pairs (a < b by convention).
+    Iterations localCheckpoint to truncate lineage (a loop of joins
+    otherwise builds an exponentially deep plan).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+# ----------------------------------------------------------------------
 # SimHash: sign of per-bit weighted sums of word hashes.
 def simhash(
     df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"

@@ -140,6 +140,16 @@ def cosine_threshold_pairs(
 
 # ----------------------------------------------------------------------
 # IVF-style bucketed ANN (the scale path).
+def _centroid_matrix(centroids: DataFrame, id_col: str, vec_col: str):
+    import numpy as np
+
+    pdf = centroids.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -148,20 +158,35 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (by cosine).
-    Centroids are broadcast; one shuffle-free map pass over the corpus.
+
+    The centroid matrix (tiny by construction) broadcasts; each Arrow
+    batch of the corpus does one BLAS product + argmax — a single
+    shuffle-free narrow pass, no join, no window.
     """
-    cent = centroids.select(
-        F.col(centroid_id_col).alias("_cid"), F.col(vec_col).alias("_centv")
-    )
-    scored = corpus.join(F.broadcast(cent)).withColumn(
-        "_sim", cosine(F.col(vec_col), F.col("_centv"))
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("_cid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("_cid").alias(centroid_id_col))
-    )
+    import numpy as np
+
+    spark = corpus.sparkSession
+    c_ids, c_mat = _centroid_matrix(centroids, "centroid_id", vec_col)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def _assign(batches):
+        import pandas as pd
+
+        ids, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            best = np.argmax(A @ mat.T, axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out[centroid_id_col] = ids[best]
+            yield out
+
+    from my_weather_spark.llm.dedup import _fan_out
+
+    schema = f"{id_col} long, {vec_col} array<float>, {centroid_id_col} long"
+    return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(_assign, schema)
 
 
 def ivf_topk(
@@ -179,36 +204,60 @@ def ivf_topk(
     At scale the bucketed corpus is precomputed + persisted
     (ivf_assign), making this a pruned scan of nprobe/C of the data.
     """
+    import numpy as np
+
+    spark = corpus.sparkSession
     bucketed = ivf_assign(corpus, centroids, id_col, vec_col)
-    cent = centroids.select(
-        F.col("centroid_id").alias("_cid"), F.col(vec_col).alias("_centv")
+    # Queries are a small batch by definition: pick each query's nprobe
+    # best centroid buckets driver-side with one matrix product.
+    c_ids, c_mat = _centroid_matrix(centroids, "centroid_id", vec_col)
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_mat = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sims = q_mat @ c_mat.T
+    probe_rows = []
+    for qi, qid in enumerate(q_pdf[id_col].tolist()):
+        # deterministic probe order: (-sim, centroid_id)
+        order = sorted(range(len(c_ids)), key=lambda j: (-sims[qi, j], c_ids[j]))
+        for j in order[:nprobe]:
+            probe_rows.append(
+                (int(qid), int(c_ids[j]), [float(x) for x in q_pdf[vec_col][qi]])
+            )
+    qprobe = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id long, _qv array<float>"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    qprobe = (
-        q.join(F.broadcast(cent))
-        .withColumn("_sim", cosine(F.col("_qv"), F.col("_centv")))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("_cid"))
-            ),
-        )
-        .where(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", F.col("_cid").alias("centroid_id"))
-    )
-    scored = (
+    joined = (
         bucketed.join(F.broadcast(qprobe), "centroid_id")
         .where(F.col("query_id") != F.col(id_col))
-        .withColumn("cos", cosine(F.col("_qv"), F.col(vec_col)))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_qv")
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+
+    # Score candidate rows vectorized (one einsum per Arrow batch)
+    # instead of per-row interpreted HOF evaluation.
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cos": np.round(cos, 6),
+                }
+            )
+
+    scored = joined.mapInPandas(_score, "query_id long, neighbor_id long, cos double")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round("cos", 6).alias("cos"),
-            "rank",
-        )
+        .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -162,3 +162,13 @@ def test_clean_corpus_pipeline(spark):
     # analysis columns attached
     cols = set(clean.columns)
     assert {"n_words", "predicted_lang", "fingerprint"} <= cols
+
+
+def test_connected_components_chains(spark):
+    # A-B, B-C, and isolated D-E: {0,1,2} one cluster, {7,8} another
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (7, 8)], "doc_a long, doc_b long"
+    )
+    cc = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert cc[0] == cc[1] == cc[2] == 0
+    assert cc[7] == cc[8] == 7
