@@ -76,8 +76,11 @@ def clean_corpus(
     )
     n_pairs = verified.count()
 
-    # 4. drop the larger id of every verified near-dup pair
-    losers = verified.select(F.col("doc_b").alias(id_col)).distinct()
+    # 4. drop near-dups: cluster the verified-pair graph (connected
+    # components, so A-B-C chains collapse even without an A-C pair)
+    # and keep only each component's smallest id.
+    components = dedup.connected_components(verified, a_col="doc_a", b_col="doc_b")
+    losers = components.where(F.col("doc_id") != F.col("component")).select(id_col)
     survivors = exact.join(losers, id_col, "left_anti")
     n_near = survivors.count()
 

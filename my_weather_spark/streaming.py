@@ -21,6 +21,8 @@ data-plane twin of the control-plane rate limiter (T4).
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -138,6 +140,76 @@ def dedup_late_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataF
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["series_id", "ts"]
     )
+
+
+# ----------------------------------------------------------------------
+# T5 streaming twin: supervision via StreamingQueryListener.
+class StreamWatchdog:
+    """Records streaming progress/termination events and restarts
+    failed queries — the Structured-Streaming twin of the driver-side
+    ServiceManager (reference: service_manager.py:92-214).
+
+    Register once per session; call ``restart_failed()`` from the
+    supervision loop (or wire it into ServiceManager as a service whose
+    health_check is ``not watchdog.failures``).
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        watchdog = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                watchdog.started.append(event.id)
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                watchdog.progress.append(
+                    {
+                        "id": str(p.id),
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                    }
+                )
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                if event.exception is not None:
+                    watchdog.failures.append(
+                        {"id": str(event.id), "exception": str(event.exception)}
+                    )
+
+        self.spark = spark
+        self.started: list = []
+        self.progress: list[dict] = []
+        self.failures: list[dict] = []
+        self._restarts: dict[str, Any] = {}
+        self._listener = _Listener()
+        spark.streams.addListener(self._listener)
+
+    def register_restart(self, name: str, start_fn) -> None:
+        """start_fn() -> StreamingQuery; re-invoked when a failure for
+        any query is recorded and the named query is not active."""
+        self._restarts[name] = start_fn
+
+    def restart_failed(self) -> list[str]:
+        restarted = []
+        if not self.failures:
+            return restarted
+        active = {q.name for q in self.spark.streams.active}
+        for name, fn in self._restarts.items():
+            if name not in active:
+                fn()
+                restarted.append(name)
+        self.failures.clear()
+        return restarted
+
+    def close(self) -> None:
+        self.spark.streams.removeListener(self._listener)
+
 
 
 # ----------------------------------------------------------------------

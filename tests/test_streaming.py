@@ -123,3 +123,47 @@ def test_burst_flags_stateful(spark, tmp_path):
     rows = {r["series_id"]: r for r in spark.sql("SELECT * FROM bursts").collect()}
     assert rows["s1"]["over_limit"] is True
     assert rows["s2"]["over_limit"] is False
+
+
+def test_stream_watchdog_records_progress_and_restarts(spark, tmp_path):
+    from my_weather_spark.streaming import StreamWatchdog
+
+    landing = str(tmp_path / "landing6")
+    _obs(spark, [(0, 1), (10, 2)]).write.mode("append").parquet(landing)
+    wd = StreamWatchdog(spark)
+    try:
+        starts = []
+
+        def start():
+            q = (
+                st.stream_observations(spark, landing)
+                .writeStream.format("memory")
+                .queryName(f"wd_sink_{len(starts)}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            starts.append(q)
+            return q
+
+        q = start()
+        q.awaitTermination(120)
+        # listener callbacks are async; wait briefly
+        import time
+
+        for _ in range(50):
+            if wd.progress:
+                break
+            time.sleep(0.2)
+        assert wd.started
+        assert any(p["numInputRows"] > 0 for p in wd.progress)
+        # simulate a failure record -> restart_failed re-invokes start_fn
+        wd.failures.append({"id": "x", "exception": "boom"})
+        wd.register_restart("wd_sink_restart", start)
+        restarted = wd.restart_failed()
+        assert restarted == ["wd_sink_restart"]
+        assert len(starts) == 2
+        starts[-1].awaitTermination(120)
+        assert not wd.failures
+    finally:
+        wd.close()
