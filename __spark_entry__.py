@@ -68,10 +68,10 @@ def _q(name: str, sql: str | None):
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS sum_disc_price,
            round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -85,12 +85,27 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long")
+                / 100.0,
+                2,
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                ).cast("long")
+                / 10000.0,
+                2,
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long")
+                / 100.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -135,7 +150,8 @@ def q3_shipping_priority(spark, sf_dir):
 @_q(
     "q5_region_revenue",
     """
-    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT n.n_name,
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -162,10 +178,92 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                ).cast("long")
+                / 10000.0,
+                2,
+            ).alias("revenue")
         )
+    )
+
+
+@_q(
+    "q7_nation_trade",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n1.n_name, n2.n_name, order_year
+    """,
+)
+def q7_nation_trade(spark, sf_dir):
+    """Multi-hop star join with a self-joined dimension (nation twice)
+    — both nation sides broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("_ck"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                ).cast("long")
+                / 10000.0,
+                2,
+            ).alias("volume")
+        )
+    )
+
+
+@_q(
+    "above_customer_avg_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders)
+    WHERE o_totalprice > cust_avg
+    """,
+)
+def above_customer_avg_orders(spark, sf_dir):
+    """Correlated-subquery shape (orders above their customer's mean),
+    decorrelated to a window aggregate — one shuffle, no re-scan."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
     )
 
 
@@ -173,7 +271,7 @@ def q5_region_revenue(spark, sf_dir):
     "rollup_order_priority",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -182,7 +280,11 @@ def rollup_order_priority(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long")
+            / 100.0,
+            2,
+        ).alias("total"),
     )
 
 
@@ -190,7 +292,7 @@ def rollup_order_priority(spark, sf_dir):
     "cube_events",
     """
     SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
     FROM events
     GROUP BY CUBE (event_type, user_bucket)
     """,
@@ -201,7 +303,9 @@ def cube_events(spark, sf_dir):
     )
     return e.cube("event_type", "user_bucket").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long") / 100.0, 2
+        ).alias("sum_value"),
     )
 
 
@@ -673,7 +777,8 @@ def f4_url_roundtrip(spark, sf_dir):
     """
     SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
            strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_label,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -685,7 +790,11 @@ def f5_monthly_orders(spark, sf_dir):
         F.date_format(m, "yyyy-MM").alias("month_label"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long")
+            / 100.0,
+            2,
+        ).alias("total"),
     )
 
 
