@@ -1245,7 +1245,9 @@ def p4_scheme_routing(spark, sf_dir):
       SELECT s, t, tn, v, unnest(range(t // 21600000000, (tn - 1) // 21600000000 + 1)) AS b
       FROM segs)
     SELECT s AS series_id, b * 21600000000 AS bucket_us,
-           round(sum(v * (least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)))
+           round(CAST(sum(CAST(round(v * 100) AS BIGINT)
+                          * (least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000))) AS BIGINT)
+                 / 100.0
                  / sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)), 6)
              AS twa_value,
            CAST(sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)) AS BIGINT)
@@ -1257,7 +1259,9 @@ def resample_time_weighted_q(spark, sf_dir):
     """Time-weighted staircase resample to 6-hour buckets — the exact
     POINT_AVERAGE-interpretation integral, not the point mean."""
     e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
-    return ts_ops.resample_time_weighted(e, bucket_seconds=6 * 3600)
+    return ts_ops.resample_time_weighted(
+        e, bucket_seconds=6 * 3600, exact_value_decimals=2
+    )
 
 
 @_q(

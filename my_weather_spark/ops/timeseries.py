@@ -218,7 +218,9 @@ def resample(df: DataFrame, bucket: str, agg: str = "avg") -> DataFrame:
 # time — NOT the plain mean of points (which over-weights dense spans).
 # This is the semantically-correct AVERAGE-interpretation resample the
 # simple point-mean `resample` approximates (SURVEY.md §7 hard-part 1).
-def resample_time_weighted(df: DataFrame, bucket_seconds: int) -> DataFrame:
+def resample_time_weighted(
+    df: DataFrame, bucket_seconds: int, exact_value_decimals: int | None = None
+) -> DataFrame:
     """(series_id, bucket_us, twa_value, covered_us).
 
     Pure DataFrame: segments from lead(), exploded to the buckets they
@@ -226,6 +228,11 @@ def resample_time_weighted(df: DataFrame, bucket_seconds: int) -> DataFrame:
     groupBy computing sum(v*overlap)/sum(overlap). Integer-microsecond
     arithmetic end to end (engine-portable). The terminal point opens
     no segment — run end_extension first if the last value must count.
+
+    ``exact_value_decimals``: when values have fixed decimal precision,
+    sum exact integer units instead of doubles — the v*overlap products
+    are large (value x microseconds), so a double sum's rounding error
+    is order-dependent; integer sums are reproducible across engines.
     """
     w_us = int(bucket_seconds) * 1_000_000
     win = _series_window()
@@ -252,14 +259,20 @@ def resample_time_weighted(df: DataFrame, bucket_seconds: int) -> DataFrame:
     overlap = F.least(F.col("_tn"), (F.col("_b") + 1) * w_us) - F.greatest(
         F.col("_t"), F.col("_b") * w_us
     )
+    if exact_value_decimals is not None:
+        unit = 10 ** exact_value_decimals
+        weighted = F.round(F.col("_v") * unit).cast("long") * F.col("_ov")
+        twa = F.round(
+            F.sum(weighted).cast("long") / float(unit) / F.sum("_ov"), 6
+        )
+    else:
+        twa = F.round(F.sum(F.col("_v") * F.col("_ov")) / F.sum("_ov"), 6)
     return (
         exploded.withColumn("_ov", overlap)
         .groupBy(SERIES, (F.col("_b") * w_us).alias("bucket_us"))
         .agg(
-            F.round(F.sum(F.col("_v") * F.col("_ov")) / F.sum("_ov"), 6).alias(
-                "twa_value"
-            ),
-            F.sum("_ov").alias("covered_us"),
+            twa.alias("twa_value"),
+            F.sum("_ov").cast("long").alias("covered_us"),
         )
     )
 
