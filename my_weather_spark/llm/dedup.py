@@ -119,6 +119,11 @@ def minhash_signatures(
     """
     if num_hashes > len(_MINHASH_A):
         raise ValueError(f"at most {len(_MINHASH_A)} hash functions supported")
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands of "
+            f"{band_size} — a remainder band would be silently dropped"
+        )
     df = _fan_out(df)
     n_bands = num_hashes // band_size
     a_arr = F.array(*[F.lit(a) for a in _MINHASH_A[:num_hashes]])
@@ -230,6 +235,41 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+def jaccard_for_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    min_jaccard: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-set Jaccard scored ONLY for the given candidate pairs
+    (doc_a, doc_b) — the verify step after LSH.
+
+    Joins each side's word-set ARRAY onto the pair list and intersects
+    in-row: cost is O(|candidates| x words-per-doc), never the
+    quadratic word-level self-join — this is the function to feed LSH
+    output at corpus scale.
+    """
+    words = F.array_sort(
+        F.array_distinct(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+    )
+    d = df.select(F.col(id_col), words.alias("_ws"))
+    a = d.select(F.col(id_col).alias("doc_a"), F.col("_ws").alias("_wa"))
+    b = d.select(F.col(id_col).alias("doc_b"), F.col("_ws").alias("_wb"))
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_ni", F.size(F.array_intersect("_wa", "_wb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_ni") / (F.size("_wa") + F.size("_wb") - F.col("_ni")), 6),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def jaccard_pairs_dense(
     df: DataFrame,
     pair_scope_col: str,
@@ -283,7 +323,11 @@ def jaccard_pairs_dense(
 # simplified to neighbor-min propagation), converging in O(diameter)
 # rounds; near-dup cluster diameters are tiny in practice.
 def connected_components(
-    pairs: DataFrame, max_iter: int = 10, a_col: str = "doc_a", b_col: str = "doc_b"
+    pairs: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    strict: bool = True,
 ) -> DataFrame:
     """(doc_id, component) — component = smallest doc_id reachable.
 
@@ -292,6 +336,10 @@ def connected_components(
     changed. Inputs are undirected pairs (a < b by convention).
     Iterations localCheckpoint to truncate lineage (a loop of joins
     otherwise builds an exponentially deep plan).
+
+    Convergence needs O(component diameter) rounds. If labels are
+    still changing after ``max_iter``, components may be silently
+    split — with ``strict=True`` (default) that raises instead.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -330,6 +378,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"iterations — raise max_iter (component diameter exceeds it)"
+            )
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 

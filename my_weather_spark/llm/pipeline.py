@@ -64,15 +64,15 @@ def clean_corpus(
     exact = dedup.drop_exact_duplicates(q, text_col, id_col)
     n_exact = exact.count()
 
-    # 3. LSH candidates -> exact Jaccard verify on candidates only
+    # 3. LSH candidates -> exact Jaccard scored ON THE CANDIDATES ONLY
+    # (never the quadratic word-level self-join over the full corpus)
     cand = dedup.minhash_lsh_pairs(
         exact, num_hashes=num_hashes, band_size=band_size,
         text_col=text_col, id_col=id_col,
     )
-    verified = (
-        dedup.jaccard_pairs(exact, min_jaccard=jaccard_threshold,
-                            text_col=text_col, id_col=id_col)
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    verified = dedup.jaccard_for_candidates(
+        exact, cand, min_jaccard=jaccard_threshold,
+        text_col=text_col, id_col=id_col,
     )
     n_pairs = verified.count()
 
@@ -80,7 +80,9 @@ def clean_corpus(
     # components, so A-B-C chains collapse even without an A-C pair)
     # and keep only each component's smallest id.
     components = dedup.connected_components(verified, a_col="doc_a", b_col="doc_b")
-    losers = components.where(F.col("doc_id") != F.col("component")).select(id_col)
+    losers = components.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
     survivors = exact.join(losers, id_col, "left_anti")
     n_near = survivors.count()
 

@@ -179,7 +179,15 @@ def extend_union(*chunks: DataFrame) -> DataFrame:
 # repeated ingestion is idempotent and oracle-hash stable
 # (reference semantics proven at test_dtss_host.py:116-128).
 def merge_dedup(df: DataFrame, tie_break_cols: list[str] | None = None) -> DataFrame:
-    order = [F.desc("ingest_time")] + [F.desc(c) for c in (tie_break_cols or [])]
+    # Ties on ingest_time are the COMMON case (a whole batch shares one
+    # stamp), so a value tie-break is always appended — without it the
+    # survivor among same-stamp conflicting rows would be partition-
+    # order-dependent, breaking idempotence and oracle-hash stability.
+    order = (
+        [F.desc("ingest_time")]
+        + [F.desc(c) for c in (tie_break_cols or [])]
+        + [F.desc_nulls_last(VALUE)]
+    )
     w = W.partitionBy(SERIES, TS).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -393,10 +401,18 @@ def asof_join(
     tolerance_seconds: int | None = None,
     right_value_col: str = "right_value",
 ) -> DataFrame:
-    l = left.select(SERIES, TS, VALUE, F.lit(1).alias("_is_l"), F.lit(None).cast("double").alias("_rv"), F.lit(None).cast("timestamp").alias("_rts"))
+    # The right row forward-fills as ONE struct so (ts, value) always
+    # pair from the SAME row — filling them independently would let a
+    # NULL-valued right point contribute its timestamp while an older
+    # point contributes its value, and the tolerance check would then
+    # validate the wrong timestamp.
+    l = left.select(
+        SERIES, TS, VALUE, F.lit(1).alias("_is_l"),
+        F.lit(None).cast("struct<rts:timestamp,rv:double>").alias("_r"),
+    )
     r = right.select(
         SERIES, TS, F.lit(None).cast("double").alias(VALUE), F.lit(0).alias("_is_l"),
-        F.col(VALUE).alias("_rv"), F.col(TS).alias("_rts"),
+        F.struct(F.col(TS).alias("rts"), F.col(VALUE).alias("rv")).alias("_r"),
     )
     merged = l.unionByName(r)
     # Right rows sort before left rows at equal ts so "at-or-before"
@@ -407,11 +423,13 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     out = (
-        merged.withColumn("_rv_ff", F.last("_rv", ignorenulls=True).over(w))
-        .withColumn("_rts_ff", F.last("_rts", ignorenulls=True).over(w))
+        merged.withColumn("_r_ff", F.last("_r", ignorenulls=True).over(w))
         .where(F.col("_is_l") == 1)
     )
+    rv = F.col("_r_ff.rv")
     if tolerance_seconds is not None:
-        in_tol = (F.unix_timestamp(TS) - F.unix_timestamp("_rts_ff")) <= tolerance_seconds
-        out = out.withColumn("_rv_ff", F.when(in_tol, F.col("_rv_ff")))
-    return out.select(SERIES, TS, VALUE, F.col("_rv_ff").alias(right_value_col))
+        in_tol = (
+            F.unix_timestamp(TS) - F.unix_timestamp(F.col("_r_ff.rts"))
+        ) <= tolerance_seconds
+        rv = F.when(in_tol, rv)
+    return out.select(SERIES, TS, VALUE, rv.alias(right_value_col))

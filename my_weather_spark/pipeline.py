@@ -103,6 +103,9 @@ class DataCollectionTask:
                 "value",
             )
         )
+        # materialize once: count + store must not re-run the source
+        # read (a paginated rate-limited fetch would double its calls)
+        bound = bound.localCheckpoint(eager=True)
         n = bound.count()
         self.engine.store_ts(bound, source=self.source, ingest_time=now)
         self.runs += 1
@@ -164,9 +167,15 @@ class ServiceManager:
 
     # A6: overall health = all services healthy (bool_and analog).
     def healthy(self) -> bool:
-        return all(
-            svc.health_check() for svc in self.services.values()
-        )
+        def _safe(svc: Service) -> bool:
+            try:
+                return bool(svc.health_check())
+            except Exception:
+                # a raising probe means unhealthy, not a crashed
+                # supervisor (same contract as tick())
+                return False
+
+        return all(_safe(svc) for svc in self.services.values())
 
     def start(self, poll_interval: float = 1.0) -> None:
         self._stop.clear()

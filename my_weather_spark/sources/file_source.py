@@ -49,17 +49,25 @@ class ChunkedFileAdapter(SourceAdapter):
 
     # -- S1: one rate-limited block ------------------------------------
     def _fetch_block(
-        self, spark: SparkSession, urls: list[str], period: UtcPeriod
+        self,
+        spark: SparkSession,
+        urls: list[str],
+        lo_epoch: float,
+        hi_epoch: float,
+        inclusive_end: bool,
     ) -> DataFrame:
+        from datetime import datetime, timezone
+
         for rl in self.rate_limiters:
             rl.perform_action()
         self.calls_made += 1
+        lo = datetime.fromtimestamp(lo_epoch, tz=timezone.utc)
+        hi = datetime.fromtimestamp(hi_epoch, tz=timezone.utc)
         df = spark.read.parquet(self.path)
+        upper = (F.col("ts") <= F.lit(hi)) if inclusive_end else (F.col("ts") < F.lit(hi))
         return (
             df.where(F.col("series_id").isin(urls))
-            .where(
-                (F.col("ts") >= F.lit(period.start)) & (F.col("ts") <= F.lit(period.end))
-            )
+            .where((F.col("ts") >= F.lit(lo)) & upper)
             .select("series_id", "ts", "value")
         )
 
@@ -68,14 +76,16 @@ class ChunkedFileAdapter(SourceAdapter):
         urls = [r.url for r in refs]
         span = period.end_epoch - period.start_epoch
         chunk_span = self.max_points * self.nominal_dt
-        n_chunks = max(1, math.ceil(span / chunk_span))
+        n_chunks = max(1, math.ceil(span / chunk_span)) if span > 0 else 1
+        # Chunks are HALF-OPEN [lo, lo+span) except the last, which is
+        # inclusive of period.end — no coverage gap between chunks for
+        # fractional-second timestamps, no double-read of boundaries.
         chunks: list[DataFrame] = []
         for i in range(n_chunks):
             lo = period.start_epoch + i * chunk_span
-            hi = min(period.end_epoch, lo + chunk_span - 1)
-            if i == n_chunks - 1:
-                hi = period.end_epoch
-            chunks.append(self._fetch_block(spark, urls, UtcPeriod(lo, hi)))
+            last = i == n_chunks - 1
+            hi = period.end_epoch if last else lo + chunk_span
+            chunks.append(self._fetch_block(spark, urls, lo, hi, inclusive_end=last))
         out = chunks[0]
         for c in chunks[1:]:
             out = out.unionByName(c)  # U1: chunks disjoint by construction

@@ -37,9 +37,6 @@ class TsStore:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
         self.path = path
-        # Dynamic partition overwrite: INSERT OVERWRITE touches only
-        # partitions present in the written frame.
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- helpers --------------------------------------------------------
     def _exists(self) -> bool:
@@ -112,6 +109,14 @@ class TsStore:
         it = ingest_time or datetime.now(tz=timezone.utc)
         if "ingest_time" not in df.columns:
             df = df.withColumn("ingest_time", F.lit(it))
+        else:
+            # Rows arriving with a NULL ingest_time (e.g. a landing file
+            # read through OBSERVATION_SCHEMA) must still be stamped —
+            # desc(ingest_time) sorts NULLS LAST, so an unstamped row
+            # would permanently lose every merge tie to older data.
+            df = df.withColumn(
+                "ingest_time", F.coalesce(F.col("ingest_time"), F.lit(it))
+            )
         incoming = self._with_partitions(
             df.select("series_id", "ts", "value", "ingest_time"), source
         )
@@ -144,12 +149,15 @@ class TsStore:
             )
             out = merge_dedup(incoming.unionByName(existing))
 
-        # Write to the final location with dynamic partition overwrite.
-        # The union plan reads the parquet files being overwritten, so
-        # materialize through a staging dataframe first (local checkpoint
-        # breaks the lineage to the input files).
+        # Write to the final location with dynamic partition overwrite
+        # (scoped per-write option, not session-global conf). The union
+        # plan reads the parquet files being overwritten, so materialize
+        # through a staging dataframe first (local checkpoint breaks the
+        # lineage to the input files).
         out = out.localCheckpoint(eager=True)
-        out.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(self.path)
+        out.write.partitionBy(*PARTITION_COLS).option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").parquet(self.path)
 
     # -- compaction --------------------------------------------------------
     def compact(self, target_records_per_file: int = 5_000_000) -> None:

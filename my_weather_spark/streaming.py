@@ -50,6 +50,7 @@ def stream_collect(
     source: str = "stream",
     trigger_available_now: bool = True,
     processing_time: str = "5 minutes",
+    query_name: str | None = None,
 ):
     """Start the collection stream: each micro-batch merges into the
     TsStore via the engine's deterministic merge-on-write (idempotent
@@ -72,6 +73,8 @@ def stream_collect(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+    if query_name:
+        writer = writer.queryName(query_name)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     else:
@@ -162,6 +165,9 @@ class StreamWatchdog:
         class _Listener(StreamingQueryListener):
             def onQueryStarted(self, event) -> None:
                 watchdog.started.append(event.id)
+                # id -> name map lets termination events (which carry
+                # no name) correlate failures to registered restarts
+                watchdog._names[str(event.id)] = event.name
 
             def onQueryProgress(self, event) -> None:
                 p = event.progress
@@ -179,32 +185,45 @@ class StreamWatchdog:
             def onQueryTerminated(self, event) -> None:
                 if event.exception is not None:
                     watchdog.failures.append(
-                        {"id": str(event.id), "exception": str(event.exception)}
+                        {
+                            "id": str(event.id),
+                            "name": watchdog._names.get(str(event.id)),
+                            "exception": str(event.exception),
+                        }
                     )
 
         self.spark = spark
         self.started: list = []
         self.progress: list[dict] = []
         self.failures: list[dict] = []
+        self._names: dict[str, str] = {}
         self._restarts: dict[str, Any] = {}
         self._listener = _Listener()
         spark.streams.addListener(self._listener)
 
     def register_restart(self, name: str, start_fn) -> None:
-        """start_fn() -> StreamingQuery; re-invoked when a failure for
-        any query is recorded and the named query is not active."""
+        """start_fn() -> StreamingQuery for the query started under
+        ``queryName(name)``; re-invoked when a FAILURE FOR THAT NAME is
+        recorded and no query with the name is currently active."""
         self._restarts[name] = start_fn
 
     def restart_failed(self) -> list[str]:
+        """Restart queries whose failures were recorded, correlated by
+        query name (unnamed failed queries are reported but cannot be
+        auto-restarted — name your supervised streams)."""
         restarted = []
         if not self.failures:
             return restarted
-        active = {q.name for q in self.spark.streams.active}
-        for name, fn in self._restarts.items():
-            if name not in active:
+        failed_names = {f["name"] for f in self.failures if f.get("name")}
+        active = {q.name for q in self.spark.streams.active if q.name}
+        for name in failed_names:
+            fn = self._restarts.get(name)
+            if fn is not None and name not in active:
                 fn()
                 restarted.append(name)
-        self.failures.clear()
+        self.failures = [
+            f for f in self.failures if f.get("name") not in restarted
+        ]
         return restarted
 
     def close(self) -> None:

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from my_weather_spark.evaluate import TsEngine
 from my_weather_spark.model import POINT_INSTANT_VALUE, UtcPeriod
 from my_weather_spark.ops import timeseries as ts_ops
-from my_weather_spark.ops.scalars import format_value, threshold_bins
+from my_weather_spark.ops.scalars import threshold_bins
 
 # Reference color bands: temperature sign band; CO2 600/1000 bands
 # (dtss_serve_test.py:289-301).
@@ -40,7 +40,13 @@ def current_conditions(
     stats = ts_ops.series_stats(
         data.select("series_id", "ts", "value")
     )
-    out = stats.withColumn("tile_text", format_value("last_value", "", 2))
+    # tile text carries the series' unit (reference: f'{v:0.2f} °C')
+    unit = F.lit("")
+    for sid, u in (unit_by_series or {}).items():
+        unit = F.when(F.col("series_id") == sid, F.lit(" " + u)).otherwise(unit)
+    out = stats.withColumn(
+        "tile_text", F.concat(F.format_number("last_value", 2), unit)
+    )
     bands = bands if bands is not None else DEFAULT_BANDS
     color = F.lit("default")
     for key, (thresholds, labels) in bands.items():

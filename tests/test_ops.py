@@ -160,3 +160,26 @@ def test_resample_time_weighted_vs_point_mean(spark):
     df = _series(spark, pts)
     tw = ts_ops.resample_time_weighted(df, 100).collect()[0]
     assert abs(tw["twa_value"] - (9 * 1 + 90 * 100 + 1 * 1) / 100) < 1e-6
+
+
+def test_asof_join_null_right_value(spark):
+    # A NULL-valued right point IS the latest right row: its (ts, value)
+    # must travel together (value NULL), not mix with an older value.
+    left = _series(spark, [(100, 1)], "s1")
+    right = _series(spark, [(10, 50), (90, None)], "s1")
+    got = ts_ops.asof_join(left, right).collect()
+    assert got[0]["right_value"] is None
+    # tolerance check validates the LATEST row's ts (90, within 20s)
+    got_tol = ts_ops.asof_join(left, right, tolerance_seconds=20).collect()
+    assert got_tol[0]["right_value"] is None
+
+
+def test_merge_dedup_same_batch_tie_deterministic(spark):
+    rows = [
+        ("s1", _dt(0), 1.0, _dt(100)),
+        ("s1", _dt(0), 9.0, _dt(100)),  # same ingest stamp: max value wins
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double, ingest_time timestamp"
+    )
+    assert [r["value"] for r in ts_ops.merge_dedup(df).collect()] == [9.0]

@@ -130,3 +130,19 @@ def test_service_manager_restarts_unhealthy():
     clock.t = 30
     assert mgr.tick() == {"collector": True}
     assert mgr.healthy()
+
+
+def test_chunked_pagination_no_boundary_gap(spark, tmp_path):
+    # fractional-second point near a chunk boundary must not vanish
+    path = str(tmp_path / "frac")
+    url = "chunked://frac/1"
+    chunk_span = 1024 * 300
+    rows = [
+        (url, _dt(chunk_span - 0.5), 1.0),   # in the old 1-second gap
+        (url, _dt(chunk_span), 2.0),
+        (url, _dt(10), 3.0),
+    ]
+    spark.createDataFrame(rows, "series_id string, ts timestamp, value double").write.parquet(path)
+    adapter = ChunkedFileAdapter("chunked", path, max_points_per_call=1024, nominal_dt_seconds=300)
+    out = adapter.read(spark, [SeriesRef.parse(url)], UtcPeriod(0, 2 * chunk_span))
+    assert out.count() == 3

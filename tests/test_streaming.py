@@ -157,13 +157,15 @@ def test_stream_watchdog_records_progress_and_restarts(spark, tmp_path):
             time.sleep(0.2)
         assert wd.started
         assert any(p["numInputRows"] > 0 for p in wd.progress)
-        # simulate a failure record -> restart_failed re-invokes start_fn
-        wd.failures.append({"id": "x", "exception": "boom"})
+        # simulate a NAMED failure record -> restart_failed re-invokes
+        # start_fn for that name only; unnamed failures stay recorded
+        wd.failures.append({"id": "x", "name": "wd_sink_restart", "exception": "boom"})
+        wd.failures.append({"id": "y", "name": None, "exception": "anon"})
         wd.register_restart("wd_sink_restart", start)
         restarted = wd.restart_failed()
         assert restarted == ["wd_sink_restart"]
         assert len(starts) == 2
         starts[-1].awaitTermination(120)
-        assert not wd.failures
+        assert [f["name"] for f in wd.failures] == [None]
     finally:
         wd.close()

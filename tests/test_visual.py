@@ -68,3 +68,11 @@ def test_refreshing_tail_bounded(engine):
     ids = ["shyft://wx/home/out/temperature"]
     tail = visual.refreshing_tail(engine, ids, UtcPeriod(0, 10**6), keep_last=100)
     assert tail.count() == 100
+
+
+def test_tile_unit_text(engine):
+    sid = "shyft://wx/home/out/temperature"
+    tiles = visual.current_conditions(
+        engine, [sid], UtcPeriod(0, 10**6), unit_by_series={sid: "°C"}
+    ).collect()
+    assert tiles[0]["tile_text"] == "14.90 °C"
