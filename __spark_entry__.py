@@ -499,6 +499,59 @@ def w5_sliding_count(spark, sf_dir):
 
 
 @_q(
+    "running_total",
+    """
+    SELECT event_id, event_type,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0, 2)
+             AS running_value
+    FROM events
+    """,
+)
+def running_total(spark, sf_dir):
+    """Explicit rowsBetween frame: per-series running sum (exact
+    integer cents so the prefix sums are order-stable)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("long")
+            / 100.0,
+            2,
+        ).alias("running_value"),
+    )
+
+
+@_q(
+    "value_deciles",
+    """
+    SELECT event_id, ntile(10) OVER (ORDER BY value, event_id) AS decile,
+           CAST(floor(percent_rank() OVER (ORDER BY value, event_id) * 1000000) AS BIGINT) AS pr_ppm
+    FROM events
+    """,
+)
+def value_deciles(spark, sf_dir):
+    """Ranking/analytic window functions (ntile, percent_rank) with a
+    fully deterministic order (value ties broken by event_id)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        F.ntile(10).over(w).alias("decile"),
+        # explicit floor: DuckDB's double->BIGINT cast rounds while
+        # Spark's truncates — floor() is identical in both
+        F.floor(F.percent_rank().over(w) * 1000000).cast("long").alias("pr_ppm"),
+    )
+
+
+@_q(
     "u2_merge_dedup",
     """
     WITH batches AS (
