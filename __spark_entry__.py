@@ -1318,6 +1318,46 @@ def resample_time_weighted_q(spark, sf_dir):
 
 
 @_q(
+    "instant_interpolation",
+    """
+    WITH pts AS (
+      SELECT event_type AS s, epoch_us(ts) AS t, value AS v FROM events),
+    bounds AS (
+      SELECT s, CAST(ceil(min(t) / 3600000000.0) AS BIGINT) AS glo,
+             max(t) // 3600000000 AS ghi
+      FROM pts GROUP BY s),
+    grid AS (
+      SELECT s, unnest(range(glo, ghi + 1)) * 3600000000 AS t_us FROM bounds),
+    merged AS (
+      SELECT s, t_us, 1 AS is_grid, NULL::BIGINT AS pt, NULL::DOUBLE AS pv FROM grid
+      UNION ALL
+      SELECT s, t, 0, t, v FROM pts),
+    f AS (
+      SELECT s, t_us, is_grid,
+        last_value(pt IGNORE NULLS) OVER (PARTITION BY s ORDER BY t_us, is_grid
+            ROWS UNBOUNDED PRECEDING) AS pt0,
+        last_value(pv IGNORE NULLS) OVER (PARTITION BY s ORDER BY t_us, is_grid
+            ROWS UNBOUNDED PRECEDING) AS pv0,
+        first_value(pt IGNORE NULLS) OVER (PARTITION BY s ORDER BY t_us, is_grid DESC
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pt1,
+        first_value(pv IGNORE NULLS) OVER (PARTITION BY s ORDER BY t_us, is_grid DESC
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pv1
+      FROM merged)
+    SELECT s AS series_id, t_us,
+           round(CASE WHEN pt1 = pt0 THEN pv0
+                      ELSE pv0 + (pv1 - pv0) * (t_us - pt0) / (pt1 - pt0) END, 6) AS value
+    FROM f WHERE is_grid = 1 AND pt0 IS NOT NULL AND pt1 IS NOT NULL
+    """,
+)
+def instant_interpolation(spark, sf_dir):
+    """POINT_INSTANT (linear-between-points) resample: series values
+    lerped onto the hourly grid via the engine's interpolate_at."""
+    e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
+    out = ts_ops.interpolate_at(e, grid_dt_seconds=3600)
+    return out.select("series_id", F.unix_micros("ts").alias("t_us"), "value")
+
+
+@_q(
     "a6_bool_aggregates",
     """
     SELECT user_id,

@@ -285,6 +285,74 @@ def resample_time_weighted(
     )
 
 
+# Linear interpolation at a regular grid — the exact POINT_INSTANT
+# (linear-between-points) resample: the series value at grid time g is
+# the lerp of the bracketing points. Spark-native via the same
+# union-tag + forward/backward struct-fill trick as asof_join: one
+# shuffle on series_id, no pandas.
+def interpolate_at(df: DataFrame, grid_dt_seconds: int) -> DataFrame:
+    """(series_id, ts, value): values lerped onto the grid of multiples
+    of ``grid_dt_seconds`` covering each series' span. Grid points
+    outside [first, last] of a series are not emitted (no
+    extrapolation); grid points exactly on a data point take its value.
+    """
+    g_us = int(grid_dt_seconds) * 1_000_000
+    bounds = df.groupBy(SERIES).agg(
+        F.unix_micros(F.min(TS)).alias("_lo"), F.unix_micros(F.max(TS)).alias("_hi")
+    )
+    grid = bounds.select(
+        SERIES,
+        F.explode(
+            F.sequence(
+                F.expr(f"cast(ceil(_lo / {g_us}) as long)"),
+                F.expr(f"_hi div {g_us}"),
+            )
+        ).alias("_g"),
+    ).select(SERIES, (F.col("_g") * g_us).alias("_t_us"), F.lit(1).alias("_is_grid"))
+    pts = df.select(
+        SERIES,
+        F.unix_micros(TS).alias("_t_us"),
+        F.lit(0).alias("_is_grid"),
+        F.struct(F.unix_micros(TS).alias("t"), F.col(VALUE).alias("v")).alias("_p"),
+    )
+    merged = grid.withColumn("_p", F.lit(None).cast(pts.schema["_p"].dataType)).unionByName(
+        pts
+    )
+    # Tie order differs per direction so a grid point landing exactly
+    # on a data point sees it BOTH ways (t0 == t1 -> exact value): the
+    # backward fill sorts data before grid, the forward fill grid
+    # before data.
+    w_prev = (
+        W.partitionBy(SERIES)
+        .orderBy(F.col("_t_us"), F.col("_is_grid"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy(SERIES)
+        .orderBy(F.col("_t_us"), F.desc("_is_grid"))
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    filled = (
+        merged.withColumn("_prev", F.last("_p", ignorenulls=True).over(w_prev))
+        .withColumn("_next", F.first("_p", ignorenulls=True).over(w_next))
+        .where(F.col("_is_grid") == 1)
+        .where(F.col("_prev").isNotNull() & F.col("_next").isNotNull())
+    )
+    t, t0, v0, t1, v1 = (
+        F.col("_t_us"),
+        F.col("_prev.t"),
+        F.col("_prev.v"),
+        F.col("_next.t"),
+        F.col("_next.v"),
+    )
+    value = F.when(t1 == t0, v0).otherwise(v0 + (v1 - v0) * (t - t0) / (t1 - t0))
+    return filled.select(
+        SERIES,
+        F.timestamp_micros(t).alias(TS),
+        F.round(value, 6).alias(VALUE),
+    )
+
+
 # W4a — bucketed downsample for rendering (cheap alternative to RDP).
 def bucket_downsample(df: DataFrame, n_buckets: int, period: UtcPeriod) -> DataFrame:
     span = max(1, int(period.end_epoch - period.start_epoch))

@@ -183,3 +183,18 @@ def test_merge_dedup_same_batch_tie_deterministic(spark):
         rows, "series_id string, ts timestamp, value double, ingest_time timestamp"
     )
     assert [r["value"] for r in ts_ops.merge_dedup(df).collect()] == [9.0]
+
+
+def test_interpolate_at_linear(spark):
+    # points (0, 0), (10, 100): grid dt=2 -> lerp 0,20,40,60,80,100
+    df = _series(spark, [(0, 0), (10, 100)])
+    got = ts_ops.interpolate_at(df, 2).orderBy("ts").collect()
+    assert [r["value"] for r in got] == [0.0, 20.0, 40.0, 60.0, 80.0, 100.0]
+
+
+def test_interpolate_at_on_point_and_bounds(spark):
+    # irregular points; grid point exactly on a data point takes it;
+    # no extrapolation outside [first, last]
+    df = _series(spark, [(3, 30), (6, 60), (12, 0)])
+    got = {r["ts"].second: r["value"] for r in ts_ops.interpolate_at(df, 3).collect()}
+    assert got == {3: 30.0, 6: 60.0, 9: 30.0, 12: 0.0}
