@@ -420,9 +420,7 @@ def simhash(
 def simhash_buckets(
     df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup candidates: docs with IDENTICAL simhash (bucket join).
-    For hamming-distance<=k matching, band the simhash into k+1 chunks
-    and bucket-join each (pigeonhole) — same shape as minhash LSH."""
+    """Near-dup candidates: docs with IDENTICAL simhash (bucket join)."""
     h = simhash(df, bits, text_col, id_col)
     a = h.select(F.col(id_col).alias("doc_a"), "simhash")
     b = h.select(F.col(id_col).alias("doc_b"), "simhash")
@@ -430,4 +428,53 @@ def simhash_buckets(
         a.join(b, "simhash")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "simhash")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs within hamming distance ``max_hamming``.
+
+    Pigeonhole banding: split the simhash into ``max_hamming + 1``
+    bit-bands — any pair within the distance budget must agree EXACTLY
+    on at least one band, so a bucket join per band finds all true
+    candidates; exact hamming (bit_count of xor) then filters false
+    positives. Same candidate-then-verify shape as minhash LSH, with
+    the verify in-plan (no second pass over text).
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    if band_bits == 0:
+        raise ValueError(f"bits={bits} too small for {n_bands} bands")
+    h = simhash(df, bits, text_col, id_col)
+    bands = h.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {i * band_bits}) & {(1 << band_bits) - 1}")
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.expr("_ha ^ _hb")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

@@ -47,6 +47,12 @@ class TsStore:
         p = jvm.org.apache.hadoop.fs.Path(self.path)
         return p.getFileSystem(conf).exists(p)
 
+    def _read_all(self) -> DataFrame:
+        # Explicit schema: an existing-but-empty store directory (fresh
+        # mkdtemp, or all partitions deleted) must read as an empty
+        # DataFrame, not fail schema inference.
+        return self.spark.read.schema(self._full_schema()).parquet(self.path)
+
     @staticmethod
     def _with_partitions(df: DataFrame, source: str) -> DataFrame:
         return df.withColumn("source", F.lit(source)).withColumn(
@@ -130,7 +136,7 @@ class TsStore:
             # incoming series ids (any date), keep other series. This
             # rewrites the dataset (static overwrite) — the rare path;
             # the reference default is merge.
-            keep = self.spark.read.parquet(self.path).join(
+            keep = self._read_all().join(
                 F.broadcast(incoming.select("series_id").distinct()),
                 "series_id",
                 "left_anti",
@@ -144,7 +150,7 @@ class TsStore:
         else:
             # Merge path: only read partitions the incoming batch touches.
             touched = incoming.select(*PARTITION_COLS).distinct()
-            existing = self.spark.read.parquet(self.path).join(
+            existing = self._read_all().join(
                 F.broadcast(touched), PARTITION_COLS, "left_semi"
             )
             out = merge_dedup(incoming.unionByName(existing))
@@ -170,7 +176,7 @@ class TsStore:
         natural place). sortWithinPartitions(series_id, ts) gives
         row-group clustering so series/ts predicates skip row groups.
         """
-        df = self.spark.read.parquet(self.path).sortWithinPartitions(
+        df = self._read_all().sortWithinPartitions(
             "source", "date", "series_id", "ts"
         )
         df = df.localCheckpoint(eager=True)
@@ -186,7 +192,7 @@ class TsStore:
     def find(self, pattern: str | None = None, source: str | None = None) -> DataFrame:
         """Per-series metadata derived from the store: name, data
         period, point count (reference TsInfo: repository.py:293-301)."""
-        df = self.spark.read.parquet(self.path)
+        df = self._read_all()
         if source is not None:
             df = df.where(F.col("source") == source)
         if pattern is not None:

@@ -172,3 +172,15 @@ def test_connected_components_chains(spark):
     cc = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
     assert cc[0] == cc[1] == cc[2] == 0
     assert cc[7] == cc[8] == 7
+
+
+def test_simhash_hamming_pairs(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical docs: distance 0
+    # near dup (one word changed) within budget; unrelated docs not
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 3
+    assert (0, 5) not in pairs
