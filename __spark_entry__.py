@@ -245,6 +245,266 @@ def q7_nation_trade(spark, sf_dir):
     )
 
 
+def _money_sum(expr, scale=10000, digits=2):
+    """Exact integer-unit money sum (order-independent, oracle-portable):
+    round to fixed-point longs, sum as BIGINT, scale back, round."""
+    return F.round(
+        F.sum(F.round(expr * scale).cast("long")).cast("long") / float(scale), digits
+    )
+
+
+_REV = "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
+
+
+@_q(
+    "q8_market_share",
+    f"""
+    SELECT order_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_u ELSE 0 END) AS BIGINT)
+                 / CAST(sum(vol_u) AS BIGINT), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+             n2.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS vol_u
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    ) GROUP BY order_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    revenue per year. Numerator and denominator are exact integer-unit
+    sums, so the final ratio is bit-stable across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_regionkey").alias("_crk"))
+    n2 = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    vol_u = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("_ck"))
+        .join(F.broadcast(r), F.col("_crk") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("_sk"))
+        .withColumn("vol_u", vol_u)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("vol_u")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("long")
+                / F.sum("vol_u").cast("long"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q10_returned_revenue",
+    f"""
+    SELECT c.c_custkey, c.c_name, round({_REV} / 10000.0, 2) AS revenue, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    Deterministic LIMIT: exact fixed-point revenue + custkey tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@_q(
+    "q12_ship_delay_priority",
+    """
+    SELECT CAST(floor(date_diff('day', o.o_orderdate, l.l_shipdate) / 30) AS INT) AS delay_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_ship_delay_priority(spark, sf_dir):
+    """TPC-H Q12 shape (no shipmode column in this schema): line counts
+    by order priority across 30-day shipping-delay buckets."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.floor(F.datediff("l_shipdate", "o_orderdate") / 30)
+            .cast("int")
+            .alias("delay_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q14_promo_share",
+    """
+    SELECT epoch_us(date_trunc('month', l.l_shipdate)) AS month_us,
+           round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) * 100.0
+                 / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: PROMO-part revenue share per ship month.
+    Conditional exact-unit sums; ratio rounded at the edge."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    vol_u = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .withColumn("vol_u", vol_u)
+        .groupBy(
+            F.unix_micros(F.date_trunc("month", "l_shipdate")).alias("month_us")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("vol_u")).otherwise(F.lit(0))
+                ).cast("long")
+                * 100.0
+                / F.sum("vol_u").cast("long"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(CAST(o.o_totalprice AS DOUBLE), 2) AS o_totalprice,
+           round(sum(l.l_quantity), 1) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING subquery -> semi join), rejoined to customers."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@_q(
+    "q19_bracket_revenue",
+    f"""
+    SELECT round({_REV} / 10000.0, 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brackets — exercises
+    predicate normalization/pushdown through a broadcast join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    br = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(br).agg(
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
 @_q(
     "above_customer_avg_orders",
     """
