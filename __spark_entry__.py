@@ -506,6 +506,219 @@ def q19_bracket_revenue(spark, sf_dir):
 
 
 @_q(
+    "q13_order_count_histogram",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution. Exercises
+    LEFT OUTER join (customers with zero orders survive as count 0)
+    followed by a second aggregation over the first's result."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, round(r.total_u / 10000.0, 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_u = (SELECT max(total_u) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue — scalar
+    MAX subquery over a derived view, tie-preserving. The max is a
+    window over the (tiny) per-supplier aggregate, not a re-scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("total_u")
+        )
+    )
+    top = rev.withColumn("_mx", F.max("total_u").over(W.partitionBy())).where(
+        F.col("total_u") == F.col("_mx")
+    )
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_u") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#9'
+      AND l.l_quantity * 5 * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT sum(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from orders below 20% of the part's
+    mean quantity. The correlated AVG is decorrelated to a window
+    (sum, count) over l_partkey, and the 0.2*avg comparison is done in
+    exact integer arithmetic (qty*5*cnt < sum) so the boundary is
+    engine-portable. Brand filter broadcasts and prunes lineitem
+    BEFORE the window shuffle (partkey determines brand, so the
+    per-part stats are unaffected)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#9")
+    j = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == p.p_partkey)
+    w = W.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("long")
+    stats = j.withColumn("_sum_q", F.sum(qty).over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w)
+    )
+    return (
+        stats.where(qty * 5 * F.col("_cnt") < F.col("_sum_q"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long")
+                / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "q21_lone_returned_supplier",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q21_lone_returned_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers solely responsible for returns on
+    multi-supplier finalized orders. The correlated EXISTS / NOT
+    EXISTS (with <> correlation) decorrelate to one per-order
+    aggregate — EXISTS(other supplier) == n_suppliers >= 2; NOT
+    EXISTS(other supplier with 'R') == n_return_suppliers == 1 (l1
+    itself is 'R') — joined back on l_orderkey, reusing the same hash
+    partitioning as the groupBy (no second shuffle of lineitem)."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret_supp"),
+    )
+    l1 = l.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(per_order, "l_orderkey")
+        .where((F.col("_n_supp") >= 2) & (F.col("_n_ret_supp") == 1))
+        .join(o.select("o_orderkey"), l1.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
+    "q22_idle_customer_balance",
+    """
+    SELECT n.n_name, count(*) AS numcust,
+           round(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS totacctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+        SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*)
+        FROM customer c2 WHERE c2.c_acctbal > CAST(0.0 AS DOUBLE))
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, per nation. Global-average scalar subquery (exact integer
+    cents, broadcast as a 1-row frame), anti join against orders,
+    broadcast nation dimension."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("long")
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("long")
+                / 100.0,
+                2,
+            ).alias("totacctbal"),
+        )
+    )
+
+
+@_q(
     "above_customer_avg_orders",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM (

@@ -327,14 +327,18 @@ def interpolate_at(df: DataFrame, grid_dt_seconds: int) -> DataFrame:
         .orderBy(F.col("_t_us"), F.col("_is_grid"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    # Forward fill expressed as a running frame over the REVERSED sort
+    # ((t desc, is_grid asc) is the exact reversal of (t asc, is_grid
+    # desc)) — a (current, unboundedFollowing) frame would make Spark
+    # re-aggregate the remaining rows for every row, O(n^2) per series.
     w_next = (
         W.partitionBy(SERIES)
-        .orderBy(F.col("_t_us"), F.desc("_is_grid"))
-        .rowsBetween(0, W.unboundedFollowing)
+        .orderBy(F.desc("_t_us"), F.asc("_is_grid"))
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     filled = (
         merged.withColumn("_prev", F.last("_p", ignorenulls=True).over(w_prev))
-        .withColumn("_next", F.first("_p", ignorenulls=True).over(w_next))
+        .withColumn("_next", F.last("_p", ignorenulls=True).over(w_next))
         .where(F.col("_is_grid") == 1)
         .where(F.col("_prev").isNotNull() & F.col("_next").isNotNull())
     )
