@@ -1460,13 +1460,13 @@ def simhash_docs(spark, sf_dir):
     "simhash_hamming_pairs",
     f"""
     WITH {_SQL_WORDS},
-    wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words),
-    bits AS (SELECT unnest(range(16)) AS b),
+    wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
+    bits AS (SELECT unnest(range(60)) AS b),
     c AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
           FROM wh, bits GROUP BY doc_id, b),
-    sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+    sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
             FROM c GROUP BY doc_id),
-    bands AS (SELECT doc_id, simhash, bb.b AS band, (simhash >> (bb.b * 4)) & 15 AS band_val
+    bands AS (SELECT doc_id, simhash, bb.b AS band, (simhash >> (bb.b * 15)) & 32767 AS band_val
               FROM sim, (SELECT unnest(range(4)) AS b) bb)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -1476,10 +1476,12 @@ def simhash_docs(spark, sf_dir):
 )
 def simhash_hamming_pairs_q(spark, sf_dir):
     """Banded-SimHash near-dup candidates within hamming distance 3
-    (pigeonhole: 4 bands of 4 bits; a <=3-distance pair must agree on
-    one band)."""
+    (pigeonhole: 4 bands of 15 bits; a <=3-distance pair must agree on
+    one band). 60-bit hashes keep band buckets sparse — a 16-bit hash
+    gives only 16 values per 4-bit band, i.e. a near-quadratic bucket
+    join at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_hamming_pairs(docs, max_hamming=3, bits=16)
+    return dedup.simhash_hamming_pairs(docs, max_hamming=3, bits=60)
 
 
 @_q(

@@ -394,25 +394,33 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash) — ``bits``-bit simhash over the word set.
 
-    Word hash = first 8 hex chars of md5 (engine-portable int via
-    base-16 conv); bit b of the simhash is 1 iff sum over words of
+    Word hash = leading hex chars of md5 (engine-portable int via
+    base-16 conv): 8 chars (32-bit) for bits <= 32, 15 chars (60-bit,
+    still positive in a signed 64-bit long both here and in DuckDB)
+    above; bit b of the simhash is 1 iff sum over words of
     (+1 if word_hash bit b set else -1) > 0.
     """
+    if bits > 60:
+        raise ValueError("bits must be <= 60 (signed-64 portability)")
+    hex_chars = 8 if bits <= 32 else 15
     words = F.array_distinct(
         F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     )
     hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, hex_chars), 16, 10).cast("long"),
     )
     # Shuffle-free: both the per-bit signed sums and the final bit-pack
     # happen in-row over the word-hash array (integer sums are
     # order-independent, so this matches any exploded formulation).
+    # shiftleft must operate on a BIGINT one: an INT shift is mod-32 in
+    # the JVM, silently wrapping for b >= 32.
     with_h = _fan_out(df).select(F.col(id_col), hashes.alias("_wh"))
     sim = F.expr(
         f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, b) -> acc + "
         f"IF(aggregate(_wh, CAST(0 AS BIGINT), "
         f"(a2, h) -> a2 + IF(((h >> b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0, "
-        f"CAST(shiftleft(1, b) AS BIGINT), CAST(0 AS BIGINT)))"
+        f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
     )
     return with_h.select(id_col, sim.alias("simhash"))
 
