@@ -156,17 +156,20 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    _cmat=None,
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (by cosine).
 
     The centroid matrix (tiny by construction) broadcasts; each Arrow
     batch of the corpus does one BLAS product + argmax — a single
-    shuffle-free narrow pass, no join, no window.
+    shuffle-free narrow pass, no join, no window. ``_cmat`` lets a
+    caller that already collected the centroid matrix pass it in
+    (ivf_topk needs it twice — once here, once for probe selection).
     """
     import numpy as np
 
     spark = corpus.sparkSession
-    c_ids, c_mat = _centroid_matrix(centroids, "centroid_id", vec_col)
+    c_ids, c_mat = _cmat or _centroid_matrix(centroids, "centroid_id", vec_col)
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
 
     def _assign(batches):
@@ -207,10 +210,10 @@ def ivf_topk(
     import numpy as np
 
     spark = corpus.sparkSession
-    bucketed = ivf_assign(corpus, centroids, id_col, vec_col)
-    # Queries are a small batch by definition: pick each query's nprobe
-    # best centroid buckets driver-side with one matrix product.
+    # Collect the (tiny) centroid matrix once; reused for both bucket
+    # assignment and driver-side probe selection.
     c_ids, c_mat = _centroid_matrix(centroids, "centroid_id", vec_col)
+    bucketed = ivf_assign(corpus, centroids, id_col, vec_col, _cmat=(c_ids, c_mat))
     q_pdf = queries.select(id_col, vec_col).toPandas()
     q_mat = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

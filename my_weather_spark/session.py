@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # keeping defaultParallelism partitions: small shuffles collapse
+        # to a handful of tasks (less scheduling overhead), large ones
+        # still split by size. This is the documented production setting
+        # for size-based coalescing (Spark SQL performance tuning guide).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
