@@ -719,6 +719,298 @@ def q22_idle_customer_balance(spark, sf_dir):
 
 
 @_q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: single-scan selective aggregate — every predicate and
+    the 4-column projection push to the parquet scan; one partial+final
+    agg, no join, no window. The canonical 'is pushdown working' probe."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                    ).cast("long")
+                )
+                .cast("long")
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS cost_u
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+           round(ps.cost_u / 100.0, 2) AS supply_cost
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 15 AND r.r_name = 'EUROPE'
+      AND ps.cost_u = (
+        SELECT min(ps2.cost_u) FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest in-region supplier per part (ties kept).
+    The schema has no partsupp table, so the supplier-part cost
+    relation is derived from lineitem (min observed unit price per
+    (part, supplier), in integer cents). The correlated MIN subquery
+    decorrelates to a window min over l_partkey AFTER the region
+    restriction; region/nation/supplier dims broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+        ).alias("cost_u")
+    )
+    rsupp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = ps.join(F.broadcast(rsupp), ps.l_suppkey == rsupp.s_suppkey)
+    best = eligible.withColumn(
+        "_min_cost", F.min("cost_u").over(W.partitionBy("l_partkey"))
+    ).where(F.col("cost_u") == F.col("_min_cost"))
+    pf = p.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+    return best.join(F.broadcast(pf), best.l_partkey == pf.p_partkey).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        F.round(F.col("cost_u") / 100.0, 2).alias("supply_cost"),
+    )
+
+
+@_q(
+    "q4_late_shipment_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority counts for orders with at least
+    one lineitem shipped >90 days after the order date (the schema has
+    no commit/receipt dates, so lateness is shipdate vs orderdate).
+    EXISTS = left-semi join with the date predicate inside the join
+    condition, so the probe side never duplicates orders."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_q(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                   - CAST(round(p.p_retailprice * l.l_quantity * CAST(0.1 AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation x order year. Without
+    partsupp, unit cost is modeled as 10% of p_retailprice. Two facts
+    (lineitem, orders) sort-merge on orderkey after AQE; part/supplier/
+    nation dims broadcast; profit summed in integer 1e-4 units."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amt_u = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+        - F.round(
+            F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1) * 10000
+        ).cast("long")
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), s.s_nationkey == n.n_nationkey)
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amt_u).cast("long") / 10000.0, 2).alias("profit"))
+    )
+
+
+@_q(
+    "q11_important_stock",
+    """
+    WITH inv AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_u
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, round(value_u / 100.0, 2) AS value
+    FROM inv
+    WHERE value_u * 1000 > (SELECT CAST(sum(value_u) AS BIGINT) FROM inv)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose traded value through one nation's
+    suppliers exceeds 0.1% of that nation's total. The global-total
+    scalar subquery is a 1-row aggregate broadcast back onto the
+    per-part frame; the fraction test is exact integer math
+    (value_u * 1000 > total_u), so the boundary is engine-portable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    inv = (
+        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")),
+               l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("value_u"))
+    )
+    total = inv.agg(F.sum("value_u").cast("long").alias("_total_u"))
+    return (
+        inv.join(F.broadcast(total))
+        .where(F.col("value_u") * 1000 > F.col("_total_u"))
+        .select("l_partkey", F.round(F.col("value_u") / 100.0, 2).alias("value"))
+    )
+
+
+@_q(
+    "q16_supplier_part_counts",
+    """
+    WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT rel.l_suppkey) AS supplier_cnt
+    FROM rel
+    JOIN part p ON p.p_partkey = rel.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND rel.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size), excluding flagged suppliers (negative balance stands in for
+    the complaints predicate). The part-supplier relation is the
+    distinct (partkey, suppkey) projection of lineitem; the exclusion
+    is a broadcast anti join BEFORE the distinct-count aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    rel = l.select("l_partkey", "l_suppkey").distinct()
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    return (
+        rel.join(F.broadcast(bad), rel.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(pf), rel.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_promo_part_suppliers",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 450)
+      AND s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+    """,
+)
+def q20_promo_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved significant volume of PROMO
+    parts in 1996, restricted to a nation group — two nested IN
+    subqueries become two left-semi joins: one against the
+    HAVING-filtered aggregate (shuffle side), one against the broadcast
+    nation-key list."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name").like("NATION_1%"))
+    heavy = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(p.select("p_partkey")), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 450)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n.select("n_nationkey")), s.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@_q(
     "above_customer_avg_orders",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM (
