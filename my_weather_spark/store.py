@@ -188,6 +188,41 @@ class TsStore:
             .parquet(self.path)
         )
 
+    # -- bucketed serving layout -------------------------------------------
+    def as_bucketed_table(
+        self,
+        table_name: str,
+        n_buckets: int = 32,
+        source: str | None = None,
+    ) -> DataFrame:
+        """Materialize the store as a ``series_id``-bucketed, ts-sorted
+        managed table and return it.
+
+        The hive-partitioned (source, date) layout is optimal for the
+        WRITE path (incremental merge touches only its days). For
+        read-heavy per-series analytics — windows, as-of joins,
+        resamples, all partitioned by series_id — every query re-shuffles
+        on series_id. Bucketing by series_id pre-materializes that hash
+        partitioning: the scan reports HashPartitioning(series_id) so
+        per-series windows and series-series joins over this table plan
+        NO Exchange. At 100 TB this turns the dominant recurring shuffle
+        into a one-time layout cost (refresh it from the store in the
+        daily compaction slot).
+        """
+        from my_weather_spark.ops.skew import write_bucketed
+
+        df = self._read_all()
+        if source is not None:
+            df = df.where(F.col("source") == source)
+        write_bucketed(
+            df.select("series_id", "ts", "value", "ingest_time"),
+            table_name,
+            "series_id",
+            n_buckets=n_buckets,
+            sort_col="ts",
+        )
+        return self.spark.table(table_name)
+
     # -- find(): catalog over stored series (TsInfo analog) ---------------
     def find(self, pattern: str | None = None, source: str | None = None) -> DataFrame:
         """Per-series metadata derived from the store: name, data

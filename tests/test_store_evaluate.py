@@ -189,3 +189,36 @@ def test_evaluate_duplicate_ids_keep_positions(engine):
     assert len(per_idx[0]) == 5 and len(per_idx[1]) == 5
     assert per_idx[0] == per_idx[1] == [1.0] * 5
     assert per_idx[2] == [2.0] * 5
+
+
+def test_bucketed_serving_layout_avoids_shuffle(engine, spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    # store three series across two days
+    rows = [
+        (f"shyft://bt/s{i}/m/Temperature", _dt(86400 * d + 60 * j), float(i + j))
+        for i in range(3)
+        for d in range(2)
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    engine.store_ts(df)
+    try:
+        bt = engine.store.as_bucketed_table("bt_serving", n_buckets=4)
+        # per-series window over the bucketed table: no shuffle planned
+        w = W.partitionBy("series_id").orderBy("ts")
+        lagged = bt.withColumn("prev", F.lag("value").over(w))
+        plan = lagged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        # and values round-trip exactly vs the plain store scan
+        got = sorted(
+            (r["series_id"], r["ts"], r["value"]) for r in bt.collect()
+        )
+        want = sorted(
+            (r["series_id"], r["ts"], r["value"])
+            for r in engine.store.scan().collect()
+        )
+        assert got == want and len(got) == 30
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_serving")
