@@ -1813,6 +1813,40 @@ def cosine_threshold_pairs(spark, sf_dir):
 
 
 @_q(
+    "text_hashed_bow",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+           count(*) AS tf
+    FROM w WHERE w <> ''
+    GROUP BY doc_id, bucket
+    """,
+)
+def text_hashed_bow(spark, sf_dir):
+    """Feature-hashing ("hashing trick") bag-of-words: fixed-dim sparse
+    term-frequency embedding per document — the deterministic text
+    embedder feeding SRP-LSH near-dup. One explode + one partial-agg
+    hash aggregate; tf over the word multiset (repeats count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.hashed_bow(docs, dim=64)
+
+
+@_q("srp_cosine_near_dup", None)
+def srp_cosine_near_dup(spark, sf_dir):
+    """Corpus-x-corpus embedding near-dup via signed-random-projection
+    LSH over hashed-BoW document vectors: candidates confined to equal
+    sign-bit band buckets, then exact-cosine verified (precision 1).
+    Rows-only: the hyperplane matrix isn't expressible in the SQL
+    oracle; recall/precision are pinned vs brute force in
+    test_srp_lsh_vs_brute_force."""
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = text_ops.hashed_bow_vectors(docs, dim=64)
+    return similarity.srp_lsh_pairs(
+        vecs, threshold=0.9, n_planes=32, band_bits=8, id_col="doc_id"
+    )
+
+
+@_q(
     "text_token_stats",
     """
     SELECT doc_id, length(text) AS n_chars,

@@ -141,3 +141,73 @@ def fingerprint(
             F.slice(F.array_sort(F.array_distinct(hashes)), 1, k), ","
         ).alias("fingerprint"),
     )
+
+
+# ----------------------------------------------------------------------
+# Feature hashing: fixed-dim bag-of-words embedding (the "hashing
+# trick"). Deterministic (md5-based), so reproducible across engines.
+def hashed_bow(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, bucket, tf) — term frequency per hashed feature bucket.
+
+    bucket(w) = first-8-md5-hex(w) mod dim over the word MULTISET
+    (repeats count — this is tf, not set membership). Long/sparse
+    output: only non-empty buckets appear. One explode + one hash
+    aggregate with map-side partials; no dim-sized row blowup.
+    """
+    from my_weather_spark.llm.dedup import _fan_out
+
+    wh = _fan_out(df).select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("_w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long") % dim
+    )
+    return (
+        wh.select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def hashed_bow_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, embedding: array<double>) — dense hashed-BoW vector per doc.
+
+    Densifies :func:`hashed_bow` in-row: map bucket->tf, then one
+    sequence(0, dim-1) lookup pass. Docs with no words get the zero
+    vector. Output column name matches the embeddings table so
+    similarity ops compose directly.
+    """
+    sparse = hashed_bow(df, dim, text_col, id_col)
+    m = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("tf")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(
+            F.element_at(F.col("_m"), b.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    # left join keeps wordless docs (zero vector) without a second scan
+    # of the corpus: re-derive ids from df.
+    ids = df.select(id_col)
+    return (
+        ids.join(m, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_m").isNull(), F.array_repeat(F.lit(0.0), dim))
+            .otherwise(dense)
+            .alias("embedding"),
+        )
+    )

@@ -184,3 +184,69 @@ def test_simhash_hamming_pairs(docs):
     if (0, 2) in pairs:
         assert pairs[(0, 2)] <= 3
     assert (0, 5) not in pairs
+
+
+def test_hashed_bow_matches_manual(docs, spark):
+    import hashlib
+
+    sparse = {
+        (r["doc_id"], r["bucket"]): r["tf"]
+        for r in text_ops.hashed_bow(docs, dim=8).collect()
+    }
+    # manual tf for doc 0 (word multiset, "the" appears twice)
+    text = "the quick brown fox jumps over the lazy dog"
+    expect = {}
+    for w in text.split():
+        b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 8
+        expect[b] = expect.get(b, 0) + 1
+    got = {b: tf for (d, b), tf in sparse.items() if d == 0}
+    assert got == expect
+
+    dense = {
+        r["doc_id"]: r["embedding"]
+        for r in text_ops.hashed_bow_vectors(docs, dim=8).collect()
+    }
+    assert len(dense) == 6 and all(len(v) == 8 for v in dense.values())
+    assert {b: int(v) for b, v in enumerate(dense[0]) if v} == expect
+    # identical docs -> identical vectors
+    assert dense[0] == dense[1]
+
+
+def test_srp_lsh_vs_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(15):  # 15 clusters of 3 near-identical vectors
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.standard_normal(32) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(40):  # noise vectors (no high-cos pairs among them)
+        v = rng.standard_normal(32)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    srp = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.srp_lsh_pairs(
+            corpus, threshold=0.95, n_planes=32, band_bits=8
+        ).collect()
+    }
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.cosine_threshold_pairs(
+            corpus, corpus, threshold=0.95
+        ).collect()
+    }
+    assert len(brute) == 45  # 15 clusters x 3 intra-cluster pairs
+    # precision exact: every SRP pair is a true pair with the same cosine
+    for k, v in srp.items():
+        assert k in brute and abs(v - brute[k]) < 1e-6
+    # recall: collision prob per 8-bit band at cos .95 is ~.83, 4 bands
+    # -> ~.999; allow a little slack for the fixed seed
+    assert len(srp) >= 0.9 * len(brute)
