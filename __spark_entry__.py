@@ -1836,13 +1836,16 @@ def srp_cosine_near_dup(spark, sf_dir):
     """Corpus-x-corpus embedding near-dup via signed-random-projection
     LSH over hashed-BoW document vectors: candidates confined to equal
     sign-bit band buckets, then exact-cosine verified (precision 1).
+    16-bit bands keep buckets sparse at corpus scale (65536 values per
+    band vs 256 under the old 8-bit geometry, whose band self-join
+    degenerated toward quadratic); recall is carried by 16 bands.
     Rows-only: the hyperplane matrix isn't expressible in the SQL
     oracle; recall/precision are pinned vs brute force in
     test_srp_lsh_vs_brute_force."""
     docs = load_table(spark, sf_dir, "documents")
     vecs = text_ops.hashed_bow_vectors(docs, dim=64)
     return similarity.srp_lsh_pairs(
-        vecs, threshold=0.9, n_planes=32, band_bits=8, id_col="doc_id"
+        vecs, threshold=0.9, n_planes=256, band_bits=16, id_col="doc_id"
     )
 
 

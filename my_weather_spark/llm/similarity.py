@@ -271,11 +271,12 @@ def ivf_topk(
 # cosine near-dup at corpus-x-corpus scale.
 def srp_codes(
     corpus: DataFrame,
-    n_planes: int = 32,
-    band_bits: int = 8,
+    n_planes: int = 256,
+    band_bits: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = False,
 ) -> DataFrame:
     """(id, band, band_key) — banded sign-bit codes under ``n_planes``
     fixed random hyperplanes.
@@ -286,58 +287,81 @@ def srp_codes(
     driver (deterministic, no per-executor state) and broadcast; codes
     are one BLAS product + bit-pack per Arrow batch — narrow, no
     shuffle, same shape as ivf_assign.
+
+    Band geometry is the scale lever: ``band_bits`` must grow with
+    log2(corpus) so random band collisions (~N^2 / 2^band_bits per
+    band) stay sparse, and recall is recovered by adding bands (more
+    planes), not by narrowing them. The 16-bit default gives 65536
+    bucket values per band; at cos 0.95 the 16 bands yield recall
+    ~1-(1-0.899^16)^16 ≈ 0.96. The old 8-bit default degenerated to
+    256 buckets/band — a near-quadratic self-join at corpus scale.
+
+    Zero-norm vectors (e.g. hashed-BoW of wordless docs) have no
+    direction and are dropped here: every zero vector lands in the
+    same sign-bit bucket (all bits 0), pairing all of them, and their
+    cosine is NaN — never a meaningful near-dup.
     """
     import numpy as np
 
+    if band_bits >= 63:
+        raise ValueError("band_bits must fit a signed 64-bit band_key")
     if n_planes % band_bits != 0:
         raise ValueError(f"n_planes ({n_planes}) must divide into {band_bits}-bit bands")
     n_bands = n_planes // band_bits
-    spark = corpus.sparkSession
-    # dim from one row; embeddings are fixed-width by construction
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        return spark.createDataFrame([], f"{id_col} long, band int, band_key long")
-    dim = first["d"]
-    H = np.random.RandomState(seed).standard_normal((dim, n_planes))
-    bc = spark.sparkContext.broadcast(H)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, band int, band_key long"
+    if include_vec:
+        schema += f", {vec_col} {vec_type}"
 
     def _code(batches):
+        import numpy as np
         import pandas as pd
 
-        Hm = bc.value
+        # Hyperplanes are regenerated per task from the fixed seed
+        # (dim read off the first batch) — identical everywhere by
+        # construction, no driver probe job, no broadcast.
+        Hm = None
         weights = (1 << np.arange(band_bits)).astype(np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if Hm is None:
+                Hm = np.random.RandomState(seed).standard_normal(
+                    (A.shape[1], n_planes)
+                )
+            nz = np.linalg.norm(A, axis=1) > 0
+            if not nz.all():
+                pdf = pdf[nz].reset_index(drop=True)
+                A = A[nz]
+            if len(pdf) == 0:
+                continue
             bits = (A @ Hm) > 0  # (n, n_planes) sign bits
             out = []
             for band in range(n_bands):
                 chunk = bits[:, band * band_bits : (band + 1) * band_bits]
                 keys = chunk.astype(np.int64) @ weights
-                out.append(
-                    pd.DataFrame(
-                        {
-                            id_col: pdf[id_col],
-                            "band": band,
-                            "band_key": keys,
-                        }
-                    )
-                )
+                cols = {
+                    id_col: pdf[id_col],
+                    "band": band,
+                    "band_key": keys,
+                }
+                if include_vec:
+                    cols[vec_col] = pdf[vec_col]
+                out.append(pd.DataFrame(cols))
             yield pd.concat(out)
 
     from my_weather_spark.llm.dedup import _fan_out
 
-    return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(
-        _code, schema=f"{id_col} long, band int, band_key long"
-    )
+    return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(_code, schema)
 
 
 def srp_lsh_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 32,
-    band_bits: int = 8,
+    n_planes: int = 256,
+    band_bits: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -347,30 +371,114 @@ def srp_lsh_pairs(
 
     Precision is exact (every emitted pair is verified by true cosine);
     recall is the LSH collision probability — tune (n_planes,
-    band_bits) to the threshold: at cos 0.9 the defaults give
-    ~1 - (1 - 0.856^8)^4 ≈ 0.92; more bands → higher recall, more
+    band_bits) to the threshold: at cos 0.95 the defaults give
+    ~1 - (1 - 0.899^16)^16 ≈ 0.96; more bands → higher recall, more
     candidates. This is the corpus-x-corpus scale path where the dense
     block-matrix pass (cosine_threshold_pairs) would be quadratic:
     candidates are confined to equal (band, band_key) buckets, i.e.
     near-dup clusters, and everything else never pairs up.
+
+    The candidate generation and exact verify are FUSED per bucket:
+    codes carry their vector, buckets are grouped once
+    (groupBy(band, band_key) + applyInPandas), and each bucket scores
+    its own all-pairs with one blocked BLAS product, emitting only the
+    over-threshold pairs. Shuffled bytes are one (vector + code) row
+    per (doc, band) — Σ bucket sizes — never one row per candidate
+    PAIR, which at near-dup-dense corpora is orders of magnitude
+    larger. Zero-norm vectors never reach the verify (dropped in
+    srp_codes), so cos is never NaN. Duplicate finds across bands
+    carry identical rounded cos, so the final distinct() collapses
+    them. A pathologically hot bucket (≫ corpus/2^band_bits) is the
+    signal that band_bits is too small for the corpus size — widen the
+    bands rather than relying on one task to grind a quadratic bucket.
     """
-    codes = srp_codes(corpus, n_planes, band_bits, seed, id_col, vec_col)
-    a = codes.select(F.col(id_col).alias("_ida"), "band", "band_key")
-    b = codes.select(F.col(id_col).alias("_idb"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb")
-        .distinct()
+    # The corpus projection feeds both the code pass and the vector
+    # attach; checkpoint so an expensive upstream plan (e.g. a
+    # hashed-BoW aggregation) is computed once, not once per use.
+    proj = corpus.select(id_col, vec_col).localCheckpoint(eager=True)
+    codes = srp_codes(proj, n_planes, band_bits, seed, id_col, vec_col)
+    # Vectors ride to the buckets via a JVM-side join onto the code
+    # rows (Tungsten-format arrays, no Python round-trip) and cross
+    # into Python exactly once, at the mapInPandas verify boundary.
+    codes = codes.join(proj, id_col)
+    # Drop singleton buckets JVM-side — they can't produce a pair, and
+    # they are the vast majority of buckets under sparse banding. The
+    # window's hash partitioning on the bucket key is the same
+    # partitioning the verify needs, so Catalyst reuses the exchange.
+    wb = W.partitionBy("band", "band_key")
+    sized = codes.withColumn("_n", F.count(F.lit(1)).over(wb)).where(F.col("_n") >= 2)
+    parted = sized.repartition("band", "band_key").sortWithinPartitions(
+        "band", "band_key"
     )
-    va = corpus.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
-    vb = corpus.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        def _bucket_pairs(ids, A):
+            # blocked self-product keeps peak memory ~ block x n
+            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            n, out = len(A), []
+            block = 2048
+            for s in range(0, n, block):
+                S = np.round(A[s : s + block] @ A.T, 6)
+                bi, bj = np.nonzero(S >= threshold)
+                gi = bi + s
+                keep = gi < bj  # upper triangle only (each pair once)
+                if not keep.any():
+                    continue
+                ia, ib = ids[gi[keep]], ids[bj[keep]]
+                swap = ia > ib
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.where(swap, ib, ia),
+                            "id_b": np.where(swap, ia, ib),
+                            "cos": S[bi[keep], bj[keep]],
+                        }
+                    )
+                )
+            return out
+
+        def _segments(pdf):
+            # rows arrive sorted by (band, band_key): buckets are
+            # contiguous segments — one vectorized boundary scan, one
+            # BLAS self-product per bucket, no per-group pandas calls.
+            bands = pdf["band"].to_numpy()
+            keys = pdf["band_key"].to_numpy()
+            cuts = np.flatnonzero((bands[1:] != bands[:-1]) | (keys[1:] != keys[:-1]))
+            starts = np.concatenate(([0], cuts + 1))
+            ends = np.concatenate((cuts + 1, [len(pdf)]))
+            ids = pdf[id_col].to_numpy()
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = []
+            for s, e in zip(starts, ends):
+                if e - s >= 2:
+                    out.extend(_bucket_pairs(ids[s:e], A[s:e]))
+            return out
+
+        # a bucket may straddle Arrow batch boundaries: hold the
+        # trailing (possibly incomplete) bucket back and prepend it to
+        # the next batch.
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            lb = pdf["band"].iloc[-1]
+            lk = pdf["band_key"].iloc[-1]
+            last = (pdf["band"] == lb) & (pdf["band_key"] == lk)
+            carry = pdf[last]
+            body = pdf[~last]
+            if len(body):
+                yield from _segments(body)
+        if carry is not None and len(carry) >= 2:
+            yield from _segments(carry)
+
     return (
-        cand.join(va, "_ida")
-        .join(vb, "_idb")
-        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
-        .where(F.col("cos") >= threshold)
-        .select(
-            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "cos"
-        )
+        parted.mapInPandas(_verify, schema=f"id_a {id_type}, id_b {id_type}, cos double")
+        .distinct()
     )

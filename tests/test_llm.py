@@ -250,3 +250,29 @@ def test_srp_lsh_vs_brute_force(spark):
     # recall: collision prob per 8-bit band at cos .95 is ~.83, 4 bands
     # -> ~.999; allow a little slack for the fixed seed
     assert len(srp) >= 0.9 * len(brute)
+
+    # default geometry (256 planes / 16-bit bands — the scale-sparse
+    # setting): same precision contract, recall ~1-(1-.899^16)^16≈.96
+    srp_wide = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.srp_lsh_pairs(corpus, threshold=0.95).collect()
+    }
+    for k, v in srp_wide.items():
+        assert k in brute and abs(v - brute[k]) < 1e-6
+    assert len(srp_wide) >= 0.85 * len(brute)
+
+
+def test_srp_lsh_zero_norm_vectors_never_pair(spark):
+    # zero vectors (e.g. hashed-BoW of wordless docs) all share the
+    # all-zero sign code; they must be dropped, not emitted as
+    # NaN-cosine "pairs" (Spark NaN ordering would pass >= threshold).
+    rows = [
+        (0, [0.0] * 16),
+        (1, [0.0] * 16),
+        (2, [1.0] + [0.0] * 15),
+        (3, [1.0] + [0.0] * 15),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.srp_lsh_pairs(corpus, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(2, 3)}
+    assert all(not (r["cos"] != r["cos"]) for r in got)  # no NaN
