@@ -140,6 +140,16 @@ def cosine_threshold_pairs(
 
 # ----------------------------------------------------------------------
 # IVF-style bucketed ANN (the scale path).
+#
+# Index lifecycle (mirrors a real IVF deployment):
+#   centroids = ivf_centroids(corpus, C)        # train: fixed small C
+#   index     = ivf_build(corpus, centroids, p) # one corpus pass, persisted
+#                                               # partitioned by centroid_id
+#   hits      = ivf_topk(index, queries, centroids, k, nprobe)
+#                                               # partition-pruned probe scan
+# C is FIXED (independent of corpus size) so assignment stays O(N*C),
+# and probes read only nprobe/C of the data via parquet partition
+# pruning — no per-query reassignment of the corpus.
 def _centroid_matrix(centroids: DataFrame, id_col: str, vec_col: str):
     import numpy as np
 
@@ -148,6 +158,89 @@ def _centroid_matrix(centroids: DataFrame, id_col: str, vec_col: str):
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     return ids, mat
+
+
+def _centroids_df(spark, mat, vec_col: str) -> DataFrame:
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
+    return spark.createDataFrame(rows, f"centroid_id long, {vec_col} array<double>")
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids: deterministic seed sample + Lloyd refinement.
+
+    Seeds are the first ``n_centroids`` corpus rows in md5(id) order — a
+    uniform, engine-reproducible pseudo-random sample (TakeOrdered, no
+    full sort materialization). Each refinement iteration is one
+    distributed assign pass (BLAS argmax per Arrow batch) plus a
+    per-dimension mean aggregate; only the C x dim centroid matrix ever
+    reaches the driver. C stays FIXED as the corpus grows — recall is
+    tuned with nprobe, cost of assignment stays O(N*C). At 100 TB you
+    would train on corpus.sample(...) instead of the full pass; the
+    assign/aggregate shape is identical.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    if not seeds:
+        return _centroids_df(spark, np.zeros((0, 1)), vec_col)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    for _ in range(refine_iters):
+        cdf = _centroids_df(spark, mat, vec_col)
+        assigned = ivf_assign(
+            corpus, cdf, id_col, vec_col, _cmat=(np.arange(len(mat)), mat)
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        pdf = means.toPandas()  # C x dim rows — tiny by construction
+        new = mat.copy()
+        for cid, g in pdf.groupby("centroid_id"):
+            v = np.zeros(mat.shape[1])
+            v[g["pos"].to_numpy()] = g["m"].to_numpy()
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[int(cid)] = v / n
+        mat = new
+    return _centroids_df(spark, mat, vec_col)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One assignment pass over the corpus, persisted PARTITIONED BY
+    centroid_id. Probing the returned table with a
+    ``centroid_id IN (...)`` predicate is a partition-pruned scan that
+    reads ~nprobe/C of the data — the index is built once, never
+    reassigned per query."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    # cluster rows by bucket before the partitioned write: each task
+    # then writes whole partition directories (C files total), not a
+    # tasks x C spray of small files.
+    assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    return corpus.sparkSession.read.parquet(path)
 
 
 def ivf_assign(
@@ -193,7 +286,7 @@ def ivf_assign(
 
 
 def ivf_topk(
-    corpus: DataFrame,
+    index: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 3,
@@ -204,16 +297,23 @@ def ivf_topk(
     """Approximate top-k: probe the ``nprobe`` nearest centroid buckets
     per query, exact cosine within the probed buckets only.
 
-    At scale the bucketed corpus is precomputed + persisted
-    (ivf_assign), making this a pruned scan of nprobe/C of the data.
+    ``index`` is the ivf_build output (corpus rows + centroid_id,
+    persisted partitioned by centroid_id): the probe plans a
+    ``centroid_id IN (...)`` filter, so the scan is partition-pruned
+    to the probed buckets — nothing is reassigned per query. A raw
+    corpus (no centroid_id column) is accepted for ad-hoc use and
+    assigned on the fly.
     """
     import numpy as np
 
-    spark = corpus.sparkSession
+    spark = index.sparkSession
     # Collect the (tiny) centroid matrix once; reused for both bucket
     # assignment and driver-side probe selection.
     c_ids, c_mat = _centroid_matrix(centroids, "centroid_id", vec_col)
-    bucketed = ivf_assign(corpus, centroids, id_col, vec_col, _cmat=(c_ids, c_mat))
+    if "centroid_id" in index.columns:
+        bucketed = index
+    else:
+        bucketed = ivf_assign(index, centroids, id_col, vec_col, _cmat=(c_ids, c_mat))
     q_pdf = queries.select(id_col, vec_col).toPandas()
     q_mat = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -229,6 +329,11 @@ def ivf_topk(
     qprobe = spark.createDataFrame(
         probe_rows, "query_id long, centroid_id long, _qv array<float>"
     )
+    # Literal IN-list on the partition column: guarantees static
+    # partition pruning at the parquet scan (PartitionFilters), beyond
+    # whatever runtime filtering the broadcast join adds.
+    probed = sorted({r[1] for r in probe_rows})
+    bucketed = bucketed.where(F.col("centroid_id").isin(probed))
     joined = (
         bucketed.join(F.broadcast(qprobe), "centroid_id")
         .where(F.col("query_id") != F.col(id_col))

@@ -49,7 +49,26 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
 # per-call file listing + footer/schema read (a fixed ~50-100 ms tax on
 # every query in a 70-query bench run). Keyed by applicationId so a
 # restarted session never sees stale plans.
+#
+# The memo assumes BENCH DATA IS IMMUTABLE within an application: a
+# cached plan pins the file listing taken at first load, so
+# regenerating the parquet under sf_dir mid-application would serve
+# stale rows (or FileNotFoundException for vacuumed files). If you
+# rewrite the data in-session, call :func:`clear_table_cache` first.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache(sf_dir: str | None = None) -> int:
+    """Invalidate memoized table plans (all, or those under ``sf_dir``);
+    returns how many entries were dropped."""
+    if sf_dir is None:
+        n = len(_TABLE_CACHE)
+        _TABLE_CACHE.clear()
+        return n
+    stale = [k for k in _TABLE_CACHE if k[1] == sf_dir]
+    for k in stale:
+        del _TABLE_CACHE[k]
+    return len(stale)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

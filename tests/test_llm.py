@@ -62,22 +62,28 @@ def test_simhash_near_dups_close(docs):
     assert ham_near < ham_far
 
 
-def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+def test_ivf_recall_vs_bruteforce(spark, sf_dir, tmp_path):
     from my_weather_spark.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     exact = similarity.brute_force_topk(emb, queries, k=3)
-    centroids = (
-        emb.where(F.col("vec_id") % 31 == 0)
-        .select(F.col("vec_id").alias("centroid_id"), "embedding")
-    )
-    approx = similarity.ivf_topk(emb, queries, centroids, k=3, nprobe=4)
+    centroids = similarity.ivf_centroids(emb, n_centroids=16, refine_iters=1)
+    index = similarity.ivf_build(emb, centroids, str(tmp_path / "ivf"))
+    approx = similarity.ivf_topk(index, queries, centroids, k=3, nprobe=4)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
-    # IVF probes 4/17 buckets; demand non-trivial overlap with exact
+    # IVF probes 4/16 trained buckets; demand solid overlap with exact
     assert len(a) == len(e)
-    assert len(e & a) >= len(e) // 3
+    assert len(e & a) >= len(e) // 2
+    # probe plan must be partition-pruned, never a full-corpus scan
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    # raw-corpus fallback (no persisted index) still works
+    approx2 = similarity.ivf_topk(emb, queries, centroids, k=3, nprobe=4)
+    a2 = {(r["query_id"], r["neighbor_id"]) for r in approx2.collect()}
+    assert a2 == a
 
 
 def test_multimodal_decode_plumbing(spark, sf_dir):
