@@ -1808,8 +1808,11 @@ def knn_bruteforce(spark, sf_dir):
     """,
 )
 def cosine_threshold_pairs(spark, sf_dir):
+    """Corpus-x-corpus exact cosine pairs via the distributed
+    block-matrix self-join (cogrouped tiles, no driver collect) — the
+    broadcast-queries variant is for bounded query batches only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_threshold_pairs(emb, emb, threshold=0.3)
+    return similarity.cosine_self_pairs(emb, threshold=0.3)
 
 
 @_q(

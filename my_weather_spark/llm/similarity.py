@@ -87,6 +87,7 @@ def cosine_threshold_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """All (query, neighbor) pairs with cosine >= threshold — the
     embedding near-dup primitive (rank-free, so fully order-stable).
@@ -96,16 +97,24 @@ def cosine_threshold_pairs(
     product against it (mapInPandas), emitting only over-threshold
     pairs. This is the standard block-matrix similarity pattern: the
     corpus never shuffles, work is (corpus x queries) fused
-    multiply-adds, and the emitted pair set is sparse. The query side
-    must be broadcast-sized (it is, by definition of a near-dup/query
-    batch); for corpus-x-corpus at 100 TB you'd tile the right side
-    into broadcastable column blocks and union the per-block outputs.
+    multiply-adds, and the emitted pair set is sparse.
+
+    The query side must be BROADCAST-SIZED — that is enforced
+    (``max_query_rows``), not assumed: collecting an unbounded "query"
+    side is a driver OOM at scale. For corpus-x-corpus use
+    :func:`cosine_self_pairs`, which never collects anything.
     """
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
-    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_pdf = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
+    if len(q_pdf) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; a "
+            "driver-collected query batch must be broadcast-sized — use "
+            "cosine_self_pairs for corpus-x-corpus similarity"
+        )
     q_ids = q_pdf[id_col].to_numpy()
     q_mat = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -135,6 +144,111 @@ def cosine_threshold_pairs(
 
     return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         _score, schema="query_id long, neighbor_id long, cos double"
+    )
+
+
+def cosine_self_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact corpus-x-corpus cosine pairs >= threshold, fully
+    distributed — the tiled variant of :func:`cosine_threshold_pairs`
+    with NO driver-side collect.
+
+    Block-matrix self-join: rows hash into ``n_blocks`` blocks; each
+    row explodes into its tile memberships over the (ga <= gb)
+    block-pair grid — as the LEFT side of tiles its block leads, the
+    RIGHT side of tiles it trails, and BOTH for its diagonal tile —
+    then one groupBy(tile) + applyInPandas scores each tile with a
+    blocked BLAS product, emitting only over-threshold pairs. Every
+    unordered pair lands in exactly one tile (diagonal tiles take the
+    strict upper triangle), so no distinct pass is needed.
+
+    Scale shape: data replication is exactly n_blocks (each row sits
+    in n_blocks tiles), shuffle keys are (ga, gb) — uniform by
+    construction — and peak tile memory is 2 x |block| vectors; pick
+    n_blocks so a block fits an executor. Work is the inherent N^2/2
+    dot products, embarrassingly parallel over
+    n_blocks*(n_blocks+1)/2 independent tiles. Compare brute_force_topk
+    (broadcast queries) and srp_lsh_pairs (sub-quadratic LSH) for the
+    other points on the exact/approximate frontier.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # role 0: left side of an off-diagonal tile; 1: right side;
+    # 2: diagonal tile (the row serves both sides).
+    membership = F.explode(
+        F.expr(
+            f"""
+            transform(sequence(0, {n_blocks - 1}), j ->
+              case when j > _g then named_struct('ga', _g, 'gb', j, 'role', 0)
+                   when j < _g then named_struct('ga', j, 'gb', _g, 'role', 1)
+                   else named_struct('ga', _g, 'gb', _g, 'role', 2) end)
+            """
+        )
+    ).alias("_t")
+    tiled = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_g", F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int"))
+        .select(id_col, vec_col, membership)
+        .select(
+            id_col,
+            vec_col,
+            F.col("_t.ga").alias("ga"),
+            F.col("_t.gb").alias("gb"),
+            F.col("_t.role").alias("role"),
+        )
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _tile(key, pdf):
+        ga, gb = key
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+        diag = ga == gb
+        if diag:
+            lpdf = rpdf = pdf
+        else:
+            lpdf = pdf[pdf["role"] == 0]
+            rpdf = pdf[pdf["role"] == 1]
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        lids = lpdf[id_col].to_numpy()
+        rids = rpdf[id_col].to_numpy()
+        A = np.stack(lpdf[vec_col].to_numpy()).astype(np.float64)
+        B = A if diag else np.stack(rpdf[vec_col].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            B = A if diag else B / np.linalg.norm(B, axis=1, keepdims=True)
+        out = []
+        block = 2048
+        for s in range(0, len(A), block):
+            S = np.round(A[s : s + block] @ B.T, 6)
+            bi, bj = np.nonzero(S >= threshold)  # NaN never passes
+            ia, ib = lids[bi + s], rids[bj]
+            # diagonal: strict upper triangle by id (each pair once);
+            # off-diagonal blocks are disjoint, all cross pairs count
+            keep = ia < ib if diag else ia != ib
+            if not keep.any():
+                continue
+            ia, ib = ia[keep], ib[keep]
+            swap = ia > ib
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.where(swap, ib, ia),
+                        "neighbor_id": np.where(swap, ia, ib),
+                        "cos": S[bi[keep], bj[keep]],
+                    }
+                )
+            )
+        return pd.concat(out) if out else empty
+
+    return tiled.groupBy("ga", "gb").applyInPandas(
+        _tile, schema=f"query_id {id_type}, neighbor_id {id_type}, cos double"
     )
 
 

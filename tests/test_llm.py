@@ -268,6 +268,29 @@ def test_srp_lsh_vs_brute_force(spark):
     assert len(srp_wide) >= 0.85 * len(brute)
 
 
+def test_cosine_self_pairs_matches_broadcast_variant(spark, sf_dir):
+    from my_weather_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.cosine_self_pairs(emb, threshold=0.3, n_blocks=4).collect()
+    }
+    bcast = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.cosine_threshold_pairs(emb, emb, threshold=0.3).collect()
+    }
+    assert blocked == bcast and len(blocked) > 0
+
+
+def test_cosine_threshold_pairs_query_size_guard(spark, sf_dir):
+    from my_weather_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="broadcast-sized"):
+        similarity.cosine_threshold_pairs(emb, emb, threshold=0.3, max_query_rows=10)
+
+
 def test_srp_lsh_zero_norm_vectors_never_pair(spark):
     # zero vectors (e.g. hashed-BoW of wordless docs) all share the
     # all-zero sign code; they must be dropped, not emitted as
