@@ -1732,6 +1732,44 @@ def jaccard_pairs_by_source(spark, sf_dir):
 
 
 @_q(
+    "lsh_jaccard_near_dup",
+    f"""
+    WITH {_SQL_WORDS},
+    wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words),
+    params AS (SELECT * FROM (VALUES (0, 387420489, 15485863), (1, 576460801, 32452843), (2, 268435399, 49979687), (3, 402653189, 67867967), (4, 536870923, 86028121), (5, 671088667, 104395301), (6, 805306457, 122949823), (7, 939524129, 141650939), (8, 73014449, 160481183), (9, 206158463, 179424673), (10, 339738391, 198491317), (11, 473059897, 217645177), (12, 606580379, 236887691), (13, 739978753, 256203161), (14, 873463093, 275604541), (15, 1006895341, 295075147)) p(seed, a, b)),
+    sigs AS (SELECT doc_id, p.seed, min((p.a * h + p.b) % 2147483647) AS sig
+             FROM wh, params p GROUP BY doc_id, p.seed),
+    bands AS (SELECT doc_id, seed // 8 AS band, string_agg(sig::VARCHAR, ',' ORDER BY seed) AS band_key
+              FROM sigs GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             WHERE a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c JOIN words wa ON wa.doc_id = c.doc_a
+      JOIN words wb ON wb.doc_id = c.doc_b AND wa.w = wb.w
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT i.doc_a, i.doc_b,
+             round(i.ni / (sa.n + sb.n - i.ni), 6) AS jaccard
+      FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id)
+    WHERE jaccard >= 0.8
+    """,
+)
+def lsh_jaccard_near_dup(spark, sf_dir):
+    """THE 100 TB dedup path, end to end: MinHash-LSH bucket join for
+    candidates, exact word-set Jaccard ONLY on those candidates
+    (jaccard_for_candidates, in-row array_intersect — never the
+    quadratic word self-join). This is the chain clean_corpus runs;
+    declared so the scale-correct composition itself is
+    oracle-verified, not just its stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=8)
+    return dedup.jaccard_for_candidates(docs, cand, min_jaccard=0.8)
+
+
+@_q(
     "simhash_docs",
     f"""
     WITH {_SQL_WORDS},
