@@ -2417,9 +2417,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
+# CORRECTNESS_r01 only covered the first 50 registry entries, so every
+# query registered later was never driver-verified. queries() therefore
+# emits those names first (the driver iterates insertion order); the
+# TPC-H block — all driver-green in round 1 and backed by frozen oracle
+# SQL — rotates to the back.
+_R1_UNVERIFIED = [
+    "minhash_lsh_pairs", "jaccard_pairs_by_source", "lsh_jaccard_near_dup",
+    "simhash_docs", "simhash_hamming_pairs", "knn_bruteforce",
+    "cosine_threshold_pairs", "text_hashed_bow", "srp_cosine_near_dup",
+    "text_token_stats", "text_quality_stats", "text_fingerprint",
+    "mm_payload_stats", "sessionize_users", "pivot_daily_event_values",
+    "set_intersect_nations", "set_except_nations", "part_size_bins",
+    "text_language_id", "p4_scheme_routing", "resample_time_weighted",
+    "instant_interpolation", "a6_bool_aggregates",
+    "p2_measurement_projection", "p5_empty_guard", "u1_extend_union",
+    "json_props_extract", "distinct_users_per_type", "f7_format_tiles",
+    "w4_rdp_downsample", "ann_ivf_topk", "w2_end_extension_raw",
+]
+
+
+def _ordered_names() -> list[str]:
+    priority = set(_R1_UNVERIFIED)
+    missing = priority - set(REGISTRY)
+    if missing:
+        raise RuntimeError(f"priority names not registered: {sorted(missing)}")
+    rest = [n for n in REGISTRY if n not in priority]
+    tpch = [n for n in rest if n[0] == "q" and n[1].isdigit()]
+    other = [n for n in rest if not (n[0] == "q" and n[1].isdigit())]
+    return _R1_UNVERIFIED + other + tpch
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _ordered_names()
+        if REGISTRY[name][1] is not None
+    }
