@@ -1437,6 +1437,100 @@ def w3_staircase(spark, sf_dir):
 
 
 @_q(
+    "mixed_interpretation_expand",
+    """
+    WITH hourly AS (
+      SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
+             round(avg(value), 6) AS value
+      FROM events GROUP BY 1, 2),
+    fx AS (
+      SELECT series_id, ts, value,
+             CASE WHEN series_id IN ('click', 'view') THEN 'instant'
+                  ELSE 'average' END AS point_fx,
+             lead(ts) OVER (PARTITION BY series_id ORDER BY ts) AS next_ts
+      FROM hourly)
+    SELECT series_id, point_fx, epoch_us(ts) AS ts_us, value FROM fx
+    UNION ALL
+    SELECT series_id, point_fx, epoch_us(next_ts) AS ts_us, value FROM fx
+    WHERE point_fx = 'average' AND next_ts IS NOT NULL
+    """,
+)
+def mixed_interpretation_expand(spark, sf_dir):
+    """Catalog-driven point interpretation in ONE frame: click/view
+    series are INSTANT (points pass through), the rest AVERAGE
+    (staircase corner expansion) — dispatched per row from a point_fx
+    column, as the reference binds point_fx per series via TsInfo
+    (repository.py:293-301, visual/utils.py:12-23)."""
+    from my_weather_spark.model import POINT_AVERAGE_VALUE, POINT_INSTANT_VALUE
+
+    e = _events_series(spark, sf_dir)
+    hourly = ts_ops.resample(e, "1 hour", "avg").withColumn("value", F.round("value", 6))
+    tagged = hourly.withColumn(
+        "point_fx",
+        F.when(
+            F.col("series_id").isin("click", "view"), F.lit(POINT_INSTANT_VALUE)
+        ).otherwise(F.lit(POINT_AVERAGE_VALUE)),
+    )
+    out = ts_ops.interpretation_expand(tagged, point_fx_col="point_fx")
+    return out.select(
+        "series_id", "point_fx", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+
+@_q(
+    "mixed_interpretation_resample",
+    """
+    WITH pts AS (
+      SELECT event_type AS s,
+             CASE WHEN event_type IN ('click', 'view') THEN 'instant'
+                  ELSE 'average' END AS fx,
+             epoch_us(ts) AS t, value AS v FROM events),
+    inst AS (
+      SELECT s AS series_id, fx AS point_fx,
+             (t // 21600000000) * 21600000000 AS bucket_us,
+             round(avg(v), 6) AS value, NULL::BIGINT AS covered_us
+      FROM pts WHERE fx = 'instant' GROUP BY 1, 2, 3),
+    seg AS (
+      SELECT s, t, lead(t) OVER (PARTITION BY s ORDER BY t) AS tn, v
+      FROM pts WHERE fx = 'average'),
+    segs AS (SELECT * FROM seg WHERE tn IS NOT NULL AND tn > t),
+    bux AS (
+      SELECT s, t, tn, v,
+             unnest(range(t // 21600000000, (tn - 1) // 21600000000 + 1)) AS b
+      FROM segs),
+    avgarm AS (
+      SELECT s AS series_id, 'average' AS point_fx,
+             b * 21600000000 AS bucket_us,
+             round(CAST(sum(CAST(round(v * 100) AS BIGINT)
+                            * (least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000))) AS BIGINT)
+                   / 100.0
+                   / sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)), 6)
+               AS value,
+             CAST(sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)) AS BIGINT)
+               AS covered_us
+      FROM bux GROUP BY s, b)
+    SELECT * FROM inst UNION ALL SELECT * FROM avgarm
+    """,
+)
+def mixed_interpretation_resample(spark, sf_dir):
+    """Interpretation-dispatched resample to 6h buckets: INSTANT series
+    -> point mean, AVERAGE series -> time-weighted staircase integral,
+    one call over a mixed frame (resample_by_interpretation)."""
+    from my_weather_spark.model import POINT_AVERAGE_VALUE, POINT_INSTANT_VALUE
+
+    e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
+    tagged = e.withColumn(
+        "point_fx",
+        F.when(
+            F.col("series_id").isin("click", "view"), F.lit(POINT_INSTANT_VALUE)
+        ).otherwise(F.lit(POINT_AVERAGE_VALUE)),
+    )
+    return ts_ops.resample_by_interpretation(
+        tagged, "point_fx", bucket_seconds=6 * 3600, exact_value_decimals=2
+    )
+
+
+@_q(
     "asof_join_views",
     """
     SELECT c.user_id, epoch_us(c.ts) AS ts_us, c.value AS click_value,
@@ -2434,6 +2528,8 @@ _R1_UNVERIFIED = [
     "p2_measurement_projection", "p5_empty_guard", "u1_extend_union",
     "json_props_extract", "distinct_users_per_type", "f7_format_tiles",
     "w4_rdp_downsample", "ann_ivf_topk", "w2_end_extension_raw",
+    # round-2 additions, driver-unseen until their first green round
+    "mixed_interpretation_expand", "mixed_interpretation_resample",
 ]
 
 

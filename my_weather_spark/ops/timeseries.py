@@ -104,24 +104,67 @@ def end_extension(df: DataFrame) -> DataFrame:
 # AVERAGE (staircase): each value spans [t_i, t_{i+1}) -> emit both
 # corner points (t_i, v), (t_{i+1}, v). INSTANT: points as-is (the
 # terminal synthetic axis point, if present, is dropped by rank).
-def interpretation_expand(df: DataFrame, point_fx: str) -> DataFrame:
-    if point_fx == POINT_INSTANT_VALUE:
-        return df.select(SERIES, TS, VALUE)
-    if point_fx != POINT_AVERAGE_VALUE:
-        raise ValueError(f"unknown point interpretation {point_fx!r}")
+#
+# The reference binds point_fx PER SERIES via TsInfo
+# (repository.py:293-301, domain.py:110-123), so a single evaluate can
+# return a mixed frame (Temperature INSTANT + Rain AVERAGE). Pass
+# ``point_fx_col`` (usually joined from the domain measurement catalog)
+# to expand such a frame in one pass; pass the ``point_fx`` string when
+# the whole frame shares one interpretation.
+def interpretation_expand(
+    df: DataFrame,
+    point_fx: str | None = None,
+    *,
+    point_fx_col: str | None = None,
+) -> DataFrame:
+    if (point_fx is None) == (point_fx_col is None):
+        raise ValueError("give exactly one of point_fx / point_fx_col")
+    if point_fx is not None:
+        if point_fx == POINT_INSTANT_VALUE:
+            return df.select(SERIES, TS, VALUE)
+        if point_fx != POINT_AVERAGE_VALUE:
+            raise ValueError(f"unknown point interpretation {point_fx!r}")
+        with_next = df.withColumn("_next_ts", F.lead(TS).over(_series_window()))
+        pairs = with_next.select(
+            SERIES,
+            F.explode(
+                F.array(
+                    F.struct(F.col(TS).alias(TS), F.col(VALUE).alias(VALUE)),
+                    F.struct(F.col("_next_ts").alias(TS), F.col(VALUE).alias(VALUE)),
+                )
+            ).alias("_p"),
+        )
+        return pairs.select(
+            SERIES, F.col("_p.ts").alias(TS), F.col("_p.value").alias(VALUE)
+        ).where(F.col(TS).isNotNull())
+
+    # Per-row dispatch: one lead() pass; each row emits 1 point
+    # (INSTANT) or its 2 staircase corners (AVERAGE). Unknown
+    # interpretations raise at runtime (CaseWhen evaluates raise_error
+    # only on rows that fall through both branches).
+    fx = F.col(point_fx_col)
     with_next = df.withColumn("_next_ts", F.lead(TS).over(_series_window()))
-    pairs = with_next.select(
+
+    def _pt(t):
+        return F.struct(t.alias(TS), F.col(VALUE).alias(VALUE))
+
+    arr = (
+        F.when(fx == POINT_INSTANT_VALUE, F.array(_pt(F.col(TS))))
+        .when(
+            fx == POINT_AVERAGE_VALUE,
+            F.array(_pt(F.col(TS)), _pt(F.col("_next_ts"))),
+        )
+        .otherwise(
+            F.raise_error(F.concat(F.lit("unknown point interpretation "), fx))
+        )
+    )
+    pairs = with_next.select(SERIES, fx.alias(point_fx_col), F.explode(arr).alias("_p"))
+    return pairs.select(
         SERIES,
-        F.explode(
-            F.array(
-                F.struct(F.col(TS).alias(TS), F.col(VALUE).alias(VALUE)),
-                F.struct(F.col("_next_ts").alias(TS), F.col(VALUE).alias(VALUE)),
-            )
-        ).alias("_p"),
-    )
-    return pairs.select(SERIES, F.col("_p.ts").alias(TS), F.col("_p.value").alias(VALUE)).where(
-        F.col(TS).isNotNull()
-    )
+        point_fx_col,
+        F.col("_p.ts").alias(TS),
+        F.col("_p.value").alias(VALUE),
+    ).where(F.col(TS).isNotNull())
 
 
 # ----------------------------------------------------------------------
@@ -283,6 +326,58 @@ def resample_time_weighted(
             F.sum("_ov").cast("long").alias("covered_us"),
         )
     )
+
+
+# Interpretation-dispatched resample: the catalog-driven twin of
+# resample/resample_time_weighted. The reference picks the resample
+# semantics per series from TsInfo.point_fx (repository.py:293-301 +
+# visual/utils.py:12-23); here the frame carries a point_fx column
+# (joined from Domain.measurements) and each series takes the
+# semantically-correct arm: INSTANT -> point mean per bucket, AVERAGE
+# -> time-weighted staircase integral. Both arms are plain shuffles on
+# (series, bucket); the union is append-only — scale-safe.
+def resample_by_interpretation(
+    df: DataFrame,
+    point_fx_col: str,
+    bucket_seconds: int,
+    exact_value_decimals: int | None = None,
+) -> DataFrame:
+    """(series_id, point_fx, bucket_us, value, covered_us); covered_us
+    is NULL on INSTANT series (a point mean covers no time span).
+    Rows with an unknown interpretation raise at runtime.
+    """
+    fx = F.col(point_fx_col)
+    checked = df.withColumn(
+        point_fx_col,
+        F.when(fx.isin(POINT_INSTANT_VALUE, POINT_AVERAGE_VALUE), fx).otherwise(
+            F.raise_error(F.concat(F.lit("unknown point interpretation "), fx))
+        ),
+    )
+    w_us = int(bucket_seconds) * 1_000_000
+    inst = (
+        checked.where(F.col(point_fx_col) == POINT_INSTANT_VALUE)
+        .groupBy(
+            SERIES,
+            point_fx_col,
+            F.expr(f"(unix_micros({TS}) div {w_us}) * {w_us}").alias("bucket_us"),
+        )
+        .agg(
+            F.round(F.avg(VALUE), 6).alias("value"),
+            F.lit(None).cast("long").alias("covered_us"),
+        )
+    )
+    avg_in = checked.where(F.col(point_fx_col) == POINT_AVERAGE_VALUE).select(
+        SERIES, TS, VALUE
+    )
+    twa = resample_time_weighted(avg_in, bucket_seconds, exact_value_decimals)
+    avg_arm = twa.select(
+        SERIES,
+        F.lit(POINT_AVERAGE_VALUE).alias(point_fx_col),
+        "bucket_us",
+        F.col("twa_value").alias("value"),
+        "covered_us",
+    )
+    return inst.unionByName(avg_arm)
 
 
 # Linear interpolation at a regular grid — the exact POINT_INSTANT

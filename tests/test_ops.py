@@ -77,6 +77,74 @@ def test_staircase_expansion(spark):
     assert instant == 3
 
 
+def _mixed_fx_frame(spark):
+    # one INSTANT + one AVERAGE series in the SAME frame, point_fx
+    # bound per series as the reference's TsInfo does
+    rows = [
+        ("temp", _dt(0), 1.0, POINT_INSTANT_VALUE),
+        ("temp", _dt(10), 2.0, POINT_INSTANT_VALUE),
+        ("temp", _dt(20), 3.0, POINT_INSTANT_VALUE),
+        ("rain", _dt(0), 5.0, POINT_AVERAGE_VALUE),
+        ("rain", _dt(10), 7.0, POINT_AVERAGE_VALUE),
+        ("rain", _dt(20), 9.0, POINT_AVERAGE_VALUE),
+    ]
+    return spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double, point_fx string"
+    )
+
+
+def test_interpretation_expand_mixed_frame(spark):
+    out = ts_ops.interpretation_expand(
+        _mixed_fx_frame(spark), point_fx_col="point_fx"
+    )
+    temp = [
+        (r["ts"], r["value"])
+        for r in out.where("series_id = 'temp'").orderBy("ts", "value").collect()
+    ]
+    rain = [
+        (r["ts"], r["value"])
+        for r in out.where("series_id = 'rain'").orderBy("ts", "value").collect()
+    ]
+    # INSTANT passes through untouched
+    assert temp == [(_ndt(0), 1.0), (_ndt(10), 2.0), (_ndt(20), 3.0)]
+    # AVERAGE expands to staircase corners in the same single pass
+    assert rain == [
+        (_ndt(0), 5.0),
+        (_ndt(10), 5.0),
+        (_ndt(10), 7.0),
+        (_ndt(20), 7.0),
+        (_ndt(20), 9.0),
+    ]
+
+
+def test_interpretation_expand_unknown_fx_raises(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bad = spark.createDataFrame(
+        [("s", _dt(0), 1.0, "cubic")],
+        "series_id string, ts timestamp, value double, point_fx string",
+    )
+    with pytest.raises(SparkRuntimeException, match="unknown point interpretation"):
+        ts_ops.interpretation_expand(bad, point_fx_col="point_fx").collect()
+
+
+def test_resample_by_interpretation_dispatch(spark):
+    # 20s buckets: temp (INSTANT) gets the point mean, rain (AVERAGE)
+    # gets the time-weighted staircase integral — in one call
+    out = ts_ops.resample_by_interpretation(
+        _mixed_fx_frame(spark), "point_fx", bucket_seconds=20
+    ).collect()
+    got = {(r["series_id"], r["bucket_us"]): (r["value"], r["covered_us"]) for r in out}
+    # temp bucket 0 holds t=0,10 -> mean 1.5; bucket 20 holds t=20 -> 3.0
+    assert got[("temp", 0)] == (1.5, None)
+    assert got[("temp", 20_000_000)] == (3.0, None)
+    # rain staircase: [0,10)=5, [10,20)=7 -> bucket 0 integral = 6.0
+    # over 20 covered seconds; the terminal point opens no segment
+    assert got[("rain", 0)] == (6.0, 20_000_000)
+    assert ("rain", 20_000_000) not in got
+
+
 def test_series_stats_skip_null(spark):
     df = _series(spark, [(0, 5), (10, None), (20, 1), (30, 9), (40, 2)])
     row = ts_ops.series_stats(ts_ops.nan_to_null(df)).collect()[0]
