@@ -33,9 +33,17 @@ STORE_SCHEME = "shyft"
 class TsEngine:
     """evaluate/find/store facade over an EngineSession + TsStore."""
 
-    def __init__(self, session: EngineSession, store: TsStore | None = None) -> None:
+    def __init__(
+        self,
+        session: EngineSession,
+        store: TsStore | None = None,
+        catalog: "DataFrame | None" = None,
+    ) -> None:
         self.session = session
         self.store = store
+        # optional measurement catalog (Domain.measurements) used to
+        # enrich store-side TsInfo with point_fx / olson_tz_id
+        self.catalog = catalog
 
     @property
     def spark(self):
@@ -100,7 +108,9 @@ class TsEngine:
         if ref.scheme == STORE_SCHEME:
             if self.store is None:
                 raise KeyError("no TsStore attached for shyft:// refs")
-            return self.store.find(pattern=_url_to_pattern(ref.url))
+            return self.store.find(
+                pattern=_url_to_pattern(ref.url), catalog=self.catalog
+            )
         return self.session.adapter(ref.scheme).find(self.spark, ref)
 
     # ------------------------------------------------------------------

@@ -224,17 +224,62 @@ class TsStore:
         return self.spark.table(table_name)
 
     # -- find(): catalog over stored series (TsInfo analog) ---------------
-    def find(self, pattern: str | None = None, source: str | None = None) -> DataFrame:
-        """Per-series metadata derived from the store: name, data
-        period, point count (reference TsInfo: repository.py:293-301)."""
+    def find(
+        self,
+        pattern: str | None = None,
+        source: str | None = None,
+        catalog: DataFrame | None = None,
+    ) -> DataFrame:
+        """Full per-series TsInfo derived from the store, matching the
+        reference's field set (repository.py:293-301): name, point_fx,
+        delta_t, olson_tz_id, data_period_start/end, created, modified
+        — plus n_points as an engine extra.
+
+        delta_t is the per-series mode of point spacing (dt_mode —
+        the store knows the actual cadence, where the reference puts
+        NaN). point_fx and olson_tz_id come from ``catalog``
+        (Domain.measurements, keyed by store_id), broadcast-joined;
+        NULL when no catalog is given. Both aggregates hash-partition
+        by series, so the join plans without an extra exchange.
+        """
+        from my_weather_spark.ops.timeseries import dt_mode
+
         df = self._read_all()
         if source is not None:
             df = df.where(F.col("source") == source)
         if pattern is not None:
             df = df.where(F.col("series_id").rlike(pattern))
-        return df.groupBy(F.col("series_id").alias("name")).agg(
+        base = df.groupBy(F.col("series_id").alias("name")).agg(
             F.min("ts").alias("data_period_start"),
             F.max("ts").alias("data_period_end"),
             F.count("value").alias("n_points"),
+            F.min("ingest_time").alias("created"),
             F.max("ingest_time").alias("modified"),
+        )
+        deltas = dt_mode(df).select(
+            F.col("series_id").alias("name"),
+            F.col("dt_mode_seconds").alias("delta_t"),
+        )
+        info = base.join(deltas, "name", "left")
+        if catalog is not None:
+            cat = catalog.select(
+                F.col("store_id").alias("name"),
+                "point_fx",
+                F.col("timezone").alias("olson_tz_id"),
+            )
+            info = info.join(F.broadcast(cat), "name", "left")
+        else:
+            info = info.withColumn("point_fx", F.lit(None).cast("string")).withColumn(
+                "olson_tz_id", F.lit(None).cast("string")
+            )
+        return info.select(
+            "name",
+            "point_fx",
+            "delta_t",
+            "olson_tz_id",
+            "data_period_start",
+            "data_period_end",
+            "created",
+            "modified",
+            "n_points",
         )

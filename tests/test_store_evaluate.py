@@ -117,6 +117,37 @@ def test_find_over_store(spark, engine):
     info = engine.find(sid).collect()
     assert len(info) == 1
     assert info[0]["n_points"] == 2
+    # full TsInfo field set (reference repository.py:293-301)
+    assert set(info[0].asDict()) == {
+        "name", "point_fx", "delta_t", "olson_tz_id",
+        "data_period_start", "data_period_end", "created", "modified",
+        "n_points",
+    }
+    assert info[0]["delta_t"] == 9.0  # mode of point spacing
+    assert info[0]["created"] == _dt(1000).replace(tzinfo=None)
+    assert info[0]["modified"] == _dt(1000).replace(tzinfo=None)
+    assert info[0]["point_fx"] is None  # no catalog attached
+
+
+def test_find_tsinfo_catalog_enrichment(spark, engine):
+    # with a measurement catalog attached, store-side TsInfo carries
+    # point_fx and the station timezone, like the reference's TsInfo
+    sid = "shyft://netatmo/superstation/ute/temperature"
+    df = spark.createDataFrame(
+        [(sid, _dt(0), 1.0), (sid, _dt(60), 2.0), (sid, _dt(120), 3.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    engine.store_ts(df, ingest_time=_dt(500))
+    cat = spark.createDataFrame(
+        [(sid, "instant", "Europe/Oslo")],
+        "store_id string, point_fx string, timezone string",
+    )
+    engine.catalog = cat
+    info = engine.find(sid).collect()
+    assert len(info) == 1
+    assert info[0]["point_fx"] == "instant"
+    assert info[0]["olson_tz_id"] == "Europe/Oslo"
+    assert info[0]["delta_t"] == 60.0
 
 
 def test_incremental_collection_idempotent(spark, engine):
