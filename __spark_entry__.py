@@ -2460,10 +2460,12 @@ def f7_format_tiles(spark, sf_dir):
 def w4_rdp_downsample(spark, sf_dir):
     """RDP polyline reduction per series (reference W4,
     dtss_serve_test.py:237-241) — iterative geometric algorithm, not
-    SQL-expressible; grouped-map pandas implementation."""
+    SQL-expressible; grouped-map pandas implementation. epsilon is
+    derived per series from the value spread (range/10), so series at
+    different value scales reduce comparably."""
     e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
     hourly = ts_ops.resample(e, "1 hour", "avg")
-    return ts_ops.rdp_downsample(hourly, epsilon=2.0)
+    return ts_ops.rdp_downsample(hourly)
 
 
 _IVF_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}

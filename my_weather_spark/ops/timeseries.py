@@ -460,8 +460,11 @@ def bucket_downsample(df: DataFrame, n_buckets: int, period: UtcPeriod) -> DataF
 
 
 # W4b — Ramer-Douglas-Peucker polyline reduction (reference:
-# dtss_serve_test.py:237-241, epsilon = value-range/10 heuristic).
-# Inherently sequential per series -> grouped-map pandas UDF
+# dtss_serve_test.py:237-241 derives epsilon from the data rather than
+# hardcoding it; its count-based formula is value-scale-dependent, so
+# here the default is per-series value-range/10 — scale-INVARIANT: a
+# series in [0,1] and one in [0,1000] reduce to comparable point
+# counts). Inherently sequential per series -> grouped-map pandas UDF
 # (applyInPandas), Arrow-batched; partition-parallel across series.
 def rdp_downsample(df: DataFrame, epsilon: float | None = None) -> DataFrame:
     import numpy as np

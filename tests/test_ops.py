@@ -145,6 +145,28 @@ def test_resample_by_interpretation_dispatch(spark):
     assert ("rain", 20_000_000) not in got
 
 
+def test_rdp_epsilon_scale_invariant(spark):
+    # same curve shape at 10x different value scales must reduce to the
+    # SAME kept points under the derived (range/10) epsilon — a fixed
+    # epsilon would keep everything on one and gut the other
+    import math as m
+
+    pts = [(t, m.sin(t / 20.0) + (0.001 if t % 40 else 0.0)) for t in range(0, 2000, 10)]
+    small = _series(spark, pts, series_id="small")
+    big = _series(spark, [(t, v * 10.0) for t, v in pts], series_id="big")
+    out = (
+        ts_ops.rdp_downsample(small.unionByName(big))
+        .groupBy("series_id")
+        .count()
+        .collect()
+    )
+    counts = {r["series_id"]: r["count"] for r in out}
+    # not bit-identical (perpendicular distance mixes in the time axis,
+    # which does not scale with the values) but within 10%
+    assert abs(counts["small"] - counts["big"]) <= 0.1 * counts["small"]
+    assert 2 < counts["small"] < len(pts) / 2  # actually reduced
+
+
 def test_series_stats_skip_null(spark):
     df = _series(spark, [(0, 5), (10, None), (20, 1), (30, 9), (40, 2)])
     row = ts_ops.series_stats(ts_ops.nan_to_null(df)).collect()[0]
