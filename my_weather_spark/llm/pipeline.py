@@ -79,7 +79,11 @@ def clean_corpus(
     # 4. drop near-dups: cluster the verified-pair graph (connected
     # components, so A-B-C chains collapse even without an A-C pair)
     # and keep only each component's smallest id.
-    components = dedup.connected_components(verified, a_col="doc_a", b_col="doc_b")
+    # large/small-star: O(log n) rounds, so a pathological long-chain
+    # component can't turn the cleanup into 60 full-edge shuffles
+    components = dedup.connected_components_star(
+        verified, a_col="doc_a", b_col="doc_b"
+    )
     losers = components.where(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)
     )

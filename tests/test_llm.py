@@ -178,6 +178,28 @@ def test_connected_components_chains(spark):
     cc = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
     assert cc[0] == cc[1] == cc[2] == 0
     assert cc[7] == cc[8] == 7
+    # the star variant must produce identical labels
+    cs = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert cs == cc
+
+
+def test_connected_components_star_log_rounds(spark):
+    # a 33-node path: neighbor-min propagation needs O(diameter) ~ 32
+    # rounds; alternating large/small-star converges in O(log n)
+    n = 33
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = dedup.connected_components_star(pairs, return_rounds=True)
+    cc = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert all(cc[i] == 0 for i in range(n))
+    assert rounds <= 8, f"expected O(log n) convergence, used {rounds} rounds"
+    # the propagation variant needs the full diameter on this graph
+    with __import__("pytest").raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=8)
 
 
 def test_simhash_hamming_pairs(docs):
