@@ -244,6 +244,7 @@ def jaccard_for_candidates(
     min_jaccard: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact word-set Jaccard scored ONLY for the given candidate pairs
     (doc_a, doc_b) — the verify step after LSH.
@@ -252,15 +253,36 @@ def jaccard_for_candidates(
     in-row: cost is O(|candidates| x words-per-doc), never the
     quadratic word-level self-join — this is the function to feed LSH
     output at corpus scale.
+
+    ``hashed=True`` (default) intersects 60-bit md5 word hashes
+    (longs) instead of strings: ~3x cheaper to ship and intersect,
+    exact up to a ~2^-60-per-word-pair collision — negligible even at
+    100 TB. Set False to intersect raw words.
+
+    The candidate side is explicitly spread over
+    4 x defaultParallelism partitions before the verify: candidates
+    are BYTE-small but COMPUTE-heavy (a hash-set intersection per
+    row), and byte-based AQE coalescing would happily fold millions
+    of pairs onto one core.
     """
-    words = F.array_sort(
-        F.array_distinct(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
-    )
+    if hashed:
+        words = F.array_distinct(
+            F.transform(
+                F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
+                lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+            )
+        )
+    else:
+        words = F.array_distinct(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        )
     d = df.select(F.col(id_col), words.alias("_ws"))
     a = d.select(F.col(id_col).alias("doc_a"), F.col("_ws").alias("_wa"))
     b = d.select(F.col(id_col).alias("doc_b"), F.col("_ws").alias("_wb"))
+    n_part = df.sparkSession.sparkContext.defaultParallelism * 4
     return (
         candidates.select("doc_a", "doc_b")
+        .repartition(n_part, "doc_a", "doc_b")
         .join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("_ni", F.size(F.array_intersect("_wa", "_wb")))
