@@ -27,6 +27,8 @@ from my_weather_spark.tables import load_table
 from my_weather_spark.ops import scalars as sc
 from my_weather_spark.ops import timeseries as ts_ops
 from my_weather_spark.llm import dedup, similarity, text as text_ops
+from my_weather_spark.llm import sampling as llm_sampling
+from my_weather_spark.llm import decontam as llm_decontam
 from my_weather_spark.model import UtcPeriod, MEASUREMENT_TYPES
 from my_weather_spark.sources.heartbeat import synthetic_series
 
@@ -2059,6 +2061,166 @@ def mm_payload_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation: deterministic sampling / data mixing / splits,
+# benchmark decontamination, PII redaction (llm/sampling.py,
+# llm/decontam.py, llm/text.py).
+
+@_q(
+    "sample_stratified_counts",
+    """
+    WITH t AS (
+      SELECT source,
+             ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS ticket
+      FROM documents)
+    SELECT source, count(*) AS n_kept
+    FROM t
+    WHERE ticket < CASE source
+                     WHEN 'src0' THEN 1000000
+                     WHEN 'src1' THEN 500000
+                     WHEN 'src2' THEN 250000
+                     ELSE 100000 END
+    GROUP BY source
+    """,
+)
+def sample_stratified_counts(spark, sf_dir):
+    """Data-mixing weights: keep 100% of src0, 50% of src1, 25% of
+    src2, 10% of everything else — deterministic hash tickets, so the
+    sample is stable under retries and repartitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = llm_sampling.stratified_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        seed="mix",
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@_q(
+    "split_assign_counts",
+    """
+    WITH t AS (
+      SELECT ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS ticket
+      FROM documents)
+    SELECT CASE WHEN ticket < 900000 THEN 'train'
+                WHEN ticket < 950000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM t GROUP BY 1
+    """,
+)
+def split_assign_counts(spark, sf_dir):
+    """Hash-bucket train/val/test assignment: membership is a pure
+    function of (seed, doc_id) — no document migrates between splits
+    as the corpus grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = llm_sampling.split_assign(
+        docs, weights=(0.9, 0.05, 0.05), labels=("train", "val", "test")
+    )
+    return labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_q(
+    "decontam_flags",
+    """
+    WITH bench_docs AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    bw AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+           FROM bench_docs),
+    bg AS (SELECT DISTINCT
+             ('0x' || substr(md5(array_to_string(ws[p:p+4], ' ')), 1, 15))::BIGINT AS gram_h
+           FROM bw, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS p)),
+    cw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+           FROM corpus),
+    cg AS (SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(ws[p:p+4], ' ')), 1, 15))::BIGINT AS gram_h
+           FROM cw, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS p)),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+    hits AS (SELECT cg.doc_id, count(*) AS n_contaminated
+             FROM cg JOIN bg USING (gram_h) GROUP BY cg.doc_id)
+    SELECT c.doc_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) >= 1 AS contaminated
+    FROM corpus c
+    LEFT JOIN sizes s USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontam_flags(spark, sf_dir):
+    """Benchmark decontamination: every 97th doc plays the eval set;
+    the rest of the corpus is flagged on any shared word 5-gram
+    (hashed, benchmark side broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return llm_decontam.contamination_flags(corpus, bench, n=5)
+
+
+@_q(
+    "pii_redaction",
+    r"""
+    WITH d AS (
+      SELECT c_custkey AS doc_id,
+             c_name || ' reach me at ' || lower(replace(c_name, '#', '.'))
+               || '@example.com from ip '
+               || CAST(c_custkey % 223 + 1 AS VARCHAR) || '.'
+               || CAST(c_nationkey % 256 AS VARCHAR) || '.0.'
+               || CAST(c_custkey % 256 AS VARCHAR) || ' or call +47-'
+               || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') AS text
+      FROM customer),
+    r1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM d),
+    r2 AS (
+      SELECT doc_id, n1,
+             len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n2,
+             regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+      FROM r1),
+    r3 AS (
+      SELECT doc_id, n1, n2,
+             len(regexp_extract_all(t2, '\+[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{3,4}[- ][0-9]{3,4}')) AS n3,
+             regexp_replace(t2, '\+[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{3,4}[- ][0-9]{3,4}', '<PHONE>', 'g') AS t3
+      FROM r2)
+    SELECT doc_id, t3 AS redacted, CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions
+    FROM r3
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing demo over synthesized contact strings (the
+    customer dim supplies deterministic names/keys): emails, IPv4,
+    and phone numbers replaced by typed placeholders in one chained
+    JVM-side regexp pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    text = F.concat(
+        F.col("c_name"),
+        F.lit(" reach me at "),
+        F.lower(F.regexp_replace("c_name", "#", ".")),
+        F.lit("@example.com from ip "),
+        (key % 223 + 1).cast("string"),
+        F.lit("."),
+        (F.col("c_nationkey") % 256).cast("string"),
+        F.lit(".0."),
+        (key % 256).cast("string"),
+        F.lit(" or call +47-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((key * 7 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((key * 13 % 10000).cast("string"), 4, "0"),
+    )
+    d = cust.select(key.alias("doc_id"), text.alias("text"))
+    return text_ops.redact_pii(d)
+
+
 # ===========================================================================
 # Additional coverage: sessionization, pivot, set ops, part dim,
 # language ID, scheme routing, rows-only ops (RDP, IVF).
@@ -2532,6 +2694,8 @@ _R1_UNVERIFIED = [
     "w4_rdp_downsample", "ann_ivf_topk", "w2_end_extension_raw",
     # round-2 additions, driver-unseen until their first green round
     "mixed_interpretation_expand", "mixed_interpretation_resample",
+    "sample_stratified_counts", "split_assign_counts", "decontam_flags",
+    "pii_redaction",
 ]
 
 

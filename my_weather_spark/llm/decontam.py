@@ -1,0 +1,114 @@
+"""Benchmark decontamination: drop or flag training documents that
+share word n-grams with an evaluation/benchmark set.
+
+The standard pretraining hygiene step (the reference pipeline has no
+analog; this is part of the training-data layer): any training doc
+containing an exact n-gram that also occurs in a benchmark document is
+"contaminated" and must be excluded so eval scores stay meaningful.
+
+Scale shape (corpus ~100 TB, benchmark ~MBs):
+
+- n-grams are built IN-ROW with array HOFs (no explode of the corpus
+  into a words table) and hashed to 60-bit longs, so the join key is
+  8 bytes, not a string;
+- the benchmark n-gram set is distinct-ed (small by construction) and
+  broadcast — the corpus-side probe is a shuffle-free broadcast
+  semi/anti join, one narrow pass over the corpus;
+- the per-doc hit count comes from map-side partial aggregation over
+  the exploded probe (explode preserves row locality, so each doc's
+  n-grams collapse to one partial row before any exchange).
+
+Hash collisions (~2^-60 per n-gram pair) can only FLAG an extra doc,
+never un-flag one — the conservative direction for decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngram_hashes(text_col: str, n: int) -> Column:
+    """Distinct 60-bit hashes of all word ``n``-grams of a text column,
+    built in-row: split -> sliding slice -> md5 -> long."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda p: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, p, n))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    # guard: sequence(1, k) with k < 1 DESCENDS ([1, 0, ...]) instead
+    # of being empty — a doc shorter than n words has no n-grams.
+    return F.when(
+        F.size(words) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The distinct hashed n-gram set of the benchmark corpus
+    (one column ``gram_h``). Small by construction — broadcast it."""
+    return (
+        benchmark.select(F.explode(_ngram_hashes(text_col, n)).alias("gram_h"))
+        .distinct()
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_grams, n_contaminated, contaminated) per training doc.
+
+    ``n_contaminated`` counts DISTINCT doc n-grams that occur anywhere
+    in the benchmark; ``contaminated`` is true at >= ``min_hits``.
+    The benchmark side broadcasts; corpus n-grams explode only into the
+    broadcast-hash-join probe (no shuffle of the corpus).
+    """
+    bench = F.broadcast(
+        benchmark_ngrams(benchmark, n, text_col).withColumn("_hit", F.lit(1))
+    )
+    grams = docs.select(
+        F.col(id_col), _ngram_hashes(text_col, n).alias("_g")
+    ).select(
+        id_col, F.size("_g").alias("n_grams"), F.explode_outer("_g").alias("gram_h")
+    )
+    return (
+        grams.join(bench, "gram_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training docs with contaminated ones removed (broadcast
+    anti-join against the benchmark n-gram set)."""
+    flags = contamination_flags(docs, benchmark, n, min_hits, text_col, id_col)
+    dirty = flags.where(F.col("contaminated")).select(id_col)
+    # join strategy left to Catalyst/AQE: the dirty set is usually
+    # broadcast-small but is corpus-derived, so no forced broadcast.
+    return docs.join(dirty, id_col, "left_anti")

@@ -1,0 +1,106 @@
+"""Deterministic sampling, data mixing, and split assignment for
+training-corpus construction.
+
+A 100 TB pipeline cannot use ``df.sample()`` for corpus curation:
+Bernoulli sampling is non-reproducible across retries/partitions and
+can't be audited. Every operator here keys on a content-stable hash of
+the document id (``md5(seed || id)``), so:
+
+- the same (seed, id) always lands on the same side of every cut —
+  re-running a failed stage, adding executors, or re-partitioning
+  never changes the sample;
+- split membership (train/val/test) is a pure function of the id, so
+  leakage checks are a join, not a provenance hunt;
+- the oracle is exact: DuckDB computes the identical predicate.
+
+All pure column expressions — one narrow, shuffle-free projection/
+filter pass, fully pushdown-friendly.
+
+Hash construction: first 15 md5 hex chars as a long (uniform on
+[0, 16^15)), reduced mod 1e6 -> a uniform "ticket" in [0, 1e6). Rates
+are therefore honored to 1e-6 resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TICKET_MOD = 1_000_000
+
+
+def _ticket(id_col: str, seed: str) -> Column:
+    """Uniform deterministic ticket in [0, 1e6) from (seed, id)."""
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % TICKET_MOD
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    seed: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff ticket(seed, id) < rate * 1e6.
+
+    Deterministic and repartition-invariant, unlike ``df.sample``.
+    Different seeds give independent samples of the same corpus.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(_ticket(id_col, seed) < int(rate * TICKET_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    default_rate: float = 0.0,
+    seed: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum sampling rates — the "data mixing weights" step of
+    corpus construction (e.g. keep 100% of books, 8% of crawl).
+
+    The rate map is inlined as an in-row literal map lookup (strata
+    counts are small by definition); no join, no shuffle — the filter
+    composes with parquet pushdown on ``strata_col``.
+    """
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    pairs = [x for k in sorted(rates) for x in (F.lit(k), F.lit(int(rates[k] * TICKET_MOD)))]
+    cut = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(int(default_rate * TICKET_MOD)),
+    )
+    return df.where(_ticket(id_col, seed) < cut)
+
+
+def split_assign(
+    df: DataFrame,
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "split",
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row train/val/test by hash bucket — membership is a
+    pure function of (seed, id), so no document ever migrates between
+    splits as the corpus grows, and val/test stay disjoint from train
+    under any re-run.
+    """
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must have equal length")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights)}")
+    t = _ticket(id_col, seed)
+    acc = 0.0
+    expr = F.lit(labels[-1])
+    cuts = []
+    for w, lab in zip(weights[:-1], labels[:-1]):
+        acc += w
+        cuts.append((int(acc * TICKET_MOD), lab))
+    for cut, lab in reversed(cuts):
+        expr = F.when(t < cut, F.lit(lab)).otherwise(expr)
+    return df.withColumn(out_col, expr)

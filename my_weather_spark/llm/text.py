@@ -144,6 +144,42 @@ def fingerprint(
 
 
 # ----------------------------------------------------------------------
+# PII redaction: regex scrubbing of emails / phone numbers / IPv4 in
+# the hot path. Patterns are deliberately RE2-compatible (no
+# backrefs/lookaround) so the identical pattern runs in Java regex,
+# RE2, and PCRE engines — and in the SQL oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement) — applied in order.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{3,4}[- ][0-9]{3,4}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, redacted, n_redactions): text with emails/IPs/phones
+    replaced by typed placeholder tokens.
+
+    One narrow JVM-side projection (chained regexp_replace — no UDF,
+    no shuffle); ``n_redactions`` counts replaced spans by re-matching
+    each pattern before its rewrite.
+    """
+    t = F.col(text_col)
+    n = F.lit(0)
+    red = t
+    for _name, pat, repl in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(
+        id_col,
+        red.alias("redacted"),
+        n.cast("long").alias("n_redactions"),
+    )
+
+
+# ----------------------------------------------------------------------
 # Feature hashing: fixed-dim bag-of-words embedding (the "hashing
 # trick"). Deterministic (md5-based), so reproducible across engines.
 def hashed_bow(

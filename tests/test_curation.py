@@ -1,0 +1,157 @@
+"""Corpus-curation operator tests: deterministic sampling / mixing /
+splits, benchmark decontamination, PII redaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_weather_spark.llm import decontam, sampling, text as text_ops
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"doc number {i} body text", ["web", "books", "code"][i % 3])
+            for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# ----------------------------------------------------------------------
+# hash_sample
+def test_hash_sample_deterministic_and_stable(corpus):
+    a = {r["doc_id"] for r in sampling.hash_sample(corpus, 0.3, seed="s").collect()}
+    b = {r["doc_id"] for r in sampling.hash_sample(corpus, 0.3, seed="s").collect()}
+    assert a == b
+    # repartition-invariant: same membership under a different layout
+    c = {
+        r["doc_id"]
+        for r in sampling.hash_sample(corpus.repartition(7), 0.3, seed="s").collect()
+    }
+    assert a == c
+    # rate honored within binomial tolerance on n=300
+    assert 0.15 < len(a) / 300 < 0.45
+
+
+def test_hash_sample_nested_rates(corpus):
+    # a lower-rate sample with the same seed is a subset of a
+    # higher-rate one (tickets are fixed; only the cut moves).
+    lo = {r["doc_id"] for r in sampling.hash_sample(corpus, 0.1, seed="s").collect()}
+    hi = {r["doc_id"] for r in sampling.hash_sample(corpus, 0.5, seed="s").collect()}
+    assert lo <= hi
+
+
+def test_hash_sample_seed_independence(corpus):
+    a = {r["doc_id"] for r in sampling.hash_sample(corpus, 0.3, seed="s1").collect()}
+    b = {r["doc_id"] for r in sampling.hash_sample(corpus, 0.3, seed="s2").collect()}
+    assert a != b  # astronomically unlikely to coincide
+
+
+def test_hash_sample_rate_bounds(corpus):
+    with pytest.raises(ValueError):
+        sampling.hash_sample(corpus, 1.5)
+    assert sampling.hash_sample(corpus, 0.0).count() == 0
+    assert sampling.hash_sample(corpus, 1.0).count() == 300
+
+
+# ----------------------------------------------------------------------
+# stratified_sample
+def test_stratified_rates_per_stratum(corpus):
+    kept = sampling.stratified_sample(
+        corpus, {"web": 1.0, "books": 0.0}, default_rate=0.5, seed="mix"
+    )
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src.get("web") == 100          # keep all
+    assert "books" not in by_src             # drop all
+    assert 20 < by_src.get("code", 0) < 80   # ~50% of 100
+
+
+def test_stratified_matches_flat_sample_per_stratum(corpus):
+    # within one stratum the stratified cut IS hash_sample at that rate
+    strat = sampling.stratified_sample(corpus, {"web": 0.4}, seed="z")
+    flat = sampling.hash_sample(corpus.where(F.col("source") == "web"), 0.4, seed="z")
+    assert {r["doc_id"] for r in strat.where(F.col("source") == "web").collect()} == {
+        r["doc_id"] for r in flat.collect()
+    }
+
+
+# ----------------------------------------------------------------------
+# split_assign
+def test_split_partition_and_stability(corpus):
+    out = sampling.split_assign(corpus, (0.8, 0.1, 0.1), ("train", "val", "test"))
+    rows = out.collect()
+    assert len(rows) == 300 and all(r["split"] in ("train", "val", "test") for r in rows)
+    counts = {s: sum(1 for r in rows if r["split"] == s) for s in ("train", "val", "test")}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # growing the corpus never reassigns an existing doc
+    bigger = corpus.unionByName(
+        corpus.sparkSession.createDataFrame(
+            [(1000 + i, "new doc", "web") for i in range(50)],
+            "doc_id long, text string, source string",
+        )
+    )
+    again = {r["doc_id"]: r["split"]
+             for r in sampling.split_assign(bigger, (0.8, 0.1, 0.1),
+                                            ("train", "val", "test")).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["split"]
+
+
+def test_split_validations(corpus):
+    with pytest.raises(ValueError):
+        sampling.split_assign(corpus, (0.5, 0.4), ("a", "b", "c"))
+    with pytest.raises(ValueError):
+        sampling.split_assign(corpus, (0.5, 0.4), ("a", "b"))
+
+
+# ----------------------------------------------------------------------
+# decontamination
+@pytest.fixture(scope="module")
+def contaminated(spark):
+    bench = spark.createDataFrame(
+        [(100, "what is the capital city of france exactly")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains benchmark 5-gram "the capital city of france"
+            (0, "quiz answer the capital city of france is paris obviously"),
+            (1, "a completely unrelated training document about spark plans"),
+            (2, "short doc"),  # < 5 words: zero n-grams, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    return docs, bench
+
+
+def test_contamination_flags(contaminated):
+    docs, bench = contaminated
+    flags = {r["doc_id"]: r for r in
+             decontam.contamination_flags(docs, bench, n=5).collect()}
+    assert len(flags) == 3
+    assert flags[0]["contaminated"] and flags[0]["n_contaminated"] >= 1
+    assert not flags[1]["contaminated"] and flags[1]["n_contaminated"] == 0
+    assert flags[2]["n_grams"] == 0 and not flags[2]["contaminated"]
+    # n_grams: len-4 sliding windows of a 10-word doc = 6 distinct
+    assert flags[0]["n_grams"] == 6
+
+
+def test_decontaminate_drops_only_contaminated(contaminated):
+    docs, bench = contaminated
+    kept = {r["doc_id"] for r in decontam.decontaminate(docs, bench, n=5).collect()}
+    assert kept == {1, 2}
+
+
+# ----------------------------------------------------------------------
+# PII redaction
+def test_redact_pii_golden(spark):
+    rows = [
+        (0, "mail bob.smith+x@corp.example.org or 10.0.0.1 or +47-123-456-7890 now"),
+        (1, "nothing sensitive here at all"),
+        (2, "two mails a@b.co c@d.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_ops.redact_pii(df).collect()}
+    assert out[0]["redacted"] == "mail <EMAIL> or <IP> or <PHONE> now"
+    assert out[0]["n_redactions"] == 3
+    assert out[1]["redacted"] == rows[1][1] and out[1]["n_redactions"] == 0
+    assert out[2]["redacted"] == "two mails <EMAIL> <EMAIL>"
+    assert out[2]["n_redactions"] == 2
