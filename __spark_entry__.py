@@ -29,6 +29,7 @@ from my_weather_spark.ops import timeseries as ts_ops
 from my_weather_spark.llm import dedup, similarity, text as text_ops
 from my_weather_spark.llm import sampling as llm_sampling
 from my_weather_spark.llm import decontam as llm_decontam
+from my_weather_spark.llm import packing as llm_packing
 from my_weather_spark.model import UtcPeriod, MEASUREMENT_TYPES
 from my_weather_spark.sources.heartbeat import synthetic_series
 
@@ -2221,6 +2222,64 @@ def pii_redaction(spark, sf_dir):
     return text_ops.redact_pii(d)
 
 
+@_q(
+    "pack_chunks_by_source",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens,
+             sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+           (cum - n_tokens) // 512 AS chunk_start,
+           CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+                ELSE (cum - n_tokens) // 512 END AS chunk_end,
+           (cum - n_tokens) % 512 AS offset_in_chunk
+    FROM t
+    """,
+)
+def pack_chunks_by_source(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 512-token context
+    windows, one independent pack stream per source (the only exchange
+    is the group-key hash partition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_packing.pack_chunks(docs, capacity=512)
+
+
+@_q(
+    "corpus_stats",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_tokens_est,
+           round(quantile_cont(length(text), CAST(0.5 AS DOUBLE)), 6) AS p50_chars,
+           round(quantile_cont(length(text), CAST(0.95 AS DOUBLE)), 6) AS p95_chars,
+           max(length(text)) AS max_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def corpus_stats(spark, sf_dir):
+    """Per-source corpus profile: doc counts, language spread, token
+    budget, exact length quantiles — the summary a mixing-weight
+    decision is made from. One hash aggregate with map-side partials;
+    the exact percentile is the only memory-heavy part and stays
+    per-group."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.length("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.ceil(chars / 4).cast("long")).cast("long").alias("total_tokens_est"),
+        F.round(F.expr("percentile(length(text), 0.5D)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(length(text), 0.95D)"), 6).alias("p95_chars"),
+        F.max(chars).alias("max_chars"),
+    )
+
+
 # ===========================================================================
 # Additional coverage: sessionization, pivot, set ops, part dim,
 # language ID, scheme routing, rows-only ops (RDP, IVF).
@@ -2695,7 +2754,7 @@ _R1_UNVERIFIED = [
     # round-2 additions, driver-unseen until their first green round
     "mixed_interpretation_expand", "mixed_interpretation_resample",
     "sample_stratified_counts", "split_assign_counts", "decontam_flags",
-    "pii_redaction",
+    "pii_redaction", "pack_chunks_by_source", "corpus_stats",
 ]
 
 

@@ -4,7 +4,7 @@ splits, benchmark decontamination, PII redaction."""
 import pytest
 from pyspark.sql import functions as F
 
-from my_weather_spark.llm import decontam, sampling, text as text_ops
+from my_weather_spark.llm import decontam, packing, sampling, text as text_ops
 
 
 @pytest.fixture(scope="module")
@@ -138,6 +138,34 @@ def test_decontaminate_drops_only_contaminated(contaminated):
     docs, bench = contaminated
     kept = {r["doc_id"] for r in decontam.decontaminate(docs, bench, n=5).collect()}
     assert kept == {1, 2}
+
+
+# ----------------------------------------------------------------------
+# sequence packing
+def test_pack_chunks_layout(spark):
+    # explicit token counts: 60 + 50 + 30 in one group, capacity 100
+    rows = [(0, "g", 60), (1, "g", 50), (2, "g", 30), (3, "h", 250)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = {r["doc_id"]: r for r in
+           packing.pack_chunks(df, capacity=100, token_col="n_tok").collect()}
+    # doc0: tokens 0-59 in chunk 0
+    assert (out[0]["chunk_start"], out[0]["chunk_end"], out[0]["offset_in_chunk"]) == (0, 0, 0)
+    # doc1: tokens 60-109 straddles chunks 0-1, starts at offset 60
+    assert (out[1]["chunk_start"], out[1]["chunk_end"], out[1]["offset_in_chunk"]) == (0, 1, 60)
+    # doc2: tokens 110-139 in chunk 1
+    assert (out[2]["chunk_start"], out[2]["chunk_end"], out[2]["offset_in_chunk"]) == (1, 1, 10)
+    # group h is an independent stream: doc3 spans chunks 0-2 of h
+    assert (out[3]["chunk_start"], out[3]["chunk_end"], out[3]["offset_in_chunk"]) == (0, 2, 0)
+
+
+def test_pack_chunks_validation_and_default_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "g", "x" * 8)], "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError):
+        packing.pack_chunks(df, capacity=0)
+    row = packing.pack_chunks(df, capacity=100).collect()[0]
+    assert row["n_tokens"] == 2  # ceil(8 / 4)
 
 
 # ----------------------------------------------------------------------
