@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from my_weather_spark.llm import dedup, text as text_ops
+from my_weather_spark.llm import decontam, dedup, packing, sampling, text as text_ops
 
 
 @dataclass
@@ -100,3 +100,98 @@ def clean_corpus(
         .join(fp, id_col)
     )
     return out, CleanReport(n_input, n_quality, n_exact, n_near, n_pairs)
+
+
+@dataclass
+class CurateReport:
+    clean: CleanReport
+    n_after_decontam: int
+    n_after_mixing: int
+    n_train: int
+    n_val: int
+    n_test: int
+    n_chunks: int
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    mixing_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    split_weights: tuple[float, ...] = (0.98, 0.01, 0.01),
+    chunk_capacity: int = 2048,
+    decontam_ngram: int = 5,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "curate",
+    **clean_kwargs,
+) -> tuple[DataFrame, CurateReport]:
+    """The full pretraining-data preparation flow, clean through packed:
+
+        clean_corpus (quality -> exact dedup -> LSH near-dup)
+          -> benchmark decontamination (broadcast n-gram anti-join)
+          -> data mixing (per-source deterministic hash rates)
+          -> train/val/test split assignment (hash buckets)
+          -> sequence packing of the train split (concat-and-chunk)
+
+    Returns (packed-and-labeled corpus, stage-count report). The output
+    carries every doc that survives curation with its split label and —
+    for train docs — chunk coordinates (null for val/test, which are
+    served unpacked).
+
+    Stage order is the one a 100 TB run wants: each stage shrinks the
+    corpus before the next touches it, the benchmark side broadcasts,
+    and mixing/splits are narrow in-row filters. Deterministic
+    end-to-end: same input, seeds, and rates -> byte-identical output.
+    """
+    clean, clean_report = clean_corpus(
+        docs, text_col=text_col, id_col=id_col, **clean_kwargs
+    )
+
+    if benchmark is not None:
+        clean = decontam.decontaminate(
+            clean, benchmark, n=decontam_ngram, text_col=text_col, id_col=id_col
+        )
+    n_decontam = clean.count()
+
+    if mixing_rates:
+        clean = sampling.stratified_sample(
+            clean, mixing_rates, strata_col=strata_col,
+            default_rate=default_rate, seed=seed, id_col=id_col,
+        )
+    n_mixed = clean.count()
+
+    labels = ("train", "val", "test")[: len(split_weights)]
+    labeled = sampling.split_assign(
+        clean, weights=split_weights, labels=labels, seed=seed, id_col=id_col
+    )
+    split_counts = {
+        r["split"]: r["n"]
+        for r in labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    train = labeled.where(F.col("split") == "train")
+    packed = packing.pack_chunks(
+        train, capacity=chunk_capacity, token_col="n_tokens_est",
+        group_col=strata_col, text_col=text_col, id_col=id_col,
+    ).select(id_col, strata_col, "chunk_start", "chunk_end", "offset_in_chunk")
+    out = labeled.join(
+        packed.drop(strata_col), id_col, "left"
+    )
+    # chunk ids are per pack group: total = sum over groups of max+1
+    per_group = packed.groupBy(strata_col).agg(
+        (F.max("chunk_end") + 1).alias("n")
+    )
+    n_chunks = per_group.agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
+
+    report = CurateReport(
+        clean=clean_report,
+        n_after_decontam=n_decontam,
+        n_after_mixing=n_mixed,
+        n_train=split_counts.get("train", 0),
+        n_val=split_counts.get("val", 0),
+        n_test=split_counts.get("test", 0),
+        n_chunks=int(n_chunks),
+    )
+    return out, report

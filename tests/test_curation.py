@@ -169,6 +169,57 @@ def test_pack_chunks_validation_and_default_tokens(spark):
 
 
 # ----------------------------------------------------------------------
+# end-to-end curation pipeline
+def test_curate_corpus_end_to_end(spark):
+    from my_weather_spark.llm.pipeline import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    bench_text = "what is the capital city of france and its population size"
+    rows = [
+        (0, base, "web"),
+        (1, base, "web"),  # exact dup -> dropped
+        # contaminated: shares the benchmark 5-gram
+        (2, "quiz answer the capital city of france and its population grows yearly", "web"),
+        (3, "completely different words about spark engines scaling large data very well", "books"),
+        (4, "another long and unique training document with plenty of words inside it", "books"),
+        (5, "x! y?", "web"),  # fails quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out, rep = curate_corpus(
+        docs,
+        benchmark=bench,
+        split_weights=(1.0,),
+        min_words=5,
+        jaccard_threshold=0.8,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # dup, contaminated, and low-quality docs are gone
+    assert set(got) == {0, 3, 4}
+    assert rep.clean.n_input == 6
+    assert rep.n_after_decontam == 3
+    assert rep.n_train == 3 and rep.n_val == 0 and rep.n_test == 0
+    # everything is train (weights 100%) and packed from chunk 0 up
+    assert all(r["split"] == "train" for r in got.values())
+    assert got[0]["chunk_start"] == 0 and got[0]["offset_in_chunk"] == 0
+    # books stream packs independently: doc 3 starts its own chunk 0
+    assert got[3]["chunk_start"] == 0 and got[3]["offset_in_chunk"] == 0
+    assert got[4]["offset_in_chunk"] == got[3]["n_tokens_est"]
+    assert rep.n_chunks >= 2  # at least one chunk per source stream
+
+
+def test_curate_corpus_split_weights_must_cover(spark):
+    from my_weather_spark.llm.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "ten words of text padding out this quality gate fine", "web")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError):
+        curate_corpus(docs, split_weights=(0.5, 0.4))
+
+
+# ----------------------------------------------------------------------
 # PII redaction
 def test_redact_pii_golden(spark):
     rows = [
