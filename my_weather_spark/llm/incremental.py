@@ -1,0 +1,244 @@
+"""Incremental corpus ingestion: dedup NEW documents against a
+persisted signature store instead of re-running LSH over the whole
+corpus on every ingest.
+
+At 100 TB a corpus is not rebuilt — batches arrive and must be checked
+against everything already accepted. Re-running the full
+LSH-self-join per batch would cost O(corpus) per ingest; this store
+makes an ingest cost O(batch + matched buckets):
+
+- the store persists, per accepted doc, its LSH band keys (the bucket
+  table) and its 60-bit hashed WORD SET (for exact Jaccard verify
+  without retaining text) plus a content hash (exact-dup check);
+- an incoming batch is hashed in-row, then probed against the store
+  with the batch side BROADCAST on every join — the store is scanned
+  (column-pruned, never shuffled) and only colliding buckets produce
+  verify work;
+- verification is exact Jaccard over the stored word-hash sets — the
+  same arithmetic as ``jaccard_for_candidates(hashed=True)``, so batch
+  ingest and full-corpus rebuild agree on every accept/reject;
+- accepted docs append their band + word-set rows; rejected docs leave
+  no trace. Within-batch duplicates resolve by smallest id first, so
+  ingest order inside a batch never matters.
+
+The store is the incremental twin of ``minhash_lsh_pairs`` →
+``jaccard_for_candidates``: same signature family, same verify
+semantics, amortized per-batch cost.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_weather_spark.llm import dedup
+
+
+@dataclass
+class IngestReport:
+    n_batch: int
+    n_exact_rejected: int
+    n_near_rejected: int
+    n_accepted: int
+
+
+def _word_hashes(text_col: str):
+    """Distinct 60-bit md5 word hashes, in-row (matches
+    jaccard_for_candidates(hashed=True) exactly)."""
+    return F.array_distinct(
+        F.transform(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
+
+class SignatureStore:
+    """Persisted LSH state for incremental dedup.
+
+    Layout under ``path``:
+      ``bands/`` — (doc_id, band, band_key): the LSH bucket table
+      ``docs/``  — (doc_id, content_hash, word_hashes): verify state
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 16,
+        band_size: int = 4,
+        jaccard_threshold: float = 0.85,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        self.jaccard_threshold = jaccard_threshold
+
+    # -- helpers --------------------------------------------------------
+    def _exists(self, sub: str) -> bool:
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{sub}")
+        return p.getFileSystem(conf).exists(p)
+
+    def bands(self) -> DataFrame:
+        schema = "doc_id long, band int, band_key string"
+        if not self._exists("bands"):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(f"{self.path}/bands")
+
+    def docs(self) -> DataFrame:
+        schema = "doc_id long, content_hash string, word_hashes array<bigint>"
+        if not self._exists("docs"):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(f"{self.path}/docs")
+
+    # -- ingest ---------------------------------------------------------
+    def ingest(
+        self,
+        new_docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> tuple[DataFrame, IngestReport]:
+        """Dedup ``new_docs`` against the store AND within the batch;
+        append survivors' signatures; return (accepted rows, report).
+
+        Batch ids must be disjoint from already-ingested ids (they are
+        corpus-global ids by construction).
+        """
+        n_batch = new_docs.count()
+
+        batch = new_docs.select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("content_hash"),
+            _word_hashes(text_col).alias("word_hashes"),
+        ).cache()
+
+        # 1. exact dups: within batch (keep smallest id per hash), then
+        # against the store's content hashes.
+        batch_keep = (
+            batch.groupBy("content_hash")
+            .agg(F.min(id_col).alias("_keep"))
+            .select(F.col("_keep").alias(id_col))
+        )
+        batch1 = batch.join(batch_keep, id_col, "left_semi")
+        store_hashes = self.docs().select("content_hash")
+        exact_clean = batch1.join(
+            store_hashes.join(
+                F.broadcast(batch1.select("content_hash").distinct()),
+                "content_hash",
+                "left_semi",
+            ),
+            "content_hash",
+            "left_anti",
+        )
+        n_exact_rejected = n_batch - exact_clean.count()
+
+        # 2. near dups vs the STORE: probe the bucket table with the
+        # batch's bands (batch side broadcast — the store only scans),
+        # verify colliding pairs by exact hashed-word Jaccard.
+        new_bands = dedup.minhash_signatures(
+            exact_clean.join(new_docs.select(id_col, text_col), id_col),
+            self.num_hashes,
+            self.band_size,
+            text_col,
+            id_col,
+        ).cache()
+        store_cand = (
+            self.bands()
+            .join(
+                F.broadcast(
+                    new_bands.select(
+                        F.col(id_col).alias("_new_id"), "band", "band_key"
+                    )
+                ),
+                ["band", "band_key"],
+            )
+            .select(F.col("_new_id"), F.col("doc_id").alias("_old_id"))
+            .distinct()
+        )
+        verified = (
+            store_cand.join(
+                F.broadcast(
+                    batch.select(F.col(id_col).alias("_new_id"),
+                                 F.col("word_hashes").alias("_wa"))
+                ),
+                "_new_id",
+            )
+            .join(
+                self.docs().select(F.col("doc_id").alias("_old_id"),
+                                   F.col("word_hashes").alias("_wb")),
+                "_old_id",
+            )
+            .withColumn("_ni", F.size(F.array_intersect("_wa", "_wb")))
+            .withColumn(
+                "_j",
+                F.col("_ni")
+                / (F.size("_wa") + F.size("_wb") - F.col("_ni")),
+            )
+            .where(F.col("_j") >= self.jaccard_threshold)
+        )
+        store_dups = verified.select(F.col("_new_id").alias(id_col)).distinct()
+
+        # 3. near dups WITHIN the batch: bucket-join the new bands with
+        # themselves, verify, keep the smaller id.
+        a = new_bands.select(F.col(id_col).alias("_ia"), "band", "band_key")
+        b = new_bands.select(F.col(id_col).alias("_ib"), "band", "band_key")
+        batch_pairs = (
+            a.join(b, ["band", "band_key"])
+            .where(F.col("_ia") < F.col("_ib"))
+            .select("_ia", "_ib")
+            .distinct()
+        )
+        wh = batch.select(F.col(id_col), F.col("word_hashes"))
+        batch_dups = (
+            batch_pairs.join(
+                wh.select(F.col(id_col).alias("_ia"), F.col("word_hashes").alias("_wa")),
+                "_ia",
+            )
+            .join(
+                wh.select(F.col(id_col).alias("_ib"), F.col("word_hashes").alias("_wb")),
+                "_ib",
+            )
+            .withColumn("_ni", F.size(F.array_intersect("_wa", "_wb")))
+            .withColumn(
+                "_j", F.col("_ni") / (F.size("_wa") + F.size("_wb") - F.col("_ni"))
+            )
+            .where(F.col("_j") >= self.jaccard_threshold)
+            .select(F.col("_ib").alias(id_col))  # larger id loses
+            .distinct()
+        )
+
+        rejected_near = store_dups.unionByName(batch_dups).distinct()
+        # localCheckpoint (eager) SEVERS the lineage to the store scan:
+        # the appends below change what self.docs()/self.bands() read,
+        # and a lazy plan re-evaluated afterwards would see the batch's
+        # own rows and reject everything as a self-duplicate.
+        accepted_meta = exact_clean.join(
+            rejected_near, id_col, "left_anti"
+        ).localCheckpoint()
+        n_accepted = accepted_meta.count()
+        n_near_rejected = n_batch - n_exact_rejected - n_accepted
+
+        # 4. persist survivors' signatures (append-only).
+        acc_ids = accepted_meta.select(id_col)
+        accepted_meta.select(id_col, "content_hash", "word_hashes").write.mode(
+            "append"
+        ).parquet(f"{self.path}/docs")
+        new_bands.join(acc_ids, id_col, "left_semi").select(
+            id_col, "band", "band_key"
+        ).write.mode("append").parquet(f"{self.path}/bands")
+
+        accepted = new_docs.join(acc_ids, id_col, "left_semi")
+        report = IngestReport(
+            n_batch=n_batch,
+            n_exact_rejected=n_exact_rejected,
+            n_near_rejected=n_near_rejected,
+            n_accepted=n_accepted,
+        )
+        batch.unpersist()
+        new_bands.unpersist()
+        return accepted, report

@@ -1,0 +1,98 @@
+"""Incremental ingestion dedup: batches vs a persisted signature store."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_weather_spark.llm.incremental import SignatureStore
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+OTHER = "completely different words about spark engines scaling large data very well"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SignatureStore(spark, str(tmp_path / "sigstore"), jaccard_threshold=0.8)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_ingest_accepts_all(spark, store):
+    batch = _docs(spark, [(0, BASE), (1, OTHER)])
+    accepted, rep = store.ingest(batch)
+    assert {r["doc_id"] for r in accepted.collect()} == {0, 1}
+    assert (rep.n_batch, rep.n_exact_rejected, rep.n_near_rejected, rep.n_accepted) == (2, 0, 0, 2)
+    assert store.docs().count() == 2
+    assert store.bands().count() == 2 * 4  # 16 hashes / band_size 4
+
+
+def test_second_batch_rejects_dups_against_store(spark, store):
+    store.ingest(_docs(spark, [(0, BASE), (1, OTHER)]))
+    batch2 = _docs(
+        spark,
+        [
+            (10, BASE),                                  # exact dup of stored 0
+            (11, BASE.replace("runs", "sprints")),       # near dup of stored 0
+            (12, "a fresh unique document with plenty of brand new words in it"),
+        ],
+    )
+    accepted, rep = store.ingest(batch2)
+    assert {r["doc_id"] for r in accepted.collect()} == {12}
+    assert rep.n_exact_rejected == 1
+    assert rep.n_near_rejected == 1
+    assert rep.n_accepted == 1
+    # only the survivor's signatures were appended
+    assert store.docs().count() == 3
+    ids = {r["doc_id"] for r in store.docs().select("doc_id").collect()}
+    assert ids == {0, 1, 12}
+
+
+def test_within_batch_near_dup_keeps_smallest_id(spark, store):
+    batch = _docs(
+        spark,
+        [
+            (5, BASE),
+            (6, BASE),                              # exact dup within batch
+            (7, BASE.replace("dog", "cat")),        # near dup within batch
+            (8, OTHER),
+        ],
+    )
+    accepted, rep = store.ingest(batch)
+    assert {r["doc_id"] for r in accepted.collect()} == {5, 8}
+    assert rep.n_exact_rejected == 1  # 6
+    assert rep.n_near_rejected == 1   # 7
+    assert rep.n_accepted == 2
+
+
+def test_reingest_same_content_is_idempotent(spark, store):
+    store.ingest(_docs(spark, [(0, BASE)]))
+    accepted, rep = store.ingest(_docs(spark, [(20, BASE)]))
+    assert accepted.count() == 0
+    assert rep.n_exact_rejected == 1
+    assert store.docs().count() == 1  # nothing appended
+
+
+def test_incremental_agrees_with_full_rebuild(spark, store, tmp_path):
+    # ingesting in two batches must accept exactly the docs a full
+    # clean over the union would keep (same signatures, same verify)
+    from my_weather_spark.llm import dedup
+
+    rows = [
+        (0, BASE),
+        (1, OTHER),
+        (2, BASE.replace("runs", "walks")),     # near dup of 0
+        (3, OTHER + " with an extra tail"),     # near dup of 1
+        (4, "entirely novel content thats not like anything else around here"),
+    ]
+    store.ingest(_docs(spark, rows[:2]))
+    acc2, _ = store.ingest(_docs(spark, rows[2:]))
+    incremental_ids = {0, 1} | {r["doc_id"] for r in acc2.collect()}
+
+    full = _docs(spark, rows)
+    cand = dedup.minhash_lsh_pairs(full)
+    verified = dedup.jaccard_for_candidates(full, cand, min_jaccard=0.8)
+    losers = {r["doc_b"] for r in verified.collect()}
+    full_ids = {r[0] for r in full.select("doc_id").collect()} - losers
+    assert incremental_ids == full_ids
