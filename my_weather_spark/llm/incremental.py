@@ -242,3 +242,58 @@ class SignatureStore:
         batch.unpersist()
         new_bands.unpersist()
         return accepted, report
+
+
+# ----------------------------------------------------------------------
+# Streaming ingestion: the continuous twin of batch ingest.
+def stream_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    store: SignatureStore,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    trigger_available_now: bool = True,
+    processing_time: str = "5 minutes",
+    max_files_per_trigger: int = 16,
+    query_name: str | None = None,
+):
+    """Continuously ingest documents from a parquet landing area:
+    every micro-batch runs :meth:`SignatureStore.ingest` (dedup vs the
+    whole accepted corpus AND within the batch) and appends survivors
+    to ``accepted_dir``.
+
+    The signature store doubles as the streaming state — unbounded
+    corpus-lifetime dedup state lives in parquet, not executor memory,
+    so this never hits the watermark-bounded-state limitation of
+    ``dropDuplicatesWithinWatermark``. Re-delivered files are
+    idempotent: their docs exact-match the store and are rejected.
+
+    Returns the StreamingQuery. ``trigger_available_now=True`` drains
+    the landing area and stops (scheduled-batch cadence);
+    otherwise micro-batches every ``processing_time``.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        accepted, _report = store.ingest(batch_df)
+        accepted.write.mode("append").parquet(accepted_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -74,6 +74,37 @@ def test_reingest_same_content_is_idempotent(spark, store):
     assert store.docs().count() == 1  # nothing appended
 
 
+def test_stream_ingest_two_waves(spark, tmp_path):
+    from my_weather_spark.llm.incremental import SignatureStore, stream_ingest
+
+    landing = str(tmp_path / "landing")
+    accepted_dir = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    sig = SignatureStore(spark, str(tmp_path / "sig"), jaccard_threshold=0.8)
+    schema = "doc_id long, text string"
+
+    # wave 1: two unique docs
+    _docs(spark, [(0, BASE), (1, OTHER)]).write.mode("append").parquet(landing)
+    q = stream_ingest(spark, landing, sig, accepted_dir, ckpt, schema=schema)
+    q.awaitTermination(120)
+
+    # wave 2: an exact dup, a near dup, and a fresh doc
+    _docs(
+        spark,
+        [
+            (10, BASE),
+            (11, BASE.replace("runs", "sprints")),
+            (12, "a fresh unique document with plenty of brand new words in it"),
+        ],
+    ).write.mode("append").parquet(landing)
+    q = stream_ingest(spark, landing, sig, accepted_dir, ckpt, schema=schema)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.schema(schema).parquet(accepted_dir).collect()}
+    assert got == {0, 1, 12}
+    assert sig.docs().count() == 3
+
+
 def test_incremental_agrees_with_full_rebuild(spark, store, tmp_path):
     # ingesting in two batches must accept exactly the docs a full
     # clean over the union would keep (same signatures, same verify)
