@@ -166,19 +166,63 @@ class TsStore:
         ).mode("overwrite").parquet(self.path)
 
     # -- compaction --------------------------------------------------------
-    def compact(self, target_records_per_file: int = 5_000_000) -> None:
+    @staticmethod
+    def _zvalue(a, b, bits: int = 16):
+        """Interleave the low ``bits`` of two long columns (a in even
+        positions, b in odd) — the Morton/Z curve key."""
+        z = F.lit(0).cast("long")
+        for k in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(a, k).bitwiseAND(F.lit(1)), 2 * k)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(b, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+            )
+        return z
+
+    def compact(
+        self,
+        target_records_per_file: int = 5_000_000,
+        cluster: str = "linear",
+    ) -> None:
         """Rewrite the dataset coalescing small files.
 
         Repeated incremental merges leave one small file per (partition,
         write); at 100 TB the 5-minute cadence would otherwise produce
         288 files/partition/day and scans degrade on open() overhead.
         Run periodically (the reference's daily backfill slot is the
-        natural place). sortWithinPartitions(series_id, ts) gives
-        row-group clustering so series/ts predicates skip row groups.
+        natural place).
+
+        ``cluster`` picks the row/row-group clustering inside each
+        (source, date) partition:
+
+        * ``"linear"`` — sort by (series_id, ts). Optimal when queries
+          always lead with series_id; a ts-only predicate still touches
+          every file (each holds its series' full day).
+        * ``"zorder"`` — sort by the Morton interleave of the two
+          columns' 16-bit percent-rank ordinals. Every output file then
+          covers a narrow range of BOTH series_id and ts, so min/max
+          stats prune files/row groups for series-only, ts-only, and
+          combined predicates alike — the right layout when the store
+          serves mixed dashboards. Rank-based ordinals (not hashes)
+          keep real value locality, so parquet min/max stay tight.
         """
-        df = self._read_all().sortWithinPartitions(
-            "source", "date", "series_id", "ts"
-        )
+        df = self._read_all()
+        if cluster == "zorder":
+            bits = 16
+            scale = (1 << bits) - 1
+            sw = W.partitionBy(*PARTITION_COLS).orderBy("series_id")
+            tw = W.partitionBy(*PARTITION_COLS).orderBy("ts")
+            s_ord = (F.percent_rank().over(sw) * scale).cast("long")
+            t_ord = (F.percent_rank().over(tw) * scale).cast("long")
+            df = (
+                df.withColumn("_z", self._zvalue(s_ord, t_ord, bits))
+                .sortWithinPartitions("source", "date", "_z")
+                .drop("_z")
+            )
+        elif cluster == "linear":
+            df = df.sortWithinPartitions("source", "date", "series_id", "ts")
+        else:
+            raise ValueError(f"unknown cluster mode: {cluster!r}")
         df = df.localCheckpoint(eager=True)
         (
             df.write.partitionBy(*PARTITION_COLS)

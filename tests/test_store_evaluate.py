@@ -11,6 +11,7 @@ Mirrors the reference's service-layer goldens (SURVEY.md §5):
 from datetime import datetime, timezone
 
 import pytest
+from pyspark.sql import functions as F
 
 from my_weather_spark.evaluate import TsEngine
 from my_weather_spark.model import UtcPeriod
@@ -208,6 +209,45 @@ def test_store_compaction_preserves_data(spark, engine):
     after = engine.evaluate([sid], UtcPeriod(0, 1000)).collect()
     assert [r["value"] for r in after] == [r["value"] for r in before]
     assert len(after) == 30
+
+
+def test_store_compaction_zorder_clusters_both_dims(spark, tmp_path):
+    from my_weather_spark.store import TsStore
+
+    store = TsStore(spark, str(tmp_path / "zstore"))
+    # 8 series x 400 points, one day — enough rows for multiple files
+    rows = [
+        (f"shyft://z/s{s}", _dt(i * 60), float(s * 1000 + i))
+        for s in range(8)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "series_id string, ts timestamp, value double")
+    store.store(df, source="zsrc")
+    store.compact(target_records_per_file=400, cluster="zorder")
+
+    out = spark.read.parquet(store.path)
+    assert out.count() == 3200  # round-trips
+
+    per_file = (
+        out.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.countDistinct("series_id").alias("n_series"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "ts_span"
+            ),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    full_span = 399 * 60
+    # z-clustering: every file covers a narrow range of BOTH dims —
+    # a linear (series, ts) sort would give files with ts_span == full
+    assert all(r["n_series"] <= 4 for r in per_file)
+    assert all(r["ts_span"] <= full_span * 0.75 for r in per_file)
+
+    with pytest.raises(ValueError):
+        store.compact(cluster="hilbert")
 
 
 def test_evaluate_duplicate_ids_keep_positions(engine):
