@@ -395,7 +395,9 @@ def ivf_assign(
 
     from my_weather_spark.llm.dedup import _fan_out
 
-    schema = f"{id_col} long, {vec_col} array<float>, {centroid_id_col} long"
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {vec_col} {vec_type}, {centroid_id_col} long"
     return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(_assign, schema)
 
 
@@ -432,16 +434,18 @@ def ivf_topk(
     q_mat = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     sims = q_mat @ c_mat.T
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    _cast = int if q_id_type in ("bigint", "int", "smallint", "tinyint") else (lambda x: x)
     probe_rows = []
     for qi, qid in enumerate(q_pdf[id_col].tolist()):
         # deterministic probe order: (-sim, centroid_id)
         order = sorted(range(len(c_ids)), key=lambda j: (-sims[qi, j], c_ids[j]))
         for j in order[:nprobe]:
             probe_rows.append(
-                (int(qid), int(c_ids[j]), [float(x) for x in q_pdf[vec_col][qi]])
+                (_cast(qid), int(c_ids[j]), [float(x) for x in q_pdf[vec_col][qi]])
             )
     qprobe = spark.createDataFrame(
-        probe_rows, "query_id long, centroid_id long, _qv array<float>"
+        probe_rows, f"query_id {q_id_type}, centroid_id long, _qv array<float>"
     )
     # Literal IN-list on the partition column: guarantees static
     # partition pruning at the parquet scan (PartitionFilters), beyond
@@ -476,7 +480,10 @@ def ivf_topk(
                 }
             )
 
-    scored = joined.mapInPandas(_score, "query_id long, neighbor_id long, cos double")
+    n_id_type = index.schema[id_col].dataType.simpleString()
+    scored = joined.mapInPandas(
+        _score, f"query_id {q_id_type}, neighbor_id {n_id_type}, cos double"
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -86,6 +86,19 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir, tmp_path):
     assert a2 == a
 
 
+def test_ivf_string_ids(spark):
+    # id column type flows through assign/probe/score schemas
+    rows = [(f"doc-{i}", [float(i == j) for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    queries = emb.where(F.col("vec_id").isin("doc-0", "doc-1"))
+    centroids = similarity.ivf_centroids(emb, n_centroids=4, refine_iters=0)
+    got = similarity.ivf_topk(emb, queries, centroids, k=2, nprobe=4)
+    out = got.collect()
+    assert len(out) > 0
+    assert all(isinstance(r["query_id"], str) and isinstance(r["neighbor_id"], str)
+               for r in out)
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir):
     from my_weather_spark.tables import load_table
 
