@@ -16,6 +16,8 @@ import sys
 import tempfile
 from datetime import datetime, timezone
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from my_weather_spark import Domain, EngineSession, TsEngine, TsStore, UtcPeriod, visual
@@ -97,12 +99,38 @@ def main() -> None:
     tiles.select("series_id", "min_value", "max_value", "last_value", "tile_text").show(truncate=False)
 
     # --- 6. corpus cleaning over the synthetic documents -----------------
-    from my_weather_spark.llm.pipeline import clean_corpus
+    from my_weather_spark.llm.pipeline import clean_corpus, curate_corpus
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     clean, report = clean_corpus(docs, min_words=5, jaccard_threshold=0.9)
     print("corpus report:", report)
     clean.select("doc_id", "n_words", "predicted_lang").show(5)
+
+    # --- 7. full curation: clean -> decontam -> mix -> split -> pack -----
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    curated, crep = curate_corpus(
+        docs.where(F.col("doc_id") % 97 != 0),
+        benchmark=bench,
+        mixing_rates={"src0": 1.0, "src1": 0.5},
+        default_rate=0.25,
+        split_weights=(0.9, 0.05, 0.05),
+        chunk_capacity=512,
+        min_words=5,
+        jaccard_threshold=0.9,
+    )
+    print("curation report:", crep)
+    curated.select(
+        "doc_id", "source", "split", "chunk_start", "offset_in_chunk"
+    ).orderBy("source", "chunk_start").show(8)
+
+    # --- 8. incremental ingestion against the persisted signature store --
+    from my_weather_spark.llm.incremental import SignatureStore
+
+    sig = SignatureStore(spark, os.path.join(workdir, "sigstore"))
+    first, rep1 = sig.ingest(docs.limit(50))
+    again, rep2 = sig.ingest(docs.limit(50))  # re-offer: all exact dups
+    print("ingest 1:", rep1)
+    print("ingest 2 (re-offered):", rep2)
 
 
 if __name__ == "__main__":
