@@ -2223,6 +2223,44 @@ def pii_redaction(spark, sf_dir):
 
 
 @_q(
+    "text_repetition_stats",
+    """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(range(1, len(w)), p -> w[p] || ' ' || w[p+1])
+             ELSE [] END AS bigrams
+      FROM ws),
+    top AS (
+      SELECT doc_id, w, bigrams,
+             CASE WHEN len(bigrams) > 0 THEN
+               list_max(list_transform(list_distinct(bigrams),
+                 b -> len(list_filter(bigrams, x -> x = b))))
+             ELSE NULL END AS top_count
+      FROM bg)
+    SELECT doc_id,
+           len(w) AS n_words,
+           round(CASE WHEN len(w) > 0
+                 THEN 1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
+                 ELSE 0 END, 6) AS dup_word_ratio,
+           round(CASE WHEN len(bigrams) > 0
+                 THEN top_count / CAST(len(bigrams) AS DOUBLE)
+                 ELSE 0 END, 6) AS top_bigram_ratio
+    FROM top
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-family repetition signals (dup-word ratio, top-bigram
+    fraction) — boilerplate detectors that fire where length/stopword
+    quality metrics look fine. In-row, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(docs)
+
+
+@_q(
     "pack_chunks_by_source",
     """
     WITH t AS (
@@ -2755,6 +2793,7 @@ _R1_UNVERIFIED = [
     "mixed_interpretation_expand", "mixed_interpretation_resample",
     "sample_stratified_counts", "split_assign_counts", "decontam_flags",
     "pii_redaction", "pack_chunks_by_source", "corpus_stats",
+    "text_repetition_stats",
 ]
 
 

@@ -144,6 +144,65 @@ def fingerprint(
 
 
 # ----------------------------------------------------------------------
+# Repetition signals: the Gopher-rules repetition family (duplicate
+# word ratio, most-frequent-bigram fraction). Boilerplate and
+# template-generated text score high on these even when length and
+# stopword ratios look fine.
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_words, dup_word_ratio, top_bigram_ratio).
+
+    dup_word_ratio = 1 - distinct/total words; top_bigram_ratio =
+    occurrences of the most frequent word bigram / total bigrams.
+    Entirely in-row (array HOFs over the word array — one narrow map
+    pass, no explode/shuffle): per doc the bigram count is
+    O(distinct-bigrams x bigrams), fine at document sizes and
+    embarrassingly parallel at corpus scale.
+    """
+    # Bind the derived arrays to columns BEFORE the nested HOFs: a
+    # lambda that references a derived expression re-evaluates it per
+    # element (O(words) splits per bigram); referencing a bound column
+    # reads the materialized array.
+    w_df = df.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+    bigrams_raw = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda p: F.concat(
+            F.element_at("_w", p), F.lit(" "), F.element_at("_w", p + 1)
+        ),
+    )
+    # sequence(1, k) descends for k < 1 — a doc under 2 words has no bigrams
+    b_df = w_df.select(
+        id_col,
+        "_w",
+        F.when(F.size("_w") >= 2, bigrams_raw)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_bg"),
+    )
+    n = F.size("_w")
+    n_distinct = F.size(F.array_distinct("_w"))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("_bg"),
+            lambda b: F.size(F.filter("_bg", lambda x: x == b)),
+        )
+    )
+    return b_df.select(
+        id_col,
+        n.alias("n_words"),
+        F.round(
+            F.when(n > 0, 1 - n_distinct / n).otherwise(F.lit(0.0)), 6
+        ).alias("dup_word_ratio"),
+        F.round(
+            F.when(F.size("_bg") > 0, top_count / F.size("_bg")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_ratio"),
+    )
+
+
+# ----------------------------------------------------------------------
 # PII redaction: regex scrubbing of emails / phone numbers / IPv4 in
 # the hot path. Patterns are deliberately RE2-compatible (no
 # backrefs/lookaround) so the identical pattern runs in Java regex,

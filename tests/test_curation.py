@@ -220,6 +220,26 @@ def test_curate_corpus_split_weights_must_cover(spark):
 
 
 # ----------------------------------------------------------------------
+# repetition signals
+def test_repetition_stats(spark):
+    rows = [
+        (0, "spam spam spam spam"),                  # 1 distinct word, 3 identical bigrams
+        (1, "all words here are fully distinct"),    # no repetition
+        (2, "one"),                                  # no bigrams
+        (3, ""),                                     # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_ops.repetition_stats(df).collect()}
+    assert out[0]["n_words"] == 4
+    assert out[0]["dup_word_ratio"] == 0.75
+    assert out[0]["top_bigram_ratio"] == 1.0
+    assert out[1]["dup_word_ratio"] == 0.0
+    assert out[1]["top_bigram_ratio"] == 0.2  # 5 bigrams, all unique
+    assert out[2]["n_words"] == 1 and out[2]["top_bigram_ratio"] == 0.0
+    assert out[3]["n_words"] == 0 and out[3]["dup_word_ratio"] == 0.0
+
+
+# ----------------------------------------------------------------------
 # PII redaction
 def test_redact_pii_golden(spark):
     rows = [
