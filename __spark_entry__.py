@@ -2223,6 +2223,29 @@ def pii_redaction(spark, sf_dir):
 
 
 @_q(
+    "training_order_head",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5('epoch0' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 100
+    """,
+)
+def training_order_head(spark, sf_dir):
+    """First 100 docs of the epoch-0 deterministic training order —
+    plans as TakeOrdered over a narrow scan (no global window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = llm_sampling.shuffle_key(docs, seed="epoch0")
+    return (
+        keyed.select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
+@_q(
     "text_repetition_stats",
     """
     WITH ws AS (
@@ -2793,7 +2816,7 @@ _R1_UNVERIFIED = [
     "mixed_interpretation_expand", "mixed_interpretation_resample",
     "sample_stratified_counts", "split_assign_counts", "decontam_flags",
     "pii_redaction", "pack_chunks_by_source", "corpus_stats",
-    "text_repetition_stats",
+    "text_repetition_stats", "training_order_head",
 ]
 
 

@@ -77,6 +77,27 @@ def stratified_sample(
     return df.where(_ticket(id_col, seed) < cut)
 
 
+def shuffle_key(
+    df: DataFrame,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+    out_col: str = "shuffle_key",
+) -> DataFrame:
+    """Attach a deterministic 60-bit shuffle key: the reproducible
+    global training order for an epoch.
+
+    Sorting (or range-partitioning) by the key gives the same document
+    order on every run and any cluster size; a new ``seed`` per epoch
+    reshuffles. Emitting the KEY rather than a rank is deliberate —
+    a global row_number would serialize through one partition, while a
+    distributed sort / range partition on the key scales.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return df.withColumn(
+        out_col, F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    )
+
+
 def split_assign(
     df: DataFrame,
     weights: tuple[float, ...] = (0.9, 0.05, 0.05),

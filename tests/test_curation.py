@@ -220,6 +220,22 @@ def test_curate_corpus_split_weights_must_cover(spark):
 
 
 # ----------------------------------------------------------------------
+# epoch shuffle order
+def test_shuffle_key_deterministic_per_epoch(corpus):
+    k0 = {r["doc_id"]: r["shuffle_key"]
+          for r in sampling.shuffle_key(corpus, seed="e0").collect()}
+    k0b = {r["doc_id"]: r["shuffle_key"]
+           for r in sampling.shuffle_key(corpus.repartition(5), seed="e0").collect()}
+    k1 = {r["doc_id"]: r["shuffle_key"]
+          for r in sampling.shuffle_key(corpus, seed="e1").collect()}
+    assert k0 == k0b                      # layout-invariant
+    order0 = sorted(k0, key=lambda d: (k0[d], d))
+    order1 = sorted(k1, key=lambda d: (k1[d], d))
+    assert order0 != order1               # epochs reshuffle
+    assert len(set(k0.values())) == 300   # 60-bit keys: no collisions here
+
+
+# ----------------------------------------------------------------------
 # repetition signals
 def test_repetition_stats(spark):
     rows = [
