@@ -59,8 +59,25 @@ class SignatureStore:
     """Persisted LSH state for incremental dedup.
 
     Layout under ``path``:
-      ``bands/`` — (doc_id, band, band_key): the LSH bucket table
-      ``docs/``  — (doc_id, content_hash, word_hashes): verify state
+      ``bands/``   — (doc_id, band, band_key): the LSH bucket table
+      ``docs/``    — (doc_id, content_hash, word_hashes): verify state
+      ``commits/`` — zero-byte ``b<id>`` markers, one per committed
+                     transactional batch
+
+    Two write modes:
+
+    - **Plain batch** (``ingest(batch)``): appends flat files under
+      ``docs/`` and ``bands/`` — simple, but a crash between the two
+      appends leaves the store inconsistent. Fine for one-shot builds.
+    - **Transactional** (``ingest(batch, batch_id=N)``): all rows for
+      the batch land under ``docs/b<N>/`` and ``bands/b<N>/`` with
+      overwrite semantics, and become visible to later ingests only
+      once :meth:`commit_batch` drops the ``commits/b<N>`` marker.
+      A redelivered batch (foreachBatch at-least-once retry) therefore
+      recomputes against exactly the pre-batch store state — its own
+      partial rows are invisible and overwritten — so retries emit the
+      same accepted set instead of self-rejecting (the failure mode
+      flagged in round-2 ADVICE for stream_ingest).
     """
 
     def __init__(
@@ -78,23 +95,86 @@ class SignatureStore:
         self.jaccard_threshold = jaccard_threshold
 
     # -- helpers --------------------------------------------------------
-    def _exists(self, sub: str) -> bool:
+    def _fs(self, sub: str):
         jvm = self.spark._jvm
         conf = self.spark._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{sub}")
-        return p.getFileSystem(conf).exists(p)
+        return p, p.getFileSystem(conf)
 
-    def bands(self) -> DataFrame:
-        schema = "doc_id long, band int, band_key string"
-        if not self._exists("bands"):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(f"{self.path}/bands")
+    def _exists(self, sub: str) -> bool:
+        p, fs = self._fs(sub)
+        return fs.exists(p)
 
-    def docs(self) -> DataFrame:
-        schema = "doc_id long, content_hash string, word_hashes array<bigint>"
-        if not self._exists("docs"):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(f"{self.path}/docs")
+    @staticmethod
+    def _batch_dir(batch_id: int) -> str:
+        return f"b{int(batch_id):012d}"
+
+    # -- commit protocol -----------------------------------------------
+    def is_committed(self, batch_id: int) -> bool:
+        return self._exists(f"commits/{self._batch_dir(batch_id)}")
+
+    def commit_batch(self, batch_id: int) -> None:
+        """Drop the zero-byte marker that makes batch ``batch_id``'s
+        docs/bands rows visible to subsequent ingests. Call ONLY after
+        every output of the batch (store rows + accepted rows) is
+        durable — the marker is the transaction's commit point."""
+        p, fs = self._fs(f"commits/{self._batch_dir(batch_id)}")
+        fs.mkdirs(p.getParent())
+        fs.create(p, True).close()
+
+    def _uncommitted_batch_ids(self) -> list[int]:
+        """Batch subdirs present under docs/ or bands/ without a commit
+        marker — partial state a crashed attempt left behind. Driver-
+        side listing: one RPC per store dir, not per file."""
+        found: set[int] = set()
+        for sub in ("docs", "bands"):
+            if not self._exists(sub):
+                continue
+            p, fs = self._fs(sub)
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith("b") and name[1:].isdigit():
+                    found.add(int(name[1:]))
+        return [b for b in found if not self.is_committed(b)]
+
+    # -- reads ----------------------------------------------------------
+    _BANDS_SCHEMA = "doc_id long, band int, band_key string"
+    _DOCS_SCHEMA = "doc_id long, content_hash string, word_hashes array<bigint>"
+
+    def _read(self, sub: str, schema: str, exclude_batch: int | None) -> DataFrame:
+        """Committed-state view of docs/ or bands/: flat legacy files
+        plus committed batch subdirs, minus uncommitted partials and
+        minus ``exclude_batch`` (the batch currently being ingested —
+        a retry must not see its own earlier partial write)."""
+        full_schema = schema + ", ingest_batch_id long"
+        if not self._exists(sub):
+            return self.spark.createDataFrame([], full_schema)
+        df = (
+            self.spark.read.schema(full_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{self.path}/{sub}")
+        )
+        drop = set(self._uncommitted_batch_ids())
+        if exclude_batch is not None:
+            drop.add(int(exclude_batch))
+        if drop:
+            # Legacy flat rows have ingest_batch_id NULL — keep them.
+            df = df.where(
+                ~F.coalesce(F.col("ingest_batch_id"), F.lit(-1)).isin(
+                    [int(b) for b in drop]
+                )
+            )
+        return df
+
+    def bands(self, exclude_batch: int | None = None) -> DataFrame:
+        return self._read("bands", self._BANDS_SCHEMA, exclude_batch).drop(
+            "ingest_batch_id"
+        )
+
+    def docs(self, exclude_batch: int | None = None) -> DataFrame:
+        return self._read("docs", self._DOCS_SCHEMA, exclude_batch).drop(
+            "ingest_batch_id"
+        )
 
     # -- ingest ---------------------------------------------------------
     def ingest(
@@ -102,9 +182,16 @@ class SignatureStore:
         new_docs: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
+        batch_id: int | None = None,
     ) -> tuple[DataFrame, IngestReport]:
         """Dedup ``new_docs`` against the store AND within the batch;
-        append survivors' signatures; return (accepted rows, report).
+        persist survivors' signatures; return (accepted rows, report).
+
+        With ``batch_id`` set the write is transactional (see class
+        docstring): rows land under per-batch subdirs with overwrite
+        semantics and only count as store state after
+        :meth:`commit_batch`. Without it, rows are appended flat
+        (legacy one-shot mode).
 
         Batch ids must be disjoint from already-ingested ids (they are
         corpus-global ids by construction).
@@ -125,7 +212,7 @@ class SignatureStore:
             .select(F.col("_keep").alias(id_col))
         )
         batch1 = batch.join(batch_keep, id_col, "left_semi")
-        store_hashes = self.docs().select("content_hash")
+        store_hashes = self.docs(exclude_batch=batch_id).select("content_hash")
         exact_clean = batch1.join(
             store_hashes.join(
                 F.broadcast(batch1.select("content_hash").distinct()),
@@ -148,7 +235,7 @@ class SignatureStore:
             id_col,
         ).cache()
         store_cand = (
-            self.bands()
+            self.bands(exclude_batch=batch_id)
             .join(
                 F.broadcast(
                     new_bands.select(
@@ -169,8 +256,10 @@ class SignatureStore:
                 "_new_id",
             )
             .join(
-                self.docs().select(F.col("doc_id").alias("_old_id"),
-                                   F.col("word_hashes").alias("_wb")),
+                self.docs(exclude_batch=batch_id).select(
+                    F.col("doc_id").alias("_old_id"),
+                    F.col("word_hashes").alias("_wb"),
+                ),
                 "_old_id",
             )
             .withColumn("_ni", F.size(F.array_intersect("_wa", "_wb")))
@@ -223,14 +312,26 @@ class SignatureStore:
         n_accepted = accepted_meta.count()
         n_near_rejected = n_batch - n_exact_rejected - n_accepted
 
-        # 4. persist survivors' signatures (append-only).
+        # 4. persist survivors' signatures. Transactional batches land
+        # in per-batch subdirs with OVERWRITE (a retry replaces its own
+        # partial write); legacy mode appends flat files.
         acc_ids = accepted_meta.select(id_col)
-        accepted_meta.select(id_col, "content_hash", "word_hashes").write.mode(
-            "append"
-        ).parquet(f"{self.path}/docs")
-        new_bands.join(acc_ids, id_col, "left_semi").select(
+        doc_rows = accepted_meta.select(id_col, "content_hash", "word_hashes")
+        band_rows = new_bands.join(acc_ids, id_col, "left_semi").select(
             id_col, "band", "band_key"
-        ).write.mode("append").parquet(f"{self.path}/bands")
+        )
+        if batch_id is not None:
+            sub = self._batch_dir(batch_id)
+            tag = F.lit(int(batch_id)).cast("long").alias("ingest_batch_id")
+            doc_rows.select("*", tag).write.mode("overwrite").parquet(
+                f"{self.path}/docs/{sub}"
+            )
+            band_rows.select("*", tag).write.mode("overwrite").parquet(
+                f"{self.path}/bands/{sub}"
+            )
+        else:
+            doc_rows.write.mode("append").parquet(f"{self.path}/docs")
+            band_rows.write.mode("append").parquet(f"{self.path}/bands")
 
         accepted = new_docs.join(acc_ids, id_col, "left_semi")
         report = IngestReport(
@@ -266,8 +367,18 @@ def stream_ingest(
     The signature store doubles as the streaming state — unbounded
     corpus-lifetime dedup state lives in parquet, not executor memory,
     so this never hits the watermark-bounded-state limitation of
-    ``dropDuplicatesWithinWatermark``. Re-delivered files are
-    idempotent: their docs exact-match the store and are rejected.
+    ``dropDuplicatesWithinWatermark``.
+
+    Failure atomicity: each micro-batch is a transaction. Store rows
+    land under per-batch subdirs invisible until the commit marker,
+    accepted rows overwrite ``accepted_dir/b<batch_id>/``, and the
+    marker is written LAST; a committed batch short-circuits on
+    redelivery. A batch that crashed mid-write is recomputed against
+    the pre-batch store state (its partial rows are excluded from the
+    probe views and overwritten), so at-least-once redelivery emits
+    exactly the same accepted set — no silent loss, no half-written
+    signatures. Read the accepted corpus with :func:`read_accepted`
+    (output is nested one directory per batch).
 
     Returns the StreamingQuery. ``trigger_available_now=True`` drains
     the landing area and stops (scheduled-batch cadence);
@@ -282,8 +393,16 @@ def stream_ingest(
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        accepted, _report = store.ingest(batch_df)
-        accepted.write.mode("append").parquet(accepted_dir)
+        if store.is_committed(batch_id):
+            # Fully-committed batch redelivered (crash after commit,
+            # before the checkpoint advanced): everything — store rows
+            # AND accepted rows — is already durable. No-op.
+            return
+        accepted, _report = store.ingest(batch_df, batch_id=batch_id)
+        accepted.write.mode("overwrite").parquet(
+            f"{accepted_dir}/{SignatureStore._batch_dir(batch_id)}"
+        )
+        store.commit_batch(batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_ingest_batch)
@@ -297,3 +416,17 @@ def stream_ingest(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def read_accepted(
+    spark: SparkSession,
+    accepted_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+) -> DataFrame:
+    """Read the accepted corpus written by :func:`stream_ingest`
+    (one subdirectory per committed micro-batch)."""
+    return (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(accepted_dir)
+    )

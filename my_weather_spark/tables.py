@@ -3,12 +3,17 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet each under /root/testdata/sf*/.
 
-Schema normalization: ``events.ts`` is stored as parquet
-TIMESTAMP(NANOS); Spark reads it as a long of epoch-nanoseconds under
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in
-:func:`my_weather_spark.session.get_spark`). The loader converts it to
-a proper TimestampType via integer division (``div 1000`` — exact, no
-float round-trip).
+Schema normalization: the driver has shipped timestamp columns in two
+parquet physical forms across rounds — TIMESTAMP(NANOS) (Spark reads a
+long of epoch-ns under ``spark.sql.legacy.parquet.nanosAsLong=true``)
+and TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark >=3.4 infers
+TIMESTAMP_NTZ by default). Both are normalized here to a plain
+TimestampType (LTZ) whose ``unix_micros`` equals the stored integer,
+matching DuckDB's ``epoch_us`` on the same file: ns via integer
+``div 1000`` (exact, no float round-trip), NTZ by disabling
+``spark.sql.parquet.inferTimestampNTZ.enabled`` so the stored micros
+are read as UTC instants. All confs are set defensively at load time
+because the driver may run queries in a vanilla session.
 """
 
 from __future__ import annotations
@@ -34,14 +39,33 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _ensure_nanos_readable(spark: SparkSession) -> None:
-    """The driver may hand us a session built without our defaults;
-    nanosAsLong is dynamically settable, so set it defensively before
-    any read that may touch a TIMESTAMP(NANOS) column."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+def _ensure_reader_conf(spark: SparkSession) -> None:
+    """The driver may hand us a session built without our defaults; all
+    three confs are dynamically settable, so set them defensively before
+    any read that may touch a timestamp column.
+
+    - nanosAsLong: TIMESTAMP(NANOS) columns read as epoch-ns longs
+      instead of erroring (converted in :func:`load_table`).
+    - inferTimestampNTZ=false: TIMESTAMP(MICROS, isAdjustedToUTC=false)
+      reads as plain TimestampType whose unix_micros IS the stored
+      value — no NTZ/session-tz reinterpretation, exact agreement with
+      DuckDB epoch_us.
+    - UTC session tz: any residual wall-clock math (date_trunc, casts)
+      is deterministic regardless of the host TZ.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+# Backwards-compatible alias (older call sites / tests).
+_ensure_nanos_readable = _ensure_reader_conf
 
 
 # DataFrames are immutable lazy plans, so the loaded table for a given
@@ -76,11 +100,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    _ensure_nanos_readable(spark)
+    _ensure_reader_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Normalize nanosecond-timestamp columns read as long (ns).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces: if a session read the footer before our conf
+    # landed (cached schema), rewrite any NTZ column as a UTC instant
+    # (session tz is pinned to UTC above, so the cast is exact).
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
@@ -95,8 +125,10 @@ def load_events(spark: SparkSession, sf_dir: str, period=None) -> DataFrame:
     conversion; callers still apply the exact inclusive period filter
     on the converted column (ops.timeseries.period_filter).
     """
-    _ensure_nanos_readable(spark)
+    _ensure_reader_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if dict(df.dtypes).get("ts") == "bigint":
         if period is not None:
             lo = int(period.start_epoch * 1_000_000) * 1000

@@ -100,9 +100,75 @@ def test_stream_ingest_two_waves(spark, tmp_path):
     q = stream_ingest(spark, landing, sig, accepted_dir, ckpt, schema=schema)
     q.awaitTermination(120)
 
-    got = {r["doc_id"] for r in spark.read.schema(schema).parquet(accepted_dir).collect()}
+    from my_weather_spark.llm.incremental import read_accepted
+
+    got = {r["doc_id"] for r in read_accepted(spark, accepted_dir, schema).collect()}
     assert got == {0, 1, 12}
     assert sig.docs().count() == 3
+
+
+def test_transactional_retry_emits_same_accepted_set(spark, store):
+    # Seed the store with one committed batch.
+    acc0, _ = store.ingest(_docs(spark, [(0, BASE), (1, OTHER)]), batch_id=0)
+    assert {r["doc_id"] for r in acc0.collect()} == {0, 1}
+    store.commit_batch(0)
+
+    # Batch 1 runs but CRASHES before commit (simulated: no marker).
+    batch = _docs(
+        spark,
+        [
+            (10, BASE),                             # near/exact dup of stored 0
+            (12, "a fresh unique document with plenty of brand new words in it"),
+        ],
+    )
+    acc1, rep1 = store.ingest(batch, batch_id=1)
+    assert {r["doc_id"] for r in acc1.collect()} == {12}
+    assert not store.is_committed(1)
+    # Uncommitted rows are invisible to store state.
+    assert store.docs().count() == 2
+
+    # At-least-once redelivery of the SAME batch: must not self-reject —
+    # the retry sees the pre-batch store state and re-emits {12}.
+    acc1b, rep1b = store.ingest(batch, batch_id=1)
+    assert {r["doc_id"] for r in acc1b.collect()} == {12}
+    assert (rep1b.n_exact_rejected, rep1b.n_near_rejected, rep1b.n_accepted) == (
+        rep1.n_exact_rejected, rep1.n_near_rejected, rep1.n_accepted,
+    )
+    store.commit_batch(1)
+
+    # After commit the batch's rows are store state exactly once.
+    assert store.docs().count() == 3
+    assert {r["doc_id"] for r in store.docs().select("doc_id").collect()} == {0, 1, 12}
+
+    # And a later batch dedups against the committed rows.
+    acc2, rep2 = store.ingest(
+        _docs(spark, [(20, "a fresh unique document with plenty of brand new words in it")]),
+        batch_id=2,
+    )
+    assert acc2.count() == 0
+    assert rep2.n_exact_rejected == 1
+
+
+def test_committed_batch_short_circuits_on_redelivery(spark, tmp_path):
+    from my_weather_spark.llm.incremental import SignatureStore, read_accepted, stream_ingest
+
+    landing = str(tmp_path / "landing")
+    accepted_dir = str(tmp_path / "accepted")
+    sig = SignatureStore(spark, str(tmp_path / "sig"), jaccard_threshold=0.8)
+    schema = "doc_id long, text string"
+
+    _docs(spark, [(0, BASE), (1, OTHER)]).write.mode("append").parquet(landing)
+    q = stream_ingest(spark, landing, sig, accepted_dir, str(tmp_path / "ckpt"), schema=schema)
+    q.awaitTermination(120)
+    assert sig.is_committed(0)
+
+    # Simulate a lost checkpoint: the same files replay as batch 0 of a
+    # FRESH checkpoint. The committed marker short-circuits the batch,
+    # so neither the store nor the accepted output double-writes.
+    q = stream_ingest(spark, landing, sig, accepted_dir, str(tmp_path / "ckpt2"), schema=schema)
+    q.awaitTermination(120)
+    assert sig.docs().count() == 2
+    assert read_accepted(spark, accepted_dir, schema).count() == 2
 
 
 def test_incremental_agrees_with_full_rebuild(spark, store, tmp_path):
