@@ -127,3 +127,110 @@ def frame_sample_manifest(
         "asset_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_s", F.col("frame_idx") * every_n_seconds)
+
+
+def media_videos_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthetic video table from documents: deterministic duration
+    derived from n_chars (1..30 s) so manifest math has a SQL oracle."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(360).alias("height"),
+            F.lit(3).alias("n_channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            ((F.col("n_chars") % 30) + 1).cast("double").alias("duration_s"),
+            F.lit("fake/v0").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, decoder: str = "fake"
+) -> DataFrame:
+    """Resize pass: payload -> resized payload + updated meta, as an
+    Arrow-batched narrow map (mapInPandas, no shuffle).
+
+    ``fake``: deterministic pseudo-resize — the output payload is the
+    input bytes tiled/truncated to exactly ``target_w*target_h`` bytes
+    (one byte per output pixel), so output size, schema, and
+    determinism are all testable without a codec.
+    ``real``: the Pillow resample call site — NotImplementedError.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    out_len = int(target_w) * int(target_h)
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resize requires Pillow — not available in "
+                    "this environment; plug the resample call here"
+                )
+
+            def _fake_resize(b):
+                b = bytes(b) or b"\x00"
+                reps = -(-out_len // len(b))  # ceil
+                return (b * reps)[:out_len]
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": pdf["payload"].map(_fake_resize),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    resized = df.select("asset_id", "payload").mapInPandas(
+        _resize, schema="asset_id long, payload binary, width int, height int"
+    )
+    # Rejoin the untouched metadata and overwrite the size fields —
+    # the join key is the asset id, both sides partition by it.
+    meta_side = df.select("asset_id", "media_type", "meta")
+    return resized.join(meta_side, "asset_id").select(
+        "asset_id",
+        "media_type",
+        "payload",
+        F.struct(
+            F.col("width"),
+            F.col("height"),
+            F.col("meta.n_channels").alias("n_channels"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.duration_s").alias("duration_s"),
+            F.col("meta.codec").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def audio_chunk_manifest(
+    df: DataFrame, chunk_s: float = 30.0, target_rate: int = 16000
+) -> DataFrame:
+    """Audio resample/chunk plan: one row per (asset_id, chunk_idx)
+    with the sample range a distributed resample pass would read.
+    The codec step (actual PCM resample) is the stubbed part; the
+    manifest math — chunk boundaries in source-rate samples and the
+    output sample count at ``target_rate`` — is real and exact."""
+    dur = F.coalesce(F.col("meta.duration_s"), F.lit(0.0))
+    rate = F.coalesce(F.col("meta.sample_rate"), F.lit(target_rate))
+    n_chunks = F.greatest(F.ceil(dur / chunk_s), F.lit(1)).cast("int")
+    base = df.where(F.col("media_type") == "audio").select(
+        "asset_id",
+        rate.alias("src_rate"),
+        dur.alias("duration_s"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start_s = F.col("chunk_idx") * F.lit(chunk_s)
+    end_s = F.least(start_s + F.lit(chunk_s), F.col("duration_s"))
+    return base.select(
+        "asset_id",
+        "chunk_idx",
+        (start_s * F.col("src_rate")).cast("long").alias("src_start_sample"),
+        (end_s * F.col("src_rate")).cast("long").alias("src_end_sample"),
+        ((end_s - start_s) * F.lit(target_rate)).cast("long").alias("out_samples"),
+    )

@@ -148,11 +148,17 @@ def curate_corpus(
     clean, clean_report = clean_corpus(
         docs, text_col=text_col, id_col=id_col, **clean_kwargs
     )
+    # Materialize the dedup chain ONCE (eager, lineage-truncating):
+    # every action below — the stage counts, the split groupBy, the
+    # n_chunks collect, and the caller's own consumption of `out` —
+    # would otherwise re-run quality->exact->LSH->verify->CC each time
+    # (~4x the dedup cost on the 100 TB path).
+    clean = clean.localCheckpoint()
 
     if benchmark is not None:
         clean = decontam.decontaminate(
             clean, benchmark, n=decontam_ngram, text_col=text_col, id_col=id_col
-        )
+        ).localCheckpoint()
     n_decontam = clean.count()
 
     if mixing_rates:

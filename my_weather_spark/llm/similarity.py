@@ -409,6 +409,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest centroid buckets
     per query, exact cosine within the probed buckets only.
@@ -419,6 +420,11 @@ def ivf_topk(
     to the probed buckets — nothing is reassigned per query. A raw
     corpus (no centroid_id column) is accepted for ad-hoc use and
     assigned on the fly.
+
+    The query side is driver-collected to pick probe buckets, so it
+    must be broadcast-sized — enforced via ``max_query_rows`` (the
+    same guard as :func:`cosine_threshold_pairs`); an unbounded
+    collect here is a driver OOM at scale.
     """
     import numpy as np
 
@@ -430,7 +436,12 @@ def ivf_topk(
         bucketed = index
     else:
         bucketed = ivf_assign(index, centroids, id_col, vec_col, _cmat=(c_ids, c_mat))
-    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_pdf = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
+    if len(q_pdf) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; a "
+            "driver-collected query batch must be broadcast-sized"
+        )
     q_mat = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     sims = q_mat @ c_mat.T

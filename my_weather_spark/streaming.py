@@ -145,6 +145,48 @@ def dedup_late_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataF
     )
 
 
+def curated_doc_stream(
+    stream: DataFrame,
+    min_words: int = 10,
+    max_punct_ratio: float = 0.3,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the curation pipeline's cheap front stages:
+    in-row quality gate + exact content dedup, entirely inside the
+    stream plan (bounded state, low latency).
+
+    Quality predicates are inlined (batch ``text.quality_filter``
+    resolves via a semi-join, which a stream cannot do without a
+    second watermark); exact dedup keys on a content hash via
+    ``dropDuplicatesWithinWatermark``, so dedup state is bounded by
+    the watermark horizon, not corpus lifetime. Survivor choice among
+    duplicates is WHICHEVER ROW THE ENGINE SEES FIRST (processing
+    order, not event time or id) — exactly one copy per hash survives,
+    but which one is nondeterministic, unlike the batch twin's
+    keep-smallest-id rule. Callers that need a deterministic survivor
+    run the batch dedup downstream. For corpus-lifetime
+    near-dup ingestion use :func:`llm.incremental.stream_ingest`,
+    which keeps unbounded LSH state in parquet; this front filter is
+    what runs upstream of it (or alone when latency matters more than
+    cross-horizon dedup).
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    kept = stream.where(
+        (F.size(words) >= min_words)
+        & ((n_punct / F.length(t)) <= max_punct_ratio)
+    )
+    return (
+        kept.withColumn("_content_hash", F.md5(t))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop("_content_hash")
+    )
+
+
 # ----------------------------------------------------------------------
 # T5 streaming twin: supervision via StreamingQueryListener.
 class StreamWatchdog:

@@ -133,6 +133,62 @@ def test_frame_sample_manifest(spark):
     assert rows[-1]["frame_ts_s"] == 3.0
 
 
+def test_resize_images_fake_decoder(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"abc"), (64, 64, 3, None, None, "raw")),
+            (2, "image", bytearray(b""), (64, 64, 3, None, None, "raw")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_images(media, 8, 4, decoder="fake")
+    rows = {r["asset_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # fake resize: exactly target_w*target_h payload bytes, tiled input
+    assert len(rows[1]["payload"]) == 32
+    assert bytes(rows[1]["payload"])[:6] == b"abcabc"
+    assert len(rows[2]["payload"]) == 32  # empty payload still resizes
+    # meta size fields rewritten, rest preserved
+    assert rows[1]["meta"]["width"] == 8 and rows[1]["meta"]["height"] == 4
+    assert rows[1]["meta"]["n_channels"] == 3 and rows[1]["meta"]["codec"] == "raw"
+    # determinism: same input -> same payload
+    again = {r["asset_id"]: r for r in
+             multimodal.resize_images(media, 8, 4, decoder="fake").collect()}
+    assert bytes(again[1]["payload"]) == bytes(rows[1]["payload"])
+
+
+def test_resize_images_real_decoder_raises(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"xx"), (64, 64, 3, None, None, "raw"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        multimodal.resize_images(media, 8, 8, decoder="real").collect()
+
+
+def test_audio_chunk_manifest(spark):
+    media = spark.createDataFrame(
+        [
+            (5, "audio", None, (None, None, 1, 44100, 70.0, "pcm")),
+            (6, "image", None, (64, 64, 3, None, None, "raw")),  # filtered out
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        multimodal.audio_chunk_manifest(media, chunk_s=30.0, target_rate=16000).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["asset_id"] for r in rows] == [5, 5, 5]
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["src_start_sample"] == 0
+    assert rows[0]["src_end_sample"] == 30 * 44100
+    assert rows[0]["out_samples"] == 30 * 16000
+    # final partial chunk: 10 s
+    assert rows[2]["src_start_sample"] == 60 * 44100
+    assert rows[2]["src_end_sample"] == 70 * 44100
+    assert rows[2]["out_samples"] == 10 * 16000
+
+
 def test_language_id_markers(spark):
     df = spark.createDataFrame(
         [

@@ -102,6 +102,46 @@ def test_dedup_late_stream(spark, tmp_path):
     assert spark.sql("SELECT count(*) c FROM deduped").collect()[0]["c"] == 2
 
 
+def test_curated_doc_stream(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    landing = str(tmp_path / "doc_landing")
+    B = 1_700_000_000
+
+    def _ts(s):
+        return datetime.fromtimestamp(B + s, tz=timezone.utc).replace(tzinfo=None)
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = spark.createDataFrame(
+        [
+            (0, good, _ts(0)),
+            (1, good, _ts(5)),                     # exact dup within watermark
+            (2, "too short", _ts(10)),              # fails min_words
+            (3, "a! b! c! d! e! f! g! h! i! j! k!", _ts(15)),  # punct-heavy
+            (4, good + " but now different", _ts(20)),
+        ],
+        "doc_id long, text string, ingest_ts timestamp",
+    )
+    docs.write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(landing)
+    q = (
+        st.curated_doc_stream(stream, min_words=5, max_punct_ratio=0.2)
+        .writeStream.format("memory")
+        .queryName("curated_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM curated_docs").collect()}
+    # quality drops 2 and 3; exactly ONE of the duplicate pair {0, 1}
+    # survives (survivor choice is processing-order, not id — see
+    # curated_doc_stream docstring) plus the unique doc 4.
+    assert 4 in got and len(got) == 2 and len(got & {0, 1}) == 1
+
+
 def test_burst_flags_stateful(spark, tmp_path):
     landing = str(tmp_path / "landing5")
     # 6 events within 10s for s1; 2 sparse events for s2
