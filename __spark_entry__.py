@@ -2417,6 +2417,51 @@ def sessionize_users(spark, sf_dir):
 
 
 @_q(
+    "range_join_error_window",
+    """
+    WITH err AS (
+      SELECT user_id, event_id AS error_id, epoch_us(ts) AS eus
+      FROM events WHERE event_type = 'error'),
+    pur AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.purchase_id, e.error_id,
+           round((p.pus - e.eus) / CAST(1000000.0 AS DOUBLE), 6) AS delta_s
+    FROM pur p JOIN err e
+      ON p.user_id = e.user_id
+     AND p.pus >= e.eus AND p.pus <= e.eus + 600000000
+    """,
+)
+def range_join_error_window(spark, sf_dir):
+    """Interval-containment join via the engine's bin-bucketed
+    range_join (ops/timeseries.py): purchases joined to every
+    same-user error window [error_ts, error_ts + 10 min] containing
+    them. The naive non-equi form is a BroadcastNestedLoopJoin; the
+    bin rewrite plans a codegen'd equi join on (user, time-bin)."""
+    e = load_table(spark, sf_dir, "events")
+    intervals = e.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("series_id"),
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(F.unix_micros("ts") + 600_000_000).alias("end_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    points = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("series_id"),
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = ts_ops.range_join(points, intervals, bin_seconds=600)
+    return joined.select(
+        F.col("series_id").alias("user_id"),
+        "purchase_id",
+        "error_id",
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("start_ts")) / 1_000_000.0, 6
+        ).alias("delta_s"),
+    )
+
+
+@_q(
     "pivot_daily_event_values",
     """
     SELECT epoch_us(date_trunc('day', ts)) AS day_us,
@@ -2860,7 +2905,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries — schema-stable and driver-green in round 2 — rotate back.
 _DRIVER_PRIORITY = [
     # (a) new this round — keep at the top so they get driver rows
-    "mm_frame_sample",
+    "mm_frame_sample", "range_join_error_window",
     # (b) round-2 hash mismatches, re-proven on the new data
     "sessionize_users", "pack_chunks_by_source",
     # (c) time-sensitive: events table

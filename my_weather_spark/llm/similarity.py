@@ -270,7 +270,10 @@ def _centroid_matrix(centroids: DataFrame, id_col: str, vec_col: str):
     pdf = centroids.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # A zero-norm centroid (degenerate all-zero cluster) stays a zero
+    # row instead of NaN-poisoning every similarity against it.
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, norms, out=mat, where=norms > 0)
     return ids, mat
 
 

@@ -560,6 +560,55 @@ def sessionize(
 
 
 # ----------------------------------------------------------------------
+# Range (interval-containment) join: every point matched to every
+# interval of the same series that contains it. A naive non-equi join
+# plans as BroadcastNestedLoopJoin — O(points x intervals) compares and
+# a broadcast of one whole side, both fatal at scale. The standard
+# Spark-first rewrite: bucket time into coarse bins, explode each
+# interval into the bins it overlaps, EQUI-join on (series, bin) — a
+# codegen'd hash shuffle join — then apply the exact containment
+# predicate to discard bin-collisions. Each point lives in exactly one
+# bin, so no post-join dedup is needed. With bin_seconds ~ the typical
+# interval length the explode factor is O(1) and the join stays linear
+# in (points + intervals + true matches).
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    bin_seconds: int,
+    point_ts: str = TS,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    key: str = SERIES,
+) -> DataFrame:
+    """Inclusive containment: start_ts <= point ts <= end_ts, same key.
+
+    Output = every (point row x matching interval row), with the
+    interval columns appended. Intervals spanning many bins explode
+    proportionally — pick ``bin_seconds`` near the median interval
+    length (an interval then lands in ~2 bins).
+    """
+    bin_us = int(bin_seconds) * 1_000_000
+    p = points.withColumn("_bin", F.floor(F.unix_micros(F.col(point_ts)) / bin_us))
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / bin_us),
+                F.floor(F.unix_micros(F.col(end_col)) / bin_us),
+            )
+        ),
+    )
+    return (
+        p.join(i, [key, "_bin"])
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )
+
+
+# ----------------------------------------------------------------------
 # As-of alignment of two series (the natural multi-series extension,
 # SURVEY.md §2 joins row "range/as-of"): for every point of `left`,
 # the latest `right` point at-or-before it (within optional tolerance).

@@ -229,6 +229,49 @@ def test_asof_join(spark):
     assert [r["right_value"] for r in got_tol] == [50.0, None, 52.0]
 
 
+def test_range_join_matches_naive_nonequi(spark):
+    from pyspark.sql import functions as F
+
+    # points every 100 s; intervals of assorted lengths, some spanning
+    # many bins, some zero-length, one containing nothing
+    pts = _series(spark, [(t, float(t)) for t in range(0, 2000, 100)], "s1").select(
+        "series_id", "ts", F.col("value").alias("pval")
+    )
+    iv = spark.createDataFrame(
+        [
+            ("s1", 50, 250, 1),     # contains 100, 200
+            ("s1", 100, 100, 2),    # zero-length: exactly point 100
+            ("s1", 0, 1900, 3),     # spans many 300s bins
+            ("s1", 2500, 2600, 4),  # empty
+            ("s2", 0, 2000, 5),     # wrong series
+        ],
+        "series_id string, s long, e long, interval_id long",
+    ).select(
+        "series_id",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+        "interval_id",
+    )
+    got = ts_ops.range_join(pts, iv, bin_seconds=300)
+    naive = pts.alias("p").join(
+        iv.alias("i"),
+        (F.col("p.series_id") == F.col("i.series_id"))
+        & (F.col("p.ts") >= F.col("i.start_ts"))
+        & (F.col("p.ts") <= F.col("i.end_ts")),
+    )
+    key = lambda r: (r["interval_id"], r["pval"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+    # exactly-once semantics: a multi-bin interval must not duplicate
+    assert got.where(F.col("interval_id") == 3).count() == 20
+    # The rewrite must plan as an equi hash join keyed by (series, bin)
+    # — the naive form equi-joins on series_id alone, so every point of
+    # a user compares against ALL that user's intervals (quadratic per
+    # key); the bin key is what bounds the per-task compare set.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bin" in plan  # bin participates in the join key
+
+
 def test_resample_time_weighted_golden(spark):
     # staircase: v=10 over [0, 30), v=0 over [30, 120) ; bucket = 60s
     # bucket 0: (10*30 + 0*30)/60 = 5.0 ; bucket 1: fully 0
