@@ -31,7 +31,13 @@ def _sf_label(path: str) -> float:
 
 
 def main() -> None:
-    spark = get_spark(app_name="my_weather_spark_bench")
+    # Console progress bars write to stdout and can leave "[Stage ..]"
+    # fragments on the same line as the JSON record — the driver parses
+    # stdout, so keep it clean.
+    spark = get_spark(
+        app_name="my_weather_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     qs = entrymod.queries()
 
     # Warm-up (not timed): JVM/codegen/parquet footers, the Python
@@ -55,20 +61,47 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in reps.items()}
     medians = {name: sorted(ts)[len(ts) // 2] for name, ts in reps.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock of all declared queries (noop sink, best of 3)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "total_median": round(sum(medians.values()), 3),
-                "sf": _sf_label(SF_DIR),
-                "n_queries": len(timings),
-            }
-        )
-    )
+    full = {
+        "metric": "total wall-clock of all declared queries (noop sink, best of 3)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
+        "sf": _sf_label(SF_DIR),
+        "n_queries": len(timings),
+    }
+    # Full record: one line on stdout + a sidecar file for readers of
+    # the repo (the driver's log keeps only the LAST ~2000 chars). The
+    # leading newline guards against any carriage-return residue left
+    # on the current stdout line.
+    print()
+    print(json.dumps(full, separators=(",", ":")))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    # FINAL line: compact and guaranteed to fit the driver's 2000-char
+    # tail capture intact (the full line is ~2.6KB and was recorded
+    # truncated -> "parsed": null in BENCH_r01/r02). Carries the
+    # headline numbers plus the slowest queries; the complete per-query
+    # map is the line above / bench_full.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+    compact = {
+        "metric": "total_sec_all_queries_noop_best_of_3",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "queries_omitted": len(timings) - len(slowest),
+        "total_median": round(sum(medians.values()), 3),
+        "sf": _sf_label(SF_DIR),
+        "n_queries": len(timings),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1950, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":
