@@ -272,6 +272,44 @@ def test_range_join_matches_naive_nonequi(spark):
     assert "_bin" in plan  # bin participates in the join key
 
 
+def test_range_join_randomized_vs_naive(spark):
+    # seeded fuzz: random points/intervals across several series and a
+    # bin size that does NOT divide the interval lengths
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1234)
+    pts_rows = [
+        (f"s{rng.randrange(3)}", rng.randrange(0, 5000))
+        for _ in range(300)
+    ]
+    iv_rows = []
+    for i in range(60):
+        s = rng.randrange(0, 5000)
+        iv_rows.append((f"s{rng.randrange(3)}", s, s + rng.randrange(0, 900), i))
+    pts = spark.createDataFrame(pts_rows, "series_id string, sec long").select(
+        "series_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    iv = spark.createDataFrame(
+        iv_rows, "series_id string, s long, e long, interval_id long"
+    ).select(
+        "series_id",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+        "interval_id",
+    )
+    got = ts_ops.range_join(pts, iv, bin_seconds=210)
+    naive = pts.alias("p").join(
+        iv.alias("i"),
+        (F.col("p.series_id") == F.col("i.series_id"))
+        & (F.col("p.ts") >= F.col("i.start_ts"))
+        & (F.col("p.ts") <= F.col("i.end_ts")),
+    )
+    key = lambda r: (r["interval_id"], r["series_id"], r["ts"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+
+
 def test_resample_time_weighted_golden(spark):
     # staircase: v=10 over [0, 30), v=0 over [30, 120) ; bucket = 60s
     # bucket 0: (10*30 + 0*30)/60 = 5.0 ; bucket 1: fully 0
