@@ -2794,6 +2794,23 @@ def distinct_users_per_type(spark, sf_dir):
     )
 
 
+@_q("approx_distinct_users", None)
+def approx_distinct_users(spark, sf_dir):
+    """HLL-sketch distinct counting — the 100 TB path for cardinality
+    profiling, where exact count(DISTINCT) needs a full shuffle of the
+    distinct keys per group. approx_count_distinct aggregates a fixed-
+    size mergeable HyperLogLog++ digest map-side (no distinct-key
+    shuffle, bounded memory per group). Rows-only: Spark's HLL++ and
+    DuckDB's approx sketch differ by construction, so there is no
+    value-exact oracle; accuracy is pinned vs the exact count in
+    test_ops (rsd 5% default, asserted within 10%)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 @_q(
     "f7_format_tiles",
     """
@@ -2918,7 +2935,7 @@ _DRIVER_PRIORITY = [
     "p2_measurement_projection", "p5_empty_guard", "u1_extend_union",
     "cube_events", "w5_sliding_count", "value_deciles", "order_restore",
     "json_props_extract", "distinct_users_per_type",
-    "w4_rdp_downsample", "w2_end_extension_raw",
+    "approx_distinct_users", "w4_rdp_downsample", "w2_end_extension_raw",
     # (c) time-sensitive: orders/lineitem date math
     "f5_monthly_orders", "q1_pricing_summary", "q3_shipping_priority",
     "q4_late_shipment_priority", "q6_forecast_revenue", "q7_nation_trade",

@@ -30,6 +30,9 @@ QUERIES = [
     "simhash_hamming_pairs",
     "decontam_flags",
     "pack_chunks_by_source",
+    "range_join_error_window",
+    "mm_frame_sample",
+    "approx_distinct_users",
 ]
 SF_DIRS = [
     "/root/testdata/sf0.001",

@@ -272,6 +272,23 @@ def test_range_join_matches_naive_nonequi(spark):
     assert "_bin" in plan  # bin participates in the join key
 
 
+def test_approx_distinct_within_error_of_exact(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in entry.queries()["approx_distinct_users"](spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in entry.queries()["distinct_users_per_type"](spark, sf).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.10 * exact[k]), (k, approx[k], exact[k])
+
+
 def test_range_join_randomized_vs_naive(spark):
     # seeded fuzz: random points/intervals across several series and a
     # bin size that does NOT divide the interval lengths

@@ -68,5 +68,10 @@ def test_parse_accepts_only_valid_schemes(scheme, rest):
         # whatever parsed must carry a syntactically valid scheme
         assert re.fullmatch(r"[a-zA-Z][\w+.-]*", ref.scheme)
     except ValueError:
-        # rejected: scheme must NOT have been a clean valid one
-        assert not re.fullmatch(r"[a-zA-Z][\w+.-]*", scheme)
+        # rejected: either the scheme was not a clean valid one, or the
+        # rest broke the single-line grammar (the URL regex's `.*`
+        # cannot cross a newline — "A://\n0" is rejected for its rest,
+        # not its scheme)
+        assert not re.fullmatch(r"[a-zA-Z][\w+.-]*", scheme) or any(
+            c in rest for c in "\n\r"
+        )
