@@ -188,6 +188,120 @@ def curated_doc_stream(
 
 
 # ----------------------------------------------------------------------
+# Continuous aggregate (the "hypertable rollup" pattern): a bucketed
+# per-series rollup table kept fresh by the collection stream. The
+# refresh RECOMPUTES affected date partitions from the merge-store
+# instead of adding deltas, so it is idempotent by construction —
+# foreachBatch redelivery, overlapping re-reads, and late data all
+# converge to the same partition content (a pure function of store
+# state). Late points refresh only their own (old) date partition.
+ROLLUP_SCHEMA = (
+    "series_id string, bucket_start timestamp, n_points long, "
+    "sum_value double, min_value double, max_value double, date date"
+)
+
+
+def refresh_rollup_dates(
+    store: TsStore,
+    rollup_path: str,
+    dates: list,
+    bucket_seconds: int = 3600,
+    source: str = "stream",
+) -> None:
+    """Recompute the rollup rows of the given UTC dates from the store
+    and dynamically overwrite exactly those date partitions.
+
+    ``bucket_seconds`` must divide a day so no bucket straddles a date
+    boundary (a straddling bucket would need rows from a date outside
+    the refresh set).
+    """
+    if 86_400 % bucket_seconds != 0:
+        raise ValueError("bucket_seconds must divide 86400 (no midnight-straddling buckets)")
+    if not dates:
+        return
+    bucket_us = bucket_seconds * 1_000_000
+    rows = store._read_all().where(
+        (F.col("source") == source) & F.col("date").isin(list(dates))
+    )
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros("ts") / bucket_us) * bucket_us).cast("long")
+    )
+    rolled = (
+        rows.groupBy("series_id", bucket.alias("bucket_start"))
+        .agg(
+            F.count("value").alias("n_points"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("date", F.to_date("bucket_start"))
+    )
+    # The plan reads the STORE, not the rollup being overwritten, so no
+    # lineage break is needed. Store rows are never deleted under merge
+    # semantics, so every refreshed date always produces replacement
+    # rows for its partition.
+    rolled.write.partitionBy("date").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(rollup_path)
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The continuous-aggregate serving view: mergeable partials plus
+    the derived mean (sum/n). Reads are partition-pruned on ``date``."""
+    df = spark.read.schema(ROLLUP_SCHEMA).parquet(rollup_path)
+    return df.withColumn(
+        "avg_value", F.round(F.col("sum_value") / F.col("n_points"), 6)
+    )
+
+
+def continuous_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    store: TsStore,
+    rollup_path: str,
+    checkpoint_dir: str,
+    bucket_seconds: int = 3600,
+    source: str = "stream",
+    trigger_available_now: bool = True,
+    processing_time: str = "5 minutes",
+    query_name: str | None = None,
+):
+    """Collection stream + continuous aggregate: each micro-batch
+    merges into the TsStore (idempotent merge-on-write), then refreshes
+    the rollup partitions of every date the batch touched.
+
+    Returns the StreamingQuery. Late data is handled by construction —
+    a late point merges into its original date partition of the store
+    and that single date's rollup partition recomputes; no watermark
+    state, no delta double-counting, unbounded lateness tolerated at
+    the cost of one partition rewrite."""
+    obs = stream_observations(spark, landing_dir)
+
+    def _merge_and_refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.store(batch_df, source=source, overwrite_on_write=False)
+        dates = [
+            r["d"]
+            for r in batch_df.select(F.to_date("ts").alias("d")).distinct().collect()
+        ]
+        refresh_rollup_dates(store, rollup_path, dates, bucket_seconds, source)
+
+    writer = (
+        obs.writeStream.foreachBatch(_merge_and_refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+# ----------------------------------------------------------------------
 # T5 streaming twin: supervision via StreamingQueryListener.
 class StreamWatchdog:
     """Records streaming progress/termination events and restarts
