@@ -1,7 +1,9 @@
 """Benchmark harness: run the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and print the record as JSON lines: the full
+per-query map (also written to bench_full.json), then a compact final
+line {"metric", "value", "unit", "queries" (slowest-N), "sf", ...}
+sized to survive a 2000-char log-tail capture intact
 
 Each query is materialized through the noop sink (full execution, no
 driver-side result transfer) so timings measure the distributed plan,
@@ -88,19 +90,24 @@ def main() -> None:
     # truncated -> "parsed": null in BENCH_r01/r02). Carries the
     # headline numbers plus the slowest queries; the complete per-query
     # map is the line above / bench_full.json.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
-    compact = {
-        "metric": "total_sec_all_queries_noop_best_of_3",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in slowest.items()},
-        "queries_omitted": len(timings) - len(slowest),
-        "total_median": round(sum(medians.values()), 3),
-        "sf": _sf_label(SF_DIR),
-        "n_queries": len(timings),
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1950, f"compact bench line too long: {len(line)}"
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    # Shrink the slowest-N list until the line fits — degrading
+    # coverage beats an oversized (truncated-unparseable) line, and an
+    # assert would be stripped under python -O anyway.
+    for top_n in range(40, 0, -5):
+        compact = {
+            "metric": "total_sec_all_queries_noop_best_of_3",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in ranked[:top_n]},
+            "queries_omitted": len(timings) - min(top_n, len(timings)),
+            "total_median": round(sum(medians.values()), 3),
+            "sf": _sf_label(SF_DIR),
+            "n_queries": len(timings),
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) < 1950:
+            break
     print(line)
 
 

@@ -106,14 +106,54 @@ class SignatureStore:
         return fs.exists(p)
 
     @staticmethod
-    def _batch_dir(batch_id: int) -> str:
-        return f"b{int(batch_id):012d}"
+    def _batch_dir(batch_id: "int | str") -> str:
+        # int keys zero-pad for stable listing; string keys (content
+        # fingerprints) are used verbatim.
+        if isinstance(batch_id, int):
+            return f"b{batch_id:012d}"
+        return f"b{batch_id}"
+
+    @staticmethod
+    def _batch_key(batch_id: "int | str") -> str:
+        return SignatureStore._batch_dir(batch_id)[1:]
+
+    def batch_fingerprint(
+        self, new_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> str:
+        """Order-invariant content fingerprint of a batch — the commit
+        key for streaming ingest. A foreachBatch ``batch_id`` is an
+        ordinal scoped to ONE checkpoint lineage: after a checkpoint
+        reset, 'batch 0' may bundle already-committed files WITH new
+        ones, and a marker keyed on the ordinal would silently skip the
+        new files. Content-keying makes the commit check mean 'this
+        exact document set was fully ingested', independent of
+        checkpoint history. One small agg (count + bit_xor of per-doc
+        hashes), no collect of doc data."""
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col(id_col).cast("string"), F.md5(F.col(text_col))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        row = new_docs.select(h.alias("_h")).agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_h)").alias("x")
+        ).collect()[0]
+        import hashlib as _hl
+
+        return _hl.md5(f"{row['n']}|{row['x']}".encode()).hexdigest()[:20]
 
     # -- commit protocol -----------------------------------------------
-    def is_committed(self, batch_id: int) -> bool:
+    def is_committed(self, batch_id: "int | str") -> bool:
         return self._exists(f"commits/{self._batch_dir(batch_id)}")
 
-    def commit_batch(self, batch_id: int) -> None:
+    def commit_batch(self, batch_id: "int | str") -> None:
         """Drop the zero-byte marker that makes batch ``batch_id``'s
         docs/bands rows visible to subsequent ingests. Call ONLY after
         every output of the batch (store rows + accepted rows) is
@@ -122,31 +162,31 @@ class SignatureStore:
         fs.mkdirs(p.getParent())
         fs.create(p, True).close()
 
-    def _uncommitted_batch_ids(self) -> list[int]:
+    def _uncommitted_batch_keys(self) -> list[str]:
         """Batch subdirs present under docs/ or bands/ without a commit
         marker — partial state a crashed attempt left behind. Driver-
         side listing: one RPC per store dir, not per file."""
-        found: set[int] = set()
+        found: set[str] = set()
         for sub in ("docs", "bands"):
             if not self._exists(sub):
                 continue
             p, fs = self._fs(sub)
             for st in fs.listStatus(p):
                 name = st.getPath().getName()
-                if st.isDirectory() and name.startswith("b") and name[1:].isdigit():
-                    found.add(int(name[1:]))
-        return [b for b in found if not self.is_committed(b)]
+                if st.isDirectory() and name.startswith("b") and len(name) > 1:
+                    found.add(name[1:])
+        return [k for k in found if not self.is_committed(k)]
 
     # -- reads ----------------------------------------------------------
     _BANDS_SCHEMA = "doc_id long, band int, band_key string"
     _DOCS_SCHEMA = "doc_id long, content_hash string, word_hashes array<bigint>"
 
-    def _read(self, sub: str, schema: str, exclude_batch: int | None) -> DataFrame:
+    def _read(self, sub: str, schema: str, exclude_batch: "int | str | None") -> DataFrame:
         """Committed-state view of docs/ or bands/: flat legacy files
         plus committed batch subdirs, minus uncommitted partials and
         minus ``exclude_batch`` (the batch currently being ingested —
         a retry must not see its own earlier partial write)."""
-        full_schema = schema + ", ingest_batch_id long"
+        full_schema = schema + ", ingest_batch_key string"
         if not self._exists(sub):
             return self.spark.createDataFrame([], full_schema)
         df = (
@@ -154,26 +194,24 @@ class SignatureStore:
             .option("recursiveFileLookup", "true")
             .parquet(f"{self.path}/{sub}")
         )
-        drop = set(self._uncommitted_batch_ids())
+        drop = set(self._uncommitted_batch_keys())
         if exclude_batch is not None:
-            drop.add(int(exclude_batch))
+            drop.add(self._batch_key(exclude_batch))
         if drop:
-            # Legacy flat rows have ingest_batch_id NULL — keep them.
+            # Legacy flat rows have ingest_batch_key NULL — keep them.
             df = df.where(
-                ~F.coalesce(F.col("ingest_batch_id"), F.lit(-1)).isin(
-                    [int(b) for b in drop]
-                )
+                ~F.coalesce(F.col("ingest_batch_key"), F.lit("")).isin(sorted(drop))
             )
         return df
 
-    def bands(self, exclude_batch: int | None = None) -> DataFrame:
+    def bands(self, exclude_batch: "int | str | None" = None) -> DataFrame:
         return self._read("bands", self._BANDS_SCHEMA, exclude_batch).drop(
-            "ingest_batch_id"
+            "ingest_batch_key"
         )
 
-    def docs(self, exclude_batch: int | None = None) -> DataFrame:
+    def docs(self, exclude_batch: "int | str | None" = None) -> DataFrame:
         return self._read("docs", self._DOCS_SCHEMA, exclude_batch).drop(
-            "ingest_batch_id"
+            "ingest_batch_key"
         )
 
     # -- ingest ---------------------------------------------------------
@@ -182,7 +220,7 @@ class SignatureStore:
         new_docs: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
-        batch_id: int | None = None,
+        batch_id: "int | str | None" = None,
     ) -> tuple[DataFrame, IngestReport]:
         """Dedup ``new_docs`` against the store AND within the batch;
         persist survivors' signatures; return (accepted rows, report).
@@ -322,7 +360,7 @@ class SignatureStore:
         )
         if batch_id is not None:
             sub = self._batch_dir(batch_id)
-            tag = F.lit(int(batch_id)).cast("long").alias("ingest_batch_id")
+            tag = F.lit(self._batch_key(batch_id)).alias("ingest_batch_key")
             doc_rows.select("*", tag).write.mode("overwrite").parquet(
                 f"{self.path}/docs/{sub}"
             )
@@ -393,16 +431,23 @@ def stream_ingest(
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if store.is_committed(batch_id):
+        # Commit key = CONTENT fingerprint, not the foreachBatch
+        # ordinal: after a checkpoint reset, 'batch 0' of the new
+        # lineage can bundle already-committed files with brand-new
+        # ones, and an ordinal-keyed marker would skip the new files
+        # (silent loss). The fingerprint only short-circuits when this
+        # exact document set already committed.
+        key = store.batch_fingerprint(batch_df)
+        if store.is_committed(key):
             # Fully-committed batch redelivered (crash after commit,
             # before the checkpoint advanced): everything — store rows
             # AND accepted rows — is already durable. No-op.
             return
-        accepted, _report = store.ingest(batch_df, batch_id=batch_id)
+        accepted, _report = store.ingest(batch_df, batch_id=key)
         accepted.write.mode("overwrite").parquet(
-            f"{accepted_dir}/{SignatureStore._batch_dir(batch_id)}"
+            f"{accepted_dir}/{SignatureStore._batch_dir(key)}"
         )
-        store.commit_batch(batch_id)
+        store.commit_batch(key)
 
     writer = (
         stream.writeStream.foreachBatch(_ingest_batch)
@@ -422,9 +467,33 @@ def read_accepted(
     spark: SparkSession,
     accepted_dir: str,
     schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    store: SignatureStore | None = None,
 ) -> DataFrame:
     """Read the accepted corpus written by :func:`stream_ingest`
-    (one subdirectory per committed micro-batch)."""
+    (one subdirectory per committed micro-batch).
+
+    Pass the ingest ``store`` to read COMMITTED batches only: accepted
+    rows are written before the commit marker, so after a crash in
+    that window an uncommitted subdir can exist whose documents the
+    dedup store does not know about — consumers of the corpus must not
+    see them (the retry will rewrite the subdir and then commit).
+    """
+    if store is not None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(accepted_dir)
+        fs = root.getFileSystem(conf)
+        if not fs.exists(root):
+            return spark.createDataFrame([], schema)
+        dirs = [
+            st.getPath()
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith("b")
+        ]
+        keep = [str(p) for p in dirs if store.is_committed(p.getName()[1:])]
+        if not keep:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*keep)
     return (
         spark.read.schema(schema)
         .option("recursiveFileLookup", "true")

@@ -174,7 +174,9 @@ def resize_images(
                 )
 
             def _fake_resize(b):
-                b = bytes(b) or b"\x00"
+                # NULL payloads (never-fetched assets) resize to a zero
+                # image rather than crashing the batch.
+                b = (bytes(b) if b is not None else b"") or b"\x00"
                 reps = -(-out_len // len(b))  # ceil
                 return (b * reps)[:out_len]
 
@@ -187,6 +189,9 @@ def resize_images(
                 }
             )
 
+    # Like the sibling manifests, operate on this op's media type only
+    # (an audio row's NULL-width meta has no business in a resize pass).
+    df = df.where(F.col("media_type") == "image")
     resized = df.select("asset_id", "payload").mapInPandas(
         _resize, schema="asset_id long, payload binary, width int, height int"
     )
@@ -227,10 +232,13 @@ def audio_chunk_manifest(
     )
     start_s = F.col("chunk_idx") * F.lit(chunk_s)
     end_s = F.least(start_s + F.lit(chunk_s), F.col("duration_s"))
+    # round() before the long cast: durations like 30.29 are not
+    # binary-exact (30.28999...), and a bare cast TRUNCATES the
+    # 4639.9999... product to 4639 instead of 4640 samples.
     return base.select(
         "asset_id",
         "chunk_idx",
-        (start_s * F.col("src_rate")).cast("long").alias("src_start_sample"),
-        (end_s * F.col("src_rate")).cast("long").alias("src_end_sample"),
-        ((end_s - start_s) * F.lit(target_rate)).cast("long").alias("out_samples"),
+        F.round(start_s * F.col("src_rate")).cast("long").alias("src_start_sample"),
+        F.round(end_s * F.col("src_rate")).cast("long").alias("src_end_sample"),
+        F.round((end_s - start_s) * F.lit(target_rate)).cast("long").alias("out_samples"),
     )

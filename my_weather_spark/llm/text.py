@@ -76,6 +76,28 @@ def quality_stats(
     )
 
 
+def quality_keep_predicate(
+    text_col: str = "text",
+    min_words: int = 10,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.0,
+):
+    """The Gopher-rules keep predicate as ONE boolean Column — the
+    single source of truth for both the batch filter and the streaming
+    front filter (a stream cannot semi-join against a derived frame, so
+    it needs the inlined expression; sharing it here keeps the two
+    paths from drifting)."""
+    t = F.col(text_col)
+    w = _words(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    keep = (F.size(w) >= min_words) & ((n_punct / F.length(t)) <= max_punct_ratio)
+    if min_stopword_ratio > 0.0:
+        stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+        n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, F.lower(x))))
+        keep = keep & ((n_stop / F.size(w)) >= min_stopword_ratio)
+    return keep
+
+
 def quality_filter(
     df: DataFrame,
     min_words: int = 10,
@@ -84,14 +106,13 @@ def quality_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The Gopher-rules-shaped keep/drop filter over quality_stats."""
-    s = quality_stats(df, text_col, id_col)
-    keep = s.where(
-        (F.col("n_words") >= min_words)
-        & (F.col("punct_ratio") <= max_punct_ratio)
-        & (F.col("stopword_ratio") >= min_stopword_ratio)
-    ).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    """Keep/drop filter over the shared quality predicate — a narrow
+    in-row where(), no join, no shuffle."""
+    return df.where(
+        quality_keep_predicate(
+            text_col, min_words, max_punct_ratio, min_stopword_ratio
+        )
+    )
 
 
 # ----------------------------------------------------------------------

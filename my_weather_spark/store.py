@@ -33,6 +33,21 @@ from my_weather_spark.ops.timeseries import merge_dedup, period_filter
 PARTITION_COLS = ["source", "date"]
 
 
+def ensure_utc_session(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC (dynamically settable).
+
+    The store's ``date`` partition is defined as the UTC day of ``ts``,
+    and the rollup layer derives partition dates from UTC-aligned
+    bucket starts — both via ``to_date``, which follows the SESSION
+    timezone. A non-UTC session would write rows into local-date
+    partitions and make date-keyed refreshes overwrite the wrong
+    partition, so every write/refresh path sets this defensively."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 class TsStore:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -112,6 +127,7 @@ class TsStore:
         (series_id, ts) are replaced by the newest ingest, all other
         existing points are kept.
         """
+        ensure_utc_session(self.spark)
         it = ingest_time or datetime.now(tz=timezone.utc)
         if "ingest_time" not in df.columns:
             df = df.withColumn("ingest_time", F.lit(it))

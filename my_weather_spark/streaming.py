@@ -148,7 +148,7 @@ def dedup_late_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataF
 def curated_doc_stream(
     stream: DataFrame,
     min_words: int = 10,
-    max_punct_ratio: float = 0.3,
+    max_punct_ratio: float = 0.2,
     ts_col: str = "ingest_ts",
     watermark: str = "1 hour",
     text_col: str = "text",
@@ -157,30 +157,28 @@ def curated_doc_stream(
     in-row quality gate + exact content dedup, entirely inside the
     stream plan (bounded state, low latency).
 
-    Quality predicates are inlined (batch ``text.quality_filter``
-    resolves via a semi-join, which a stream cannot do without a
-    second watermark); exact dedup keys on a content hash via
-    ``dropDuplicatesWithinWatermark``, so dedup state is bounded by
-    the watermark horizon, not corpus lifetime. Survivor choice among
-    duplicates is WHICHEVER ROW THE ENGINE SEES FIRST (processing
-    order, not event time or id) — exactly one copy per hash survives,
-    but which one is nondeterministic, unlike the batch twin's
-    keep-smallest-id rule. Callers that need a deterministic survivor
-    run the batch dedup downstream. For corpus-lifetime
-    near-dup ingestion use :func:`llm.incremental.stream_ingest`,
-    which keeps unbounded LSH state in parquet; this front filter is
-    what runs upstream of it (or alone when latency matters more than
-    cross-horizon dedup).
+    The quality gate is the SAME predicate (and the same defaults) as
+    the batch path — ``text.quality_keep_predicate`` is the single
+    source of truth, shared so the twins cannot drift. Exact dedup
+    keys on a content hash via ``dropDuplicatesWithinWatermark``, so
+    dedup state is bounded by the watermark horizon, not corpus
+    lifetime. Survivor choice among duplicates is WHICHEVER ROW THE
+    ENGINE SEES FIRST (processing order, not event time or id) —
+    exactly one copy per hash survives, but which one is
+    nondeterministic, unlike the batch twin's keep-smallest-id rule.
+    Callers that need a deterministic survivor run the batch dedup
+    downstream. For corpus-lifetime near-dup ingestion use
+    :func:`llm.incremental.stream_ingest`, which keeps unbounded LSH
+    state in parquet; this front filter is what runs upstream of it
+    (or alone when latency matters more than cross-horizon dedup).
     """
-    t = F.col(text_col)
-    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    from my_weather_spark.llm.text import quality_keep_predicate
+
     kept = stream.where(
-        (F.size(words) >= min_words)
-        & ((n_punct / F.length(t)) <= max_punct_ratio)
+        quality_keep_predicate(text_col, min_words, max_punct_ratio)
     )
     return (
-        kept.withColumn("_content_hash", F.md5(t))
+        kept.withColumn("_content_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_content_hash"])
         .drop("_content_hash")
@@ -219,6 +217,13 @@ def refresh_rollup_dates(
         raise ValueError("bucket_seconds must divide 86400 (no midnight-straddling buckets)")
     if not dates:
         return
+    # Bucket starts are UTC-epoch-aligned and the store's date
+    # partitions are UTC days; to_date() follows the SESSION tz, so a
+    # non-UTC session would tag bucket rows with the wrong partition
+    # date and dynamic overwrite would clobber a neighboring date.
+    from my_weather_spark.store import ensure_utc_session
+
+    ensure_utc_session(store.spark)
     bucket_us = bucket_seconds * 1_000_000
     rows = store._read_all().where(
         (F.col("source") == source) & F.col("date").isin(list(dates))

@@ -126,6 +126,17 @@ def test_transactional_retry_emits_same_accepted_set(spark, store):
     assert not store.is_committed(1)
     # Uncommitted rows are invisible to store state.
     assert store.docs().count() == 2
+    # ...and an accepted subdir written pre-crash is invisible to
+    # committed-only readers.
+    from my_weather_spark.llm.incremental import read_accepted
+
+    accepted_dir = str(store.path) + "_accepted"
+    acc1.write.mode("overwrite").parquet(
+        f"{accepted_dir}/{store._batch_dir(1)}"
+    )
+    assert read_accepted(
+        store.spark, accepted_dir, "doc_id long, text string", store=store
+    ).count() == 0
 
     # At-least-once redelivery of the SAME batch: must not self-reject —
     # the retry sees the pre-batch store state and re-emits {12}.
@@ -157,18 +168,53 @@ def test_committed_batch_short_circuits_on_redelivery(spark, tmp_path):
     sig = SignatureStore(spark, str(tmp_path / "sig"), jaccard_threshold=0.8)
     schema = "doc_id long, text string"
 
-    _docs(spark, [(0, BASE), (1, OTHER)]).write.mode("append").parquet(landing)
+    wave1 = _docs(spark, [(0, BASE), (1, OTHER)])
+    wave1.write.mode("append").parquet(landing)
     q = stream_ingest(spark, landing, sig, accepted_dir, str(tmp_path / "ckpt"), schema=schema)
     q.awaitTermination(120)
-    assert sig.is_committed(0)
+    # committed under the batch's CONTENT fingerprint, not the ordinal
+    assert sig.is_committed(sig.batch_fingerprint(wave1))
+    assert not sig.is_committed(0)
 
     # Simulate a lost checkpoint: the same files replay as batch 0 of a
-    # FRESH checkpoint. The committed marker short-circuits the batch,
-    # so neither the store nor the accepted output double-writes.
+    # FRESH checkpoint. The content-keyed commit marker short-circuits
+    # the identical batch, so neither the store nor the accepted output
+    # double-writes.
     q = stream_ingest(spark, landing, sig, accepted_dir, str(tmp_path / "ckpt2"), schema=schema)
     q.awaitTermination(120)
     assert sig.docs().count() == 2
-    assert read_accepted(spark, accepted_dir, schema).count() == 2
+    assert read_accepted(spark, accepted_dir, schema, store=sig).count() == 2
+
+
+def test_fresh_checkpoint_with_new_files_ingests_them(spark, tmp_path):
+    # The trap a batch-ORDINAL commit key falls into: wave 1 commits
+    # under checkpoint A as batch 0; new files land; the operator
+    # restarts with a FRESH checkpoint whose batch 0 bundles the old
+    # AND new files. A content-keyed marker does not match the bundled
+    # batch, so the new documents are ingested (old ones exact-reject);
+    # an ordinal-keyed marker would have skipped them silently.
+    from my_weather_spark.llm.incremental import (
+        SignatureStore, read_accepted, stream_ingest,
+    )
+
+    landing = str(tmp_path / "landing")
+    accepted_dir = str(tmp_path / "accepted")
+    sig = SignatureStore(spark, str(tmp_path / "sig"), jaccard_threshold=0.8)
+    schema = "doc_id long, text string"
+
+    _docs(spark, [(0, BASE), (1, OTHER)]).write.mode("append").parquet(landing)
+    q = stream_ingest(spark, landing, sig, accepted_dir, str(tmp_path / "ckA"), schema=schema)
+    q.awaitTermination(120)
+    assert sig.docs().count() == 2
+
+    fresh = "a genuinely new document with words that appear nowhere else at all"
+    _docs(spark, [(7, fresh)]).write.mode("append").parquet(landing)
+    # FRESH checkpoint: batch 0 of the new lineage = all three files
+    q = stream_ingest(spark, landing, sig, accepted_dir, str(tmp_path / "ckB"), schema=schema)
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in sig.docs().select("doc_id").collect()} == {0, 1, 7}
+    got = {r["doc_id"] for r in read_accepted(spark, accepted_dir, schema, store=sig).collect()}
+    assert 7 in got
 
 
 def test_incremental_agrees_with_full_rebuild(spark, store, tmp_path):
