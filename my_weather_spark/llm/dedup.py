@@ -69,6 +69,24 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
 
 # ----------------------------------------------------------------------
 # Word shingles (the unit of near-dup similarity).
+def word_array(text_col: str):
+    """Distinct single-space-token word array — THE tokenization every
+    dedup stage shares (minhash signatures, Jaccard verify, dense
+    pairs, simhash). One definition so a tokenization tweak changes
+    all stages together, never one of them silently."""
+    return F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    )
+
+
+def md5_prefix_long(col, hex_chars: int):
+    """Leading ``hex_chars`` md5 hex chars as a long — the shared
+    engine-portable uniform hash (8 chars = 32-bit minhash base,
+    15 chars = 60-bit verify/fingerprint hash; both stay positive in a
+    signed 64-bit long here and in SQL oracles)."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
 def word_set(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, word) distinct pairs; single-space tokenization to stay
     engine-portable."""
@@ -131,13 +149,16 @@ def minhash_signatures(
     n_bands = num_hashes // band_size
     a_arr = F.array(*[F.lit(a) for a in _MINHASH_A[:num_hashes]])
     b_arr = F.array(*[F.lit(b) for b in _MINHASH_B[:num_hashes]])
-    words = F.array_distinct(
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    words = word_array(text_col)
+    hashes = F.transform(words, lambda w: md5_prefix_long(w, 8))
+    # Empty/whitespace-only docs have NO words: array_min over an empty
+    # array is NULL, and array_join drops NULLs, so every empty doc
+    # would share the band_key "" — ONE hot LSH bucket emitting all
+    # O(n^2) empty-pair candidates (and a maximally skewed join key).
+    # They carry no shingle signal to near-dup on; emit no bands.
+    with_h = df.select(F.col(id_col), hashes.alias("_wh")).where(
+        F.size("_wh") > 0
     )
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
-    )
-    with_h = df.select(F.col(id_col), hashes.alias("_wh"))
     sigs = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda s: F.array_min(
@@ -267,15 +288,10 @@ def jaccard_for_candidates(
     """
     if hashed:
         words = F.array_distinct(
-            F.transform(
-                F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
-                lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
-            )
+            F.transform(word_array(text_col), lambda w: md5_prefix_long(w, 15))
         )
     else:
-        words = F.array_distinct(
-            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-        )
+        words = word_array(text_col)
     d = df.select(F.col(id_col), words.alias("_ws"))
     a = d.select(F.col(id_col).alias("doc_a"), F.col("_ws").alias("_wa"))
     b = d.select(F.col(id_col).alias("doc_b"), F.col("_ws").alias("_wb"))
@@ -313,9 +329,7 @@ def jaccard_pairs_dense(
     and per-pair array intersection is cheaper than shuffling the
     exploded word pairs).
     """
-    words = F.array_sort(
-        F.array_distinct(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
-    )
+    words = F.array_sort(word_array(text_col))
     d = _fan_out(df).select(
         F.col(id_col), F.col(pair_scope_col).alias("_scope"), words.alias("_ws")
     )
@@ -515,9 +529,7 @@ def simhash(
     if bits > 60:
         raise ValueError("bits must be <= 60 (signed-64 portability)")
     hex_chars = 8 if bits <= 32 else 15
-    words = F.array_distinct(
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    )
+    words = word_array(text_col)
     # Explode + hash-aggregate instead of a nested higher-order
     # `aggregate` over (bits x words): HOF lambdas are interpreted
     # per-element (bits*words evals per doc — 6x slower measured at 60
@@ -530,12 +542,7 @@ def simhash(
     wh = _fan_out(df).select(
         F.col(id_col),
         F.explode_outer(words).alias("_w"),
-    ).select(
-        id_col,
-        F.conv(F.substring(F.md5(F.col("_w")), 1, hex_chars), 16, 10)
-        .cast("long")
-        .alias("_h"),
-    )
+    ).select(id_col, md5_prefix_long(F.col("_w"), hex_chars).alias("_h"))
     sums = wh.groupBy(id_col).agg(
         *[
             F.sum(

@@ -46,11 +46,11 @@ class IngestReport:
 
 def _word_hashes(text_col: str):
     """Distinct 60-bit md5 word hashes, in-row (matches
-    jaccard_for_candidates(hashed=True) exactly)."""
+    jaccard_for_candidates(hashed=True) exactly — built from the same
+    shared tokenization/hash helpers, so they cannot drift)."""
     return F.array_distinct(
         F.transform(
-            F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
-            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+            dedup.word_array(text_col), lambda w: dedup.md5_prefix_long(w, 15)
         )
     )
 

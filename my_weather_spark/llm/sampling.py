@@ -35,6 +35,14 @@ def _ticket(id_col: str, seed: str) -> Column:
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % TICKET_MOD
 
 
+def _cut(rate: float) -> int:
+    """Ticket cutoff for a keep-rate. round(), NOT int(): truncation
+    drops one ticket for thousands of exactly-representable decimal
+    rates (int(0.0157e6) == 15699), breaking the documented 1e-6
+    exactness and any oracle that computes the cut by exact decimal."""
+    return int(round(rate * TICKET_MOD))
+
+
 def hash_sample(
     df: DataFrame,
     rate: float,
@@ -48,7 +56,7 @@ def hash_sample(
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return df.where(_ticket(id_col, seed) < int(rate * TICKET_MOD))
+    return df.where(_ticket(id_col, seed) < _cut(rate))
 
 
 def stratified_sample(
@@ -69,10 +77,10 @@ def stratified_sample(
     for k, v in rates.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
-    pairs = [x for k in sorted(rates) for x in (F.lit(k), F.lit(int(rates[k] * TICKET_MOD)))]
+    pairs = [x for k in sorted(rates) for x in (F.lit(k), F.lit(_cut(rates[k])))]
     cut = F.coalesce(
         F.element_at(F.create_map(*pairs), F.col(strata_col)),
-        F.lit(int(default_rate * TICKET_MOD)),
+        F.lit(_cut(default_rate)),
     )
     return df.where(_ticket(id_col, seed) < cut)
 
@@ -121,7 +129,7 @@ def split_assign(
     cuts = []
     for w, lab in zip(weights[:-1], labels[:-1]):
         acc += w
-        cuts.append((int(acc * TICKET_MOD), lab))
+        cuts.append((_cut(acc), lab))
     for cut, lab in reversed(cuts):
         expr = F.when(t < cut, F.lit(lab)).otherwise(expr)
     return df.withColumn(out_col, expr)

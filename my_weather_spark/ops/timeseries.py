@@ -58,9 +58,13 @@ def null_to_nan(df: DataFrame, value_col: str = VALUE) -> DataFrame:
 # ----------------------------------------------------------------------
 # W1 — consecutive-point delta (reference: repository.py:138).
 def with_point_delta(df: DataFrame, out_col: str = "dt_seconds") -> DataFrame:
+    # microsecond math: unix_timestamp truncates to whole seconds, so a
+    # sub-second cadence would read as dt=0 and end_extension would
+    # append a duplicate-key row instead of extending
     prev = F.lag(TS).over(_series_window())
     return df.withColumn(
-        out_col, (F.unix_timestamp(TS) - F.unix_timestamp(prev)).cast("double")
+        out_col,
+        ((F.unix_micros(TS) - F.unix_micros(prev)) / 1_000_000.0).cast("double"),
     )
 
 
@@ -93,7 +97,12 @@ def end_extension(df: DataFrame) -> DataFrame:
         last_rows.join(modes, SERIES, "inner")
         .withColumn(
             TS,
-            (F.unix_timestamp(TS) + F.col("dt_mode_seconds")).cast("timestamp"),
+            F.timestamp_micros(
+                (
+                    F.unix_micros(TS)
+                    + F.round(F.col("dt_mode_seconds") * 1_000_000).cast("long")
+                )
+            ),
         )
         .drop("dt_mode_seconds")
     )
@@ -198,10 +207,12 @@ def last_k_points(df: DataFrame, k: int) -> DataFrame:
 # (reference: rate_limiter.py:39-47 as control-plane deque; this is the
 # data-plane twin as a range-bounded window).
 def sliding_count(df: DataFrame, timespan_seconds: int, out_col: str = "n_in_window") -> DataFrame:
+    # exact trailing window at microsecond resolution (unix_timestamp
+    # would truncate to seconds and blur the boundary)
     w = (
         W.partitionBy(SERIES)
-        .orderBy(F.unix_timestamp(TS).cast("long"))
-        .rangeBetween(-timespan_seconds, 0)
+        .orderBy(F.unix_micros(TS))
+        .rangeBetween(-int(timespan_seconds) * 1_000_000, 0)
     )
     return df.withColumn(out_col, F.count(F.lit(1)).over(w))
 
@@ -263,6 +274,17 @@ def resample(df: DataFrame, bucket: str, agg: str = "avg") -> DataFrame:
     )
 
 
+# Exact floor division for epoch-microsecond bucket math. SQL `div`
+# truncates toward ZERO, which mis-bins every pre-1970 (negative)
+# timestamp: -1.5s div 1s = -1, but the point belongs to bucket -2.
+# pmod returns the non-negative remainder, so subtracting it always
+# rounds DOWN; the final division is over an exact multiple (no
+# floating-point boundary risk).
+def _floor_div_us(col, divisor_us: int):
+    d = F.lit(int(divisor_us))
+    return ((col - F.pmod(col, d)) / d).cast("long")
+
+
 # Time-weighted resample for POINT_AVERAGE (staircase) series: value
 # v_i holds over [t_i, t_{i+1}); the resampled bucket value is the
 # time-integral of the staircase over the bucket divided by covered
@@ -303,7 +325,8 @@ def resample_time_weighted(
         "_v",
         F.explode(
             F.sequence(
-                F.expr(f"_t div {w_us}"), F.expr(f"(_tn - 1) div {w_us}")
+                _floor_div_us(F.col("_t"), w_us),
+                _floor_div_us(F.col("_tn") - 1, w_us),
             )
         ).alias("_b"),
     )
@@ -312,9 +335,17 @@ def resample_time_weighted(
     )
     if exact_value_decimals is not None:
         unit = 10 ** exact_value_decimals
-        weighted = F.round(F.col("_v") * unit).cast("long") * F.col("_ov")
+        # decimal, not long: value-units x microsecond-overlap products
+        # overflow int64 for realistic inputs (150.0 at 6 decimals over
+        # a full-day bucket is 1.3e19 > 2^63), which ANSI mode turns
+        # into a job-killing ARITHMETIC_OVERFLOW. decimal(20)x
+        # decimal(14) sums exactly within decimal(38).
+        weighted = (
+            F.round(F.col("_v") * unit).cast("decimal(20,0)")
+            * F.col("_ov").cast("decimal(14,0)")
+        )
         twa = F.round(
-            F.sum(weighted).cast("long") / float(unit) / F.sum("_ov"), 6
+            F.sum(weighted).cast("double") / float(unit) / F.sum("_ov"), 6
         )
     else:
         twa = F.round(F.sum(F.col("_v") * F.col("_ov")) / F.sum("_ov"), 6)
@@ -359,7 +390,7 @@ def resample_by_interpretation(
         .groupBy(
             SERIES,
             point_fx_col,
-            F.expr(f"(unix_micros({TS}) div {w_us}) * {w_us}").alias("bucket_us"),
+            (_floor_div_us(F.unix_micros(TS), w_us) * w_us).alias("bucket_us"),
         )
         .agg(
             F.round(F.avg(VALUE), 6).alias("value"),
@@ -399,8 +430,10 @@ def interpolate_at(df: DataFrame, grid_dt_seconds: int) -> DataFrame:
         SERIES,
         F.explode(
             F.sequence(
-                F.expr(f"cast(ceil(_lo / {g_us}) as long)"),
-                F.expr(f"_hi div {g_us}"),
+                # exact ceil-div = -floor(-x/g); double ceil() or `div`
+                # both mis-bin negative epochs
+                -_floor_div_us(-F.col("_lo"), g_us),
+                _floor_div_us(F.col("_hi"), g_us),
             )
         ).alias("_g"),
     ).select(SERIES, (F.col("_g") * g_us).alias("_t_us"), F.lit(1).alias("_is_grid"))
@@ -534,6 +567,8 @@ def wide_view(
     must run an extra distinct() job to discover pivot columns.
     """
     aggs = {"avg": F.avg("value"), "last": F.max_by("value", TS), "sum": F.sum("value")}
+    if agg not in aggs:
+        raise ValueError(f"unknown agg {agg!r}")  # same contract as resample
     piv = df.groupBy(TS).pivot(SERIES, series_values)
     return piv.agg(aggs[agg])
 
@@ -648,7 +683,7 @@ def asof_join(
     rv = F.col("_r_ff.rv")
     if tolerance_seconds is not None:
         in_tol = (
-            F.unix_timestamp(TS) - F.unix_timestamp(F.col("_r_ff.rts"))
-        ) <= tolerance_seconds
+            F.unix_micros(TS) - F.unix_micros(F.col("_r_ff.rts"))
+        ) <= int(tolerance_seconds) * 1_000_000
         rv = F.when(in_tol, rv)
     return out.select(SERIES, TS, VALUE, rv.alias(right_value_col))

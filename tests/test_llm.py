@@ -39,6 +39,18 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 5) not in pairs  # unrelated must not
 
 
+def test_empty_docs_emit_no_lsh_candidates(spark):
+    # Empty/whitespace docs all minhash to NULL signatures, which used
+    # to collapse into ONE "" band bucket emitting every O(n^2) empty
+    # pair (a quadratic hot key at corpus scale). They carry no shingle
+    # signal: no bands, no pairs.
+    rows = [(i, "   " if i % 2 else "") for i in range(6)]
+    rows.append((10, "real words here for one genuine document"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.minhash_signatures(df).where(F.col("doc_id") < 10).count() == 0
+    assert dedup.minhash_lsh_pairs(df).count() == 0
+
+
 def test_jaccard_verify_step(docs):
     lsh = dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
     jac = dedup.jaccard_pairs(docs, min_jaccard=0.5)

@@ -341,6 +341,51 @@ def test_resample_time_weighted_golden(spark):
     assert 120_000_000 not in got
 
 
+def test_resample_time_weighted_pre_epoch(spark):
+    # Negative epoch-us: `div` truncates toward zero and mis-bins these
+    # (bucket -3 vanished, bucket -1 averaged 30.0 — outside the data
+    # range). Floor-division must bin exactly like the positive case.
+    # staircase: v=10 over [-2.5s, -1.5s), v=20 over [-1.5s, +0.5s)
+    df = _series(spark, [(-2.5, 10), (-1.5, 20), (0.5, 99)])
+    got = {
+        r["bucket_us"]: (r["twa_value"], r["covered_us"])
+        for r in ts_ops.resample_time_weighted(df, 1).collect()
+    }
+    assert got[-3_000_000] == (10.0, 500_000)          # [-3, -2): only v=10's first half
+    assert got[-2_000_000] == (15.0, 1_000_000)        # half 10, half 20
+    assert got[-1_000_000] == (20.0, 1_000_000)
+    assert got[0] == (20.0, 500_000)
+    # all reported values inside the data range
+    assert all(10.0 <= v <= 20.0 for v, _ in got.values())
+
+
+def test_resample_time_weighted_exact_decimals_no_overflow(spark):
+    # value 150.0 at 6 decimals over a full-day bucket: the value-units
+    # x microsecond-overlap product is 1.3e19 > int64 — ANSI mode made
+    # this an ARITHMETIC_OVERFLOW crash before the decimal fix.
+    DAY = 86_400
+    df = _series(spark, [(0, 150.0), (DAY, 150.0), (2 * DAY, 0.0)])
+    got = {
+        r["bucket_us"]: r["twa_value"]
+        for r in ts_ops.resample_time_weighted(
+            df, DAY, exact_value_decimals=6
+        ).collect()
+    }
+    assert got[0] == 150.0 and got[DAY * 1_000_000] == 150.0
+
+
+def test_end_extension_subsecond_cadence(spark):
+    # 500ms cadence: whole-second deltas read as 0 and the synthetic
+    # point landed ON the last point (duplicate key, no extension).
+    df = _series(spark, [(0.0, 1), (0.5, 2), (1.0, 3)])
+    got = sorted(ts_ops.end_extension(df).collect(), key=lambda r: r["ts"])
+    assert len(got) == 4
+    last, synth = got[-2], got[-1]
+    assert synth["ts"] > last["ts"]
+    assert (synth["ts"] - last["ts"]).total_seconds() == 0.5
+    assert synth["value"] == 3.0
+
+
 def test_resample_time_weighted_vs_point_mean(spark):
     # dense points at v=1 for 10s, then one long v=100 segment of 90s:
     # point-mean is ~1, but the time-weighted average must be ~90.
