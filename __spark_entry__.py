@@ -1751,7 +1751,7 @@ def j4_fuzzy_match(spark, sf_dir):
 
 _SQL_WORDS = (
     "words AS (SELECT DISTINCT doc_id, w FROM "
-    "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '')"
+    "(SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents) WHERE w <> '')"
 )
 
 
@@ -1954,7 +1954,7 @@ def cosine_threshold_pairs(spark, sf_dir):
 @_q(
     "text_hashed_bow",
     """
-    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
     SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
            count(*) AS tf
     FROM w WHERE w <> ''
@@ -1992,11 +1992,11 @@ def srp_cosine_near_dup(spark, sf_dir):
     "text_token_stats",
     """
     SELECT doc_id, length(text) AS n_chars,
-           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+           len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_words,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est,
-           round(list_sum(list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+           round(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''),
                  w -> length(w))) /
-                 len(list_filter(string_split(text, ' '), w -> w <> '')), 6) AS avg_word_len
+                 len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')), 6) AS avg_word_len
     FROM documents
     """,
 )
@@ -2008,7 +2008,7 @@ def text_token_stats(spark, sf_dir):
 @_q(
     "text_quality_stats",
     """
-    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+    WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws,
                       text FROM documents)
     SELECT doc_id, length(text) AS n_chars, len(ws) AS n_words,
            round(len(list_filter(ws, x -> list_contains(
@@ -2161,12 +2161,12 @@ def split_assign_counts(spark, sf_dir):
     """
     WITH bench_docs AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
     corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-    bw AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+    bw AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
            FROM bench_docs),
     bg AS (SELECT DISTINCT
              ('0x' || substr(md5(array_to_string(ws[p:p+4], ' ')), 1, 15))::BIGINT AS gram_h
            FROM bw, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS p)),
-    cw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+    cw AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
            FROM corpus),
     cg AS (SELECT DISTINCT doc_id,
              ('0x' || substr(md5(array_to_string(ws[p:p+4], ' ')), 1, 15))::BIGINT AS gram_h
@@ -2281,7 +2281,7 @@ def training_order_head(spark, sf_dir):
     "text_repetition_stats",
     """
     WITH ws AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
       FROM documents),
     bg AS (
       SELECT doc_id, w,
@@ -2551,7 +2551,7 @@ def _langid_oracle() -> str:
         )
     union = "\n      UNION ALL ".join(selects)
     return f"""
-    WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
                FROM documents),
     scores AS ({union})
     SELECT doc_id, lang AS predicted_lang, hits AS lang_score FROM (

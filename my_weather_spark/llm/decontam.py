@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 def _ngram_hashes(text_col: str, n: int) -> Column:
     """Distinct 60-bit hashes of all word ``n``-grams of a text column,
     built in-row: split -> sliding slice -> md5 -> long."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
         lambda p: F.conv(

@@ -75,7 +75,7 @@ def word_array(text_col: str):
     pairs, simhash). One definition so a tokenization tweak changes
     all stages together, never one of them silently."""
     return F.array_distinct(
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     )
 
 
@@ -91,7 +91,7 @@ def word_set(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     """(id, word) distinct pairs; single-space tokenization to stay
     engine-portable."""
     return (
-        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        df.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
         .where(F.col("word") != "")
         .distinct()
     )

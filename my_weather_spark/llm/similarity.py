@@ -88,6 +88,7 @@ def cosine_threshold_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int = 65536,
+    ordered_pairs: bool = True,
 ) -> DataFrame:
     """All (query, neighbor) pairs with cosine >= threshold — the
     embedding near-dup primitive (rank-free, so fully order-stable).
@@ -103,11 +104,22 @@ def cosine_threshold_pairs(
     (``max_query_rows``), not assumed: collecting an unbounded "query"
     side is a driver OOM at scale. For corpus-x-corpus use
     :func:`cosine_self_pairs`, which never collects anything.
+
+    ``ordered_pairs=True`` (default) is the SELF-JOIN mode: queries
+    are drawn from the corpus id space and each unordered pair is
+    emitted once as query_id < neighbor_id (the cosine_self_pairs
+    contract). For a DISJOINT query batch set ``ordered_pairs=False``
+    — every (query, neighbor) pair with query != neighbor is emitted;
+    with the default, a query whose id sorts above the corpus ids
+    would silently match nothing.
     """
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {q_id_type}, neighbor_id {c_id_type}, cos double"
     q_pdf = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
     if len(q_pdf) > max_query_rows:
         raise ValueError(
@@ -115,6 +127,9 @@ def cosine_threshold_pairs(
             "driver-collected query batch must be broadcast-sized — use "
             "cosine_self_pairs for corpus-x-corpus similarity"
         )
+    if len(q_pdf) == 0:
+        # an empty query batch has an empty answer, not an np.stack crash
+        return spark.createDataFrame([], out_schema)
     q_ids = q_pdf[id_col].to_numpy()
     q_mat = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -129,8 +144,12 @@ def cosine_threshold_pairs(
             c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = np.round(c_mat @ mat.T, 6)
-            # pair order: query_id < neighbor_id (corpus row is neighbor)
-            mask = (sims >= threshold) & (ids[None, :] < c_ids[:, None])
+            if ordered_pairs:
+                # self-join mode: each unordered pair once
+                mask = (sims >= threshold) & (ids[None, :] < c_ids[:, None])
+            else:
+                # query-vs-corpus mode: self-matches excluded only
+                mask = (sims >= threshold) & (ids[None, :] != c_ids[:, None])
             ci, qi = np.nonzero(mask)
             yield pd.DataFrame(
                 {
@@ -143,7 +162,7 @@ def cosine_threshold_pairs(
     from my_weather_spark.llm.dedup import _fan_out
 
     return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(
-        _score, schema="query_id long, neighbor_id long, cos double"
+        _score, schema=out_schema
     )
 
 
@@ -445,10 +464,17 @@ def ivf_topk(
             f"query side exceeds max_query_rows={max_query_rows}; a "
             "driver-collected query batch must be broadcast-sized"
         )
+    n_id_type = index.schema[id_col].dataType.simpleString()
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    q_vec_type = queries.schema[vec_col].dataType.simpleString()
+    if len(q_pdf) == 0:
+        # an empty query batch has an empty answer, not an np.stack crash
+        return spark.createDataFrame(
+            [], f"query_id {q_id_type}, neighbor_id {n_id_type}, cos double, rank int"
+        )
     q_mat = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     sims = q_mat @ c_mat.T
-    q_id_type = queries.schema[id_col].dataType.simpleString()
     _cast = int if q_id_type in ("bigint", "int", "smallint", "tinyint") else (lambda x: x)
     probe_rows = []
     for qi, qid in enumerate(q_pdf[id_col].tolist()):
@@ -458,8 +484,10 @@ def ivf_topk(
             probe_rows.append(
                 (_cast(qid), int(c_ids[j]), [float(x) for x in q_pdf[vec_col][qi]])
             )
+    # the query side's OWN vector type: forcing float32 here would
+    # truncate double embeddings and let near-tied neighbors swap ranks
     qprobe = spark.createDataFrame(
-        probe_rows, f"query_id {q_id_type}, centroid_id long, _qv array<float>"
+        probe_rows, f"query_id {q_id_type}, centroid_id long, _qv {q_vec_type}"
     )
     # Literal IN-list on the partition column: guarantees static
     # partition pruning at the parquet scan (PartitionFilters), beyond
@@ -483,9 +511,12 @@ def ivf_topk(
                 continue
             A = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
             B = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
-            cos = np.einsum("ij,ij->i", A, B) / (
-                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            )
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            # zero-norm corpus vectors have no direction: rank them
+            # LAST (-inf), not first (NaN sorts above every real cos
+            # under desc ordering and would displace true neighbors)
+            cos = np.where(den > 0, num / np.where(den > 0, den, 1.0), -np.inf)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -494,7 +525,6 @@ def ivf_topk(
                 }
             )
 
-    n_id_type = index.schema[id_col].dataType.simpleString()
     scored = joined.mapInPandas(
         _score, f"query_id {q_id_type}, neighbor_id {n_id_type}, cos double"
     )

@@ -28,7 +28,7 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "are", "wa
 
 
 def _words(text_col: Column) -> Column:
-    return F.filter(F.split(text_col, " "), lambda w: w != "")
+    return F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
 
 
 # ----------------------------------------------------------------------
@@ -123,7 +123,7 @@ def language_id(
     """(id, predicted_lang, lang_score). Deterministic tie-break:
     lexicographically smallest language code among maxima."""
     t = F.lower(F.col(text_col))
-    w = F.filter(F.split(t, " "), lambda x: x != "")
+    w = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     scores = []
     for lang in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])

@@ -83,7 +83,7 @@ class TsStore:
     ) -> DataFrame:
         """Read observations; filters push down to parquet row groups
         and (source, date) partition pruning."""
-        df = self.spark.read.schema(self._full_schema()).parquet(self.path)
+        df = self._read_all()
         if source is not None:
             df = df.where(F.col("source") == source)
         if period is not None:
@@ -144,7 +144,12 @@ class TsStore:
         )
 
         if not self._exists():
-            incoming.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(self.path)
+            # merge_dedup even on the fresh-store path: an intra-batch
+            # duplicate (series_id, ts) must collapse identically
+            # whether or not the store already existed.
+            merge_dedup(incoming).write.partitionBy(*PARTITION_COLS).mode(
+                "overwrite"
+            ).parquet(self.path)
             return
 
         if overwrite_on_write:
@@ -157,7 +162,7 @@ class TsStore:
                 "series_id",
                 "left_anti",
             )
-            out = incoming.unionByName(keep.select(*incoming.columns))
+            out = merge_dedup(incoming).unionByName(keep.select(*incoming.columns))
             out = out.localCheckpoint(eager=True)
             out.write.partitionBy(*PARTITION_COLS).option(
                 "partitionOverwriteMode", "static"

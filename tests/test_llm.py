@@ -39,6 +39,20 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 5) not in pairs  # unrelated must not
 
 
+def test_multiline_documents_tokenize_by_whitespace_runs(spark):
+    # newline/tab-separated words are real words: single-space split
+    # used to collapse them to one token and quality-drop the doc
+    text = "the\nquick\tbrown\nfox jumps\nover the\tlazy dog and runs far"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    stats = text_ops.token_stats(df).collect()[0]
+    assert stats["n_words"] == 12
+    kept = text_ops.quality_filter(df, min_words=10, max_punct_ratio=0.5)
+    assert kept.count() == 1
+    # dedup tokenization agrees (shared helper semantics)
+    sigs = dedup.minhash_signatures(df)
+    assert sigs.count() == 4  # 16 hashes / band_size 4
+
+
 def test_empty_docs_emit_no_lsh_candidates(spark):
     # Empty/whitespace docs all minhash to NULL signatures, which used
     # to collapse into ONE "" band bucket emitting every O(n^2) empty
@@ -384,6 +398,44 @@ def test_cosine_self_pairs_matches_broadcast_variant(spark, sf_dir):
         for r in similarity.cosine_threshold_pairs(emb, emb, threshold=0.3).collect()
     }
     assert blocked == bcast and len(blocked) > 0
+
+
+def test_cosine_threshold_pairs_disjoint_query_batch(spark, sf_dir):
+    from my_weather_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # a query whose id sorts ABOVE every corpus id: the ordered
+    # (self-join) mode would silently drop all its matches
+    q = emb.where(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    got = similarity.cosine_threshold_pairs(
+        emb, q, threshold=0.99, ordered_pairs=False
+    ).collect()
+    # vec 3's own corpus copy has cosine 1.0 with it
+    assert any(r["neighbor_id"] == 3 and r["cos"] == 1.0 for r in got)
+
+    # an empty query batch returns an empty frame, not an np.stack crash
+    empty = emb.where(F.col("vec_id") < 0)
+    assert similarity.cosine_threshold_pairs(emb, empty, threshold=0.5).count() == 0
+    idx = emb  # raw corpus accepted by ivf_topk
+    cents = similarity.ivf_centroids(emb, n_centroids=4, refine_iters=0)
+    assert similarity.ivf_topk(idx, empty, cents, k=2).count() == 0
+
+
+def test_ivf_topk_zero_norm_vector_not_top_ranked(spark):
+    # a zero vector has no direction; NaN cosine used to sort ABOVE
+    # every real neighbor under desc ordering
+    import math
+
+    rows = [(i, [math.cos(i * 0.1), math.sin(i * 0.1)]) for i in range(12)]
+    rows.append((99, [0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(emb, n_centroids=2, refine_iters=0)
+    got = similarity.ivf_topk(emb, emb.where(F.col("vec_id") == 0), cents, k=3, nprobe=2)
+    top = sorted(got.collect(), key=lambda r: r["rank"])
+    assert all(r["neighbor_id"] != 99 for r in top)
+    assert all(not math.isnan(r["cos"]) for r in top)
 
 
 def test_cosine_threshold_pairs_query_size_guard(spark, sf_dir):

@@ -61,6 +61,24 @@ def test_unknown_scheme_raises(engine):
         engine.evaluate(["bogus://x/1"], UtcPeriod(0, 1))
 
 
+def test_fresh_store_dedups_intra_batch(spark, tmp_path):
+    # The FIRST write into a brand-new store must collapse intra-batch
+    # duplicate (series_id, ts) keys exactly like the merge path does —
+    # dedup behavior must not depend on whether the store existed.
+    from my_weather_spark.store import TsStore
+
+    store = TsStore(spark, str(tmp_path / "fresh"))
+    df = spark.createDataFrame(
+        [("s1", _dt(0), 1.0), ("s1", _dt(0), 2.0), ("s1", _dt(1), 3.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    store.store(df, ingest_time=_dt(100))
+    rows = sorted(store.scan().collect(), key=lambda r: r["ts"])
+    assert len(rows) == 2
+    assert rows[0]["value"] == 2.0  # merge_dedup's desc-value tie-break
+    assert rows[1]["value"] == 3.0
+
+
 def test_store_merge_union_of_time_ranges(spark, engine):
     # golden: reference test_dtss_host.py:116-128 ([1,2,3] + [4,5,6] -> [1..6])
     sid = "shyft://netatmo/superstation/livingroom/temperature"
