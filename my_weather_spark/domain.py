@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from my_weather_spark.model import MEASUREMENT_TYPES
-from my_weather_spark.ops.scalars import ascii_clean, query_id_col, store_id_col
+from my_weather_spark.ops.scalars import query_id_col, store_id_col
 
 
 class Domain:

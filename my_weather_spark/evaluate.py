@@ -73,7 +73,14 @@ class TsEngine:
                 if self.store is None:
                     raise KeyError("no TsStore attached for shyft:// refs")
                 data = self.store.scan(series_ids=list(set(urls)), period=period)
-                data = data.select("series_id", "ts", "value")
+                # The store merge-dedups only WITHIN a source partition;
+                # the same series stored under two sources would return
+                # duplicate (query_index, ts) rows here and silently
+                # double-count downstream. Collapse across sources with
+                # the same deterministic rule the store itself uses.
+                from my_weather_spark.ops.timeseries import merge_dedup
+
+                data = merge_dedup(data).select("series_id", "ts", "value")
             else:
                 adapter = self.session.adapter(scheme)  # raises on unknown
                 # Dedupe refs before the adapter call: data is keyed by
@@ -144,6 +151,11 @@ class TsEngine:
 
 
 def _url_to_pattern(url: str) -> str:
+    """Anchored prefix pattern with a PATH boundary: 'shyft://x/oslo'
+    must match oslo and oslo's subtree but never its sibling 'oslo2'
+    (an unanchored bare prefix silently includes another station's
+    series). A query already ending in '/' is an explicit subtree."""
     import re
 
-    return "^" + re.escape(url)
+    esc = "^" + re.escape(url)
+    return esc if url.endswith("/") else esc + "($|/)"

@@ -203,7 +203,21 @@ def create_store_id(repo: str, station: str, module: str, data_type: str) -> str
 
 
 def create_query_id(scheme: str, station_name: str, module_name: str, data_type: str) -> str:
-    """Source-query-scheme id (reference: identifiers.py:40-43)."""
+    """Source-query-scheme id (reference: identifiers.py:40-43).
+
+    Raises if a name contains the query-syntax delimiters '&' or '=':
+    the flat ``k=v&k=v`` form has no escaping (same as the reference's
+    regex codec), so such an id could never parse back to its own
+    parts — fail at construction, not at the later KeyError."""
+    parts = {"station_name": station_name, "module_name": module_name,
+             "data_type": data_type}
+    for k, v in parts.items():
+        if "&" in v or "=" in v:
+            raise ValueError(
+                f"{k}={v!r} contains a query delimiter ('&'/'='); "
+                "query ids are not escapable — clean the name first "
+                "(e.g. ops.scalars.ascii_clean_py)"
+            )
     return (
         f"{scheme}://?station_name={station_name}"
         f"&module_name={module_name}&data_type={data_type}"

@@ -201,6 +201,8 @@ class ScheduledCollector:
         self.task = task
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self.consecutive_failures = 0
+        self.last_error: Exception | None = None
 
     def run_n_cycles(self, n: int, now_fn: Callable[[], datetime] = utcnow) -> int:
         total = 0
@@ -214,9 +216,27 @@ class ScheduledCollector:
         self._thread.start()
 
     def _loop(self) -> None:
+        # A transient source failure must not kill the collection
+        # thread permanently (the reference's ServiceManager restarts
+        # failed services; a silently-dead daemon thread is invisible
+        # to it). Record the failure for healthy() and keep cycling —
+        # the next trailing-window re-read covers the gap.
         while not self._stop.is_set():
-            self.task.collect()
+            try:
+                self.task.collect()
+                self.consecutive_failures = 0
+                self.last_error = None
+            except Exception as e:  # noqa: BLE001 — supervision boundary
+                self.consecutive_failures += 1
+                self.last_error = e
             self._stop.wait(self.task.period_spec.wait_time)
+
+    def healthy(self, max_consecutive_failures: int = 3) -> bool:
+        """Liveness + recent-success signal for a supervising
+        ServiceManager: False once the loop has failed this many
+        cycles in a row (or the thread died)."""
+        alive = self._thread is not None and self._thread.is_alive()
+        return alive and self.consecutive_failures < max_consecutive_failures
 
     def stop(self) -> None:
         self._stop.set()

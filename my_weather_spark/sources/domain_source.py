@@ -94,6 +94,15 @@ class DomainAdapter(SourceAdapter):
         if query.params:
             m = self._resolve(query)
             rows = [m]
+        elif query.path:
+            # A path-form url under the query scheme is a malformed
+            # query (e.g. a typo'd 'netatmo://station'): listing the
+            # ENTIRE catalog for it would silently mask the mistake.
+            raise ValueError(
+                f"{query.url!r} is not a query-form id; expected "
+                f"'{self.scheme}://?station_name=..&module_name=..&data_type=..' "
+                f"or bare '{self.scheme}://' to list everything"
+            )
         else:
             rows = [m for m in self._index.values()]
         info = [

@@ -93,9 +93,20 @@ class ChunkedFileAdapter(SourceAdapter):
 
     def find(self, spark, query: SeriesRef) -> DataFrame:
         df = spark.read.parquet(self.path)
-        pattern = query.url if query.path else f"^{self.scheme}://"
+        # Literal prefix match, NOT rlike on the raw url: an unescaped
+        # unanchored regex overmatches ('.../1' also hits '.../10') and
+        # a url containing regex metachars would throw or mis-match.
+        prefix = query.url if query.path else f"{self.scheme}://"
+        matched = df.where(F.col("series_id").startswith(prefix))
+        if query.path:
+            # path boundary: exact series or its subtree, never a
+            # sibling sharing the name prefix
+            matched = df.where(
+                (F.col("series_id") == query.url)
+                | F.col("series_id").startswith(query.url + "/")
+            )
         info = (
-            df.where(F.col("series_id").rlike(pattern))
+            matched
             .groupBy(F.col("series_id").alias("name"))
             .agg(
                 F.min("ts").alias("data_period_start"),

@@ -37,18 +37,30 @@ def synthetic_series(
         "SELECT explode(sequence(to_date(:s), to_date(:e), interval 1 day)) AS day",
         args={"s": period.start.isoformat(), "e": period.end.isoformat()},
     )
-    lo = F.greatest(F.col("day").cast("timestamp"), F.lit(period.start))
-    hi = F.least(
-        F.date_add(F.col("day"), 1).cast("timestamp") - F.expr("interval 1 second"),
-        F.lit(period.end),
-    )
+    # ONE global grid anchored at period.start (ts = start + k*dt); each
+    # day emits its own k-range of that grid. Anchoring per-day at
+    # midnight would phase-shift the axis whenever dt doesn't divide
+    # 86400, and a day whose window is shorter than one step must emit
+    # NOTHING rather than hand sequence() inverted bounds (which throw).
+    dt_us = int(dt_seconds) * 1_000_000
+    start_us = F.lit(int(period.start_epoch * 1_000_000)).cast("long")
+    end_us = F.lit(int(period.end_epoch * 1_000_000)).cast("long")
+    day_lo = F.unix_micros(F.col("day").cast("timestamp"))
+    day_hi = F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp")) - 1
+    lo_off = F.greatest(day_lo, start_us) - start_us   # >= 0
+    hi_off = F.least(day_hi, end_us) - start_us
+    k_lo = F.floor((lo_off + dt_us - 1) / dt_us).cast("long")  # ceil-div
+    k_hi = F.floor(hi_off / dt_us).cast("long")
     pts = (
-        ids.crossJoin(days)
+        ids.crossJoin(days.select("day", k_lo.alias("_ka"), k_hi.alias("_kb")))
+        .where(F.col("_ka") <= F.col("_kb"))
         .select(
             "series_id",
-            F.explode(
-                F.sequence(lo, hi, F.expr(f"interval {int(dt_seconds)} seconds"))
-            ).alias("ts"),
+            F.explode(F.sequence("_ka", "_kb")).alias("_k"),
+        )
+        .select(
+            "series_id",
+            F.timestamp_micros(start_us + F.col("_k") * dt_us).alias("ts"),
         )
         .withColumn("value", F.lit(float(value)).cast("double"))
     )

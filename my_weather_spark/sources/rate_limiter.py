@@ -15,6 +15,7 @@ start_dtss_host.py:18-22). The data-plane twin for event streams is
 from __future__ import annotations
 
 import functools
+import threading
 import time
 from collections import deque
 from typing import Callable, TypeVar
@@ -38,8 +39,16 @@ class RateLimiter:
         self.wait_time = wait_time
         self._clock = clock
         self._sleep = sleep
-        # bounded deque of recent action timestamps (reference: rate_limiter.py:23)
-        self._actions: deque[float] = deque(maxlen=action_limit)
+        # UNbounded deque of in-window action timestamps: a
+        # deque(maxlen=limit) silently evicts the oldest stamp when a
+        # concurrent append lands, making the window undercount — the
+        # limiter then persistently admits more than action_limit calls.
+        # Time-based pruning alone bounds memory to one window's worth.
+        self._actions: deque[float] = deque()
+        # One adapter's limiter is shared by every collector thread
+        # hitting that source (the reference's global API budget), so
+        # check-then-append must be atomic.
+        self._lock = threading.Lock()
 
     def _prune(self) -> None:
         cutoff = self._clock() - self.timespan
@@ -48,17 +57,22 @@ class RateLimiter:
 
     @property
     def count_in_window(self) -> int:
-        self._prune()
-        return len(self._actions)
+        with self._lock:
+            self._prune()
+            return len(self._actions)
 
     def would_block(self) -> bool:
         return self.count_in_window >= self.action_limit
 
     def perform_action(self) -> None:
         """Block until under limit, then record the action."""
-        while self.would_block():
+        while True:
+            with self._lock:
+                self._prune()
+                if len(self._actions) < self.action_limit:
+                    self._actions.append(self._clock())
+                    return
             self._sleep(self.wait_time)
-        self._actions.append(self._clock())
 
     def wrap(self, fn: F) -> F:
         @functools.wraps(fn)

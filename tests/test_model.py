@@ -46,6 +46,17 @@ def test_query_id_rejects_unknown_params():
         parse_query_id("netatmo://?bogus=1", {"station_name"})
 
 
+def test_query_id_rejects_delimiter_names():
+    import pytest
+
+    from my_weather_spark.model import create_query_id
+
+    with pytest.raises(ValueError, match="delimiter"):
+        create_query_id("netatmo", "Living & Dining", "mod", "Temperature")
+    with pytest.raises(ValueError, match="delimiter"):
+        create_query_id("netatmo", "st", "a=b", "Temperature")
+
+
 def test_bad_url_rejected():
     with pytest.raises(ValueError):
         SeriesRef.parse("not a url")

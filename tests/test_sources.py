@@ -104,6 +104,50 @@ def test_chunked_find(spark, backing):
     assert info[0]["name"] == url
 
 
+def test_chunked_find_no_sibling_overmatch(spark, tmp_path):
+    # '/1' must not match '/10' (an unanchored regex substring search
+    # would), and regex metachars in the url must not throw
+    path = str(tmp_path / "sib")
+    rows = [
+        ("chunked://station/1", _dt(0), 1.0),
+        ("chunked://station/10", _dt(0), 10.0),
+        ("chunked://station/1/sub", _dt(0), 2.0),  # subtree of /1
+        ("chunked://station+x/3", _dt(0), 3.0),    # '+' is a regex metachar
+    ]
+    spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    ).write.parquet(path)
+    adapter = ChunkedFileAdapter("chunked", path)
+    got = {r["name"] for r in adapter.find(spark, SeriesRef.parse("chunked://station/1")).collect()}
+    assert got == {"chunked://station/1", "chunked://station/1/sub"}
+    got_plus = {r["name"] for r in adapter.find(spark, SeriesRef.parse("chunked://station+x/3")).collect()}
+    assert got_plus == {"chunked://station+x/3"}
+
+
+def test_rate_limiter_thread_safe_under_contention():
+    import threading as th
+    import time as _time
+
+    rl = RateLimiter(action_limit=5, timespan=30.0, wait_time=0.01)
+    stamps = []
+
+    def worker():
+        rl.perform_action()
+        stamps.append(_time.monotonic())
+
+    threads = [th.Thread(target=worker) for _ in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(5)
+    # all 5 admitted (limit not yet reached)...
+    assert len(stamps) == 5
+    # ...and the window now knows about ALL of them — the old
+    # maxlen-bounded deque could evict stamps under concurrent appends
+    assert rl.count_in_window == 5
+    assert rl.would_block()
+
+
 # ----------------------------------------------------------------------
 # Service supervision (T5) — deterministic tick stepping like the
 # reference's sub-second interval tests (test_service_manager.py:40-71).

@@ -61,6 +61,47 @@ def test_unknown_scheme_raises(engine):
         engine.evaluate(["bogus://x/1"], UtcPeriod(0, 1))
 
 
+def test_heartbeat_grid_is_global_and_survives_fractional_start(spark):
+    from my_weather_spark.sources.heartbeat import synthetic_series
+
+    # fractional-second start in the last second of a day used to hand
+    # sequence() inverted bounds for that day (job-killing); and a dt
+    # that doesn't divide 86400 must keep ONE global grid across
+    # midnight, not re-anchor per day.
+    p = UtcPeriod(86399.5, 86400 + 3600)  # 23:59:59.5 day0 -> 01:00 day1
+    pts = sorted(
+        synthetic_series(spark, ["h://x/1"], p, value=1.0, dt_seconds=7).collect(),
+        key=lambda r: r["ts"],
+    )
+    epochs = [r["ts"].replace(tzinfo=None).timestamp() - _dt(0).replace(tzinfo=None).timestamp() for r in pts]
+    # every point on the global grid start + k*7
+    assert all(abs((e - 86399.5) % 7) < 1e-6 for e in epochs)
+    # constant cadence across the midnight boundary
+    deltas = {round(b - a, 6) for a, b in zip(epochs, epochs[1:])}
+    assert deltas == {7.0}
+    assert epochs[0] >= 86399.5 and epochs[-1] <= 86400 + 3600
+
+
+def test_evaluate_dedups_across_store_sources(spark, tmp_path):
+    from my_weather_spark.session import EngineSession
+    from my_weather_spark.store import TsStore
+    from my_weather_spark.evaluate import TsEngine
+
+    sid = "shyft://x/station/mod/temp"
+    store = TsStore(spark, str(tmp_path / "xsrc"))
+    df = spark.createDataFrame(
+        [(sid, _dt(0), 1.0), (sid, _dt(1), 2.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    store.store(df, source="a", ingest_time=_dt(100))
+    store.store(df, source="b", ingest_time=_dt(200))  # same series, 2nd source
+    eng = TsEngine(EngineSession(spark), store)
+    out = eng.evaluate([sid], UtcPeriod(0, 10)).collect()
+    # one row per (query_index, ts), not one per source
+    assert len(out) == 2
+    assert [r["value"] for r in out] == [1.0, 2.0]
+
+
 def test_fresh_store_dedups_intra_batch(spark, tmp_path):
     # The FIRST write into a brand-new store must collapse intra-batch
     # duplicate (series_id, ts) keys exactly like the merge path does —
