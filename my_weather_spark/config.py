@@ -50,6 +50,11 @@ class DataClass:
     def __eq__(self, other: object) -> bool:
         return isinstance(other, DataClass) and self.__dict__ == other.__dict__
 
+    def __hash__(self) -> int:
+        # defining __eq__ alone sets __hash__ to None (unhashable);
+        # hash by sorted items so equal configs collide as dict keys
+        return hash(tuple(sorted((k, repr(v)) for k, v in self.__dict__.items())))
+
     def __repr__(self) -> str:
         inner = ", ".join(f"{k}={v!r}" for k, v in self.__dict__.items())
         return f"DataClass({inner})"

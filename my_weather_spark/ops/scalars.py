@@ -97,8 +97,11 @@ def url_query_map(col: Column | str) -> Column:
 # ---------------------------------------------------------------------
 # F7 number formatting (reference: dtss_serve_test.py:314: f'{v:0.2f} °C').
 def format_value(col: Column | str, unit: str, decimals: int = 2) -> Column:
+    # format_string, NOT format_number: the reference's f'{v:0.2f}'
+    # (dtss_serve_test.py:314) never inserts thousands separators —
+    # '1013.25 ppm', not '1,013.25 ppm'.
     c = F.col(col) if isinstance(col, str) else col
-    return F.concat(F.format_number(c, decimals), F.lit(" " + unit))
+    return F.concat(F.format_string(f"%.{int(decimals)}f", c), F.lit(" " + unit))
 
 
 # ---------------------------------------------------------------------
@@ -110,7 +113,15 @@ def threshold_bins(col: Column | str, thresholds: list[float], labels: list[str]
     if len(labels) != len(thresholds) + 1:
         raise ValueError("need len(labels) == len(thresholds) + 1")
     c = F.col(col) if isinstance(col, str) else col
-    expr = F.when(c < thresholds[0], labels[0])
+    if not thresholds:
+        # zero thresholds is a valid contract instance: one band
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(labels[0])
+    # NULL first: every `c < t` is NULL for a NULL value, which would
+    # fall through to otherwise() — painting MISSING data with the
+    # most-severe band's label/color. No data -> no label.
+    expr = F.when(c.isNull(), F.lit(None).cast("string")).when(
+        c < thresholds[0], labels[0]
+    )
     for i in range(1, len(thresholds)):
         expr = expr.when(c < thresholds[i], labels[i])
     return expr.otherwise(labels[-1])

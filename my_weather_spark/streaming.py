@@ -283,14 +283,20 @@ def continuous_rollup(
     obs = stream_observations(spark, landing_dir)
 
     def _merge_and_refresh(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        store.store(batch_df, source=source, overwrite_on_write=False)
-        dates = [
-            r["d"]
-            for r in batch_df.select(F.to_date("ts").alias("d")).distinct().collect()
-        ]
-        refresh_rollup_dates(store, rollup_path, dates, bucket_seconds, source)
+        # The batch feeds three actions (empty probe, store merge, date
+        # collect); uncached, each re-reads the landing files.
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            store.store(batch_df, source=source, overwrite_on_write=False)
+            dates = [
+                r["d"]
+                for r in batch_df.select(F.to_date("ts").alias("d")).distinct().collect()
+            ]
+            refresh_rollup_dates(store, rollup_path, dates, bucket_seconds, source)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         obs.writeStream.foreachBatch(_merge_and_refresh)
@@ -371,20 +377,38 @@ class StreamWatchdog:
     def restart_failed(self) -> list[str]:
         """Restart queries whose failures were recorded, correlated by
         query name (unnamed failed queries are reported but cannot be
-        auto-restarted — name your supervised streams)."""
-        restarted = []
-        if not self.failures:
+        auto-restarted — name your supervised streams).
+
+        Consumes a SNAPSHOT of the failure list: a failure that lands
+        while a restart is in flight stays queued for the next sweep
+        (rebuilding the list by name would delete it and stop
+        supervising the flakiest query). A failure whose query is
+        already active again (someone restarted it by hand) is stale
+        and is discarded — otherwise it would fire a restart after the
+        operator later stops that query on purpose."""
+        restarted: list[str] = []
+        snapshot = list(self.failures)
+        if not snapshot:
             return restarted
-        failed_names = {f["name"] for f in self.failures if f.get("name")}
         active = {q.name for q in self.spark.streams.active if q.name}
-        for name in failed_names:
+        consumed: list[dict] = []
+        handled: set[str] = set()
+        for f in snapshot:
+            name = f.get("name")
+            if not name:
+                continue
+            if name in active:
+                consumed.append(f)  # stale: already running again
+                continue
             fn = self._restarts.get(name)
-            if fn is not None and name not in active:
+            if fn is not None and name not in handled:
                 fn()
                 restarted.append(name)
-        self.failures = [
-            f for f in self.failures if f.get("name") not in restarted
-        ]
+                handled.add(name)
+            if name in handled:
+                consumed.append(f)
+        # remove exactly the records this sweep consumed, by identity
+        self.failures = [f for f in self.failures if not any(f is c for c in consumed)]
         return restarted
 
     def close(self) -> None:

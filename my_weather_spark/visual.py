@@ -11,7 +11,7 @@ becomes a DataFrame the rendering layer merely draws.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from my_weather_spark.evaluate import TsEngine
@@ -40,12 +40,22 @@ def current_conditions(
     stats = ts_ops.series_stats(
         data.select("series_id", "ts", "value")
     )
-    # tile text carries the series' unit (reference: f'{v:0.2f} °C')
-    unit = F.lit("")
-    for sid, u in (unit_by_series or {}).items():
-        unit = F.when(F.col("series_id") == sid, F.lit(" " + u)).otherwise(unit)
+    # tile text carries the series' unit (reference: f'{v:0.2f} °C').
+    # Map-literal lookup, not a per-entry CASE chain: hundreds of units
+    # would nest the CASE hundreds deep (superlinear analysis time and
+    # a codegen-size risk); element_at on a literal map is constant
+    # depth. format_string matches the reference's f-format exactly —
+    # format_number would add thousands separators it never prints.
+    units = unit_by_series or {}
+    if units:
+        pairs = [x for sid in sorted(units) for x in (F.lit(sid), F.lit(" " + units[sid]))]
+        unit = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("series_id")), F.lit("")
+        )
+    else:
+        unit = F.lit("")
     out = stats.withColumn(
-        "tile_text", F.concat(F.format_number("last_value", 2), unit)
+        "tile_text", F.concat(F.format_string("%.2f", "last_value"), unit)
     )
     bands = bands if bands is not None else DEFAULT_BANDS
     color = F.lit("default")
@@ -73,6 +83,21 @@ def history_plot_frame(
     if max_points:
         if use_rdp:
             geom = ts_ops.rdp_downsample(geom)
+            # RDP's epsilon heuristic bounds shape error, not point
+            # count — a noisy series can come back with thousands of
+            # points. Honor the caller's max_points bound with an
+            # even-stride thin over what RDP kept (endpoints retained).
+            w = W.partitionBy("series_id").orderBy("ts")
+            geom = (
+                geom.withColumn("_rn", F.row_number().over(w) - 1)
+                .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("series_id")))
+                .withColumn("_stride", F.ceil(F.col("_n") / max_points))
+                .where(
+                    (F.col("_rn") % F.col("_stride") == 0)
+                    | (F.col("_rn") == F.col("_n") - 1)
+                )
+                .drop("_rn", "_n", "_stride")
+            )
         else:
             geom = ts_ops.bucket_downsample(geom, max_points, period)
     return geom.withColumn("plot_ms", F.unix_micros("ts") / 1000.0)

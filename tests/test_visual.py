@@ -44,6 +44,47 @@ def test_current_conditions_tiles(engine):
     assert c["max_value"] == 1196.0
 
 
+def test_threshold_bins_null_and_format_semantics(spark):
+    from my_weather_spark.ops.scalars import format_value, threshold_bins
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 500.0), (2, 1196.0), (3, None), (4, 1013.25)],
+        "id long, v double",
+    )
+    got = {
+        r["id"]: (r["band"], r["txt"])
+        for r in df.select(
+            "id",
+            threshold_bins("v", [600.0, 1000.0], ["green", "yellow", "red"]).alias("band"),
+            format_value("v", "ppm").alias("txt"),
+        ).collect()
+    }
+    assert got[1][0] == "green" and got[2][0] == "red"
+    # NULL value -> NULL band, never the most-severe color
+    assert got[3][0] is None
+    # reference f'{v:0.2f}' format: NO thousands separator
+    assert got[4][1] == "1013.25 ppm"
+    # zero-threshold contract: single band, still NULL-safe
+    one = df.select(threshold_bins("v", [], ["only"]).alias("b")).collect()
+    assert {r["b"] for r in one} == {"only", None}
+
+
+def test_rdp_history_frame_honors_max_points(engine):
+    from my_weather_spark import visual
+    from my_weather_spark.model import UtcPeriod
+
+    frame = visual.history_plot_frame(
+        engine,
+        ["shyft://wx/home/in/co2"],
+        UtcPeriod(0, 200 * 60),
+        max_points=20,
+        use_rdp=True,
+    )
+    counts = frame.groupBy("series_id").count().collect()
+    assert counts and all(r["count"] <= 2 * 20 for r in counts)  # stride cap (+endpoints)
+
+
 def test_history_plot_frame_downsamples(engine):
     ids = ["shyft://wx/home/out/temperature"]
     period = UtcPeriod(0, 200 * 60)
