@@ -2321,9 +2321,9 @@ def text_repetition_stats(spark, sf_dir):
     WITH t AS (
       SELECT doc_id, source,
              CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens,
-             sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) OVER (
+             CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
       FROM documents)
     SELECT doc_id, source, n_tokens,
            (cum - n_tokens) // 512 AS chunk_start,
@@ -2391,8 +2391,8 @@ def corpus_stats(spark, sf_dir):
       FROM o),
     sess AS (
       SELECT user_id, us,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
       FROM flg)
     SELECT user_id, session_idx, count(*) AS n_events,
            min(us) AS session_start_us, max(us) AS session_end_us

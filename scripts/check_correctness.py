@@ -3,6 +3,15 @@ and its oracle_sql() twin on DuckDB at sf0.01; compare row count,
 column names, and order-insensitive values.
 
 Usage: python scripts/check_correctness.py [name ...]
+       python scripts/check_correctness.py --types   # oracle-type preflight only
+
+Every DuckDB oracle output column must be a portable type (BIGINT /
+INTEGER / DOUBLE / VARCHAR / BOOLEAN / DATE / TIMESTAMP*): the
+driver's value hasher is type-sensitive, and DuckDB silently widens
+integer window/aggregate sums to HUGEINT (int128), which hash-
+mismatches a bit-identical BIGINT (round-2/3 `sessionize_users` +
+`pack_chunks_by_source` failures). The --types mode catches that
+locally without running Spark.
 """
 
 from __future__ import annotations
@@ -48,6 +57,45 @@ def canon_rows(cols, rows):
     return [c.lower() for c in sorted(cols)], out
 
 
+_PORTABLE_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+}
+
+
+def _bad_oracle_types(rel):
+    """Return [(col, type)] for non-portable DuckDB output types."""
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if t in _PORTABLE_TYPES or t.startswith("TIMESTAMP"):
+            continue
+        bad.append((col, t))
+    return bad
+
+
+def typecheck():
+    """Preflight: every oracle's DuckDB output types must be portable.
+    No Spark session needed — relation .types is resolved lazily."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for name, sql in oracles.items():
+        try:
+            bad = _bad_oracle_types(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        if bad:
+            print(f"FAIL {name}: non-portable oracle types {bad}")
+            n_fail += 1
+    print(f"types preflight: {len(oracles) - n_fail} clean, {n_fail} fail, {len(oracles)} oracles")
+    return 1 if n_fail else 0
+
+
 def main(names=None):
     con = duckdb.connect()
     for t in TABLES:
@@ -72,10 +120,15 @@ def main(names=None):
             continue
         try:
             rel = con.sql(oracles[name])
+            bad_types = _bad_oracle_types(rel)
             d_cols = rel.columns
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        if bad_types:
+            print(f"FAIL {name}: non-portable oracle types {bad_types}")
             n_fail += 1
             continue
         sc, sr = canon_rows(s_cols, s_rows)
@@ -101,4 +154,7 @@ def main(names=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:] or None))
+    if sys.argv[1:] == ["--types"]:
+        sys.exit(typecheck())
+    else:
+        sys.exit(main(sys.argv[1:] or None))
