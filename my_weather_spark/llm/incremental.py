@@ -127,8 +127,16 @@ class SignatureStore:
         ones, and a marker keyed on the ordinal would silently skip the
         new files. Content-keying makes the commit check mean 'this
         exact document set was fully ingested', independent of
-        checkpoint history. One small agg (count + bit_xor of per-doc
-        hashes), no collect of doc data."""
+        checkpoint history. One small agg, no collect of doc data.
+
+        The key combines THREE independent reductions — count, bit_xor
+        and sum of the per-doc hashes. XOR alone is not enough: any
+        pair of identical (id, text) rows XOR-cancels to zero, so
+        multisets like {X,X,Y} and {Z,Z,Y} would collide and a distinct
+        batch could be silently skipped as already-committed. The sum
+        keeps duplicate multiplicity visible (2X+Y != 2Z+Y unless
+        X = Z); it accumulates as decimal(38,0) so many near-2^60
+        hashes cannot overflow int64 under ANSI mode."""
         h = F.conv(
             F.substring(
                 F.md5(
@@ -143,11 +151,13 @@ class SignatureStore:
             10,
         ).cast("long")
         row = new_docs.select(h.alias("_h")).agg(
-            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_h)").alias("x")
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(_h)").alias("x"),
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
         import hashlib as _hl
 
-        return _hl.md5(f"{row['n']}|{row['x']}".encode()).hexdigest()[:20]
+        return _hl.md5(f"{row['n']}|{row['x']}|{row['s']}".encode()).hexdigest()[:20]
 
     # -- commit protocol -----------------------------------------------
     def is_committed(self, batch_id: "int | str") -> bool:
@@ -185,24 +195,34 @@ class SignatureStore:
         """Committed-state view of docs/ or bands/: flat legacy files
         plus committed batch subdirs, minus uncommitted partials and
         minus ``exclude_batch`` (the batch currently being ingested —
-        a retry must not see its own earlier partial write)."""
+        a retry must not see its own earlier partial write).
+
+        The read lists the store dir ONCE and passes the surviving
+        paths explicitly — no recursiveFileLookup. A recursive scan
+        would also pick up a crashed writer's ``_temporary/`` output;
+        a row filter can drop those rows, but a torn parquet FILE fails
+        the whole read at footer time, wedging every later ingest until
+        the same batch happens to retry. Skipping the uncommitted dirs
+        at the path level never opens the torn file at all."""
         full_schema = schema + ", ingest_batch_key string"
         if not self._exists(sub):
             return self.spark.createDataFrame([], full_schema)
-        df = (
-            self.spark.read.schema(full_schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(f"{self.path}/{sub}")
-        )
         drop = set(self._uncommitted_batch_keys())
         if exclude_batch is not None:
             drop.add(self._batch_key(exclude_batch))
-        if drop:
-            # Legacy flat rows have ingest_batch_key NULL — keep them.
-            df = df.where(
-                ~F.coalesce(F.col("ingest_batch_key"), F.lit("")).isin(sorted(drop))
-            )
-        return df
+        p, fs = self._fs(sub)
+        paths: list[str] = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if name.startswith("b") and len(name) > 1 and name[1:] not in drop:
+                    paths.append(f"{self.path}/{sub}/{name}")
+            elif not name.startswith(("_", ".")):
+                # Legacy flat append files (ingest_batch_key reads NULL).
+                paths.append(f"{self.path}/{sub}/{name}")
+        if not paths:
+            return self.spark.createDataFrame([], full_schema)
+        return self.spark.read.schema(full_schema).parquet(*paths)
 
     def bands(self, exclude_batch: "int | str | None" = None) -> DataFrame:
         return self._read("bands", self._BANDS_SCHEMA, exclude_batch).drop(

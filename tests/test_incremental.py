@@ -239,3 +239,40 @@ def test_incremental_agrees_with_full_rebuild(spark, store, tmp_path):
     losers = {r["doc_b"] for r in verified.collect()}
     full_ids = {r[0] for r in full.select("doc_id").collect()} - losers
     assert incremental_ids == full_ids
+
+
+def test_batch_fingerprint_duplicate_rows_do_not_cancel(spark, store):
+    # XOR alone cancels identical row pairs: {X,X,Y} and {Z,Z,Y} would
+    # collide and a later distinct batch would be skipped as already
+    # committed (silent loss). The sum component keeps multiplicity.
+    xxy = _docs(spark, [(1, BASE), (1, BASE), (2, OTHER)])
+    zzy = _docs(spark, [(3, "some other text entirely"), (3, "some other text entirely"), (2, OTHER)])
+    assert store.batch_fingerprint(xxy) != store.batch_fingerprint(zzy)
+    # duplicated pairs alone must not collapse to the same key either
+    xx = _docs(spark, [(1, BASE), (1, BASE)])
+    ww = _docs(spark, [(9, OTHER), (9, OTHER)])
+    assert store.batch_fingerprint(xx) != store.batch_fingerprint(ww)
+    # and the key stays order-invariant (same multiset, shuffled)
+    yxx = _docs(spark, [(2, OTHER), (1, BASE), (1, BASE)])
+    assert store.batch_fingerprint(xxy) == store.batch_fingerprint(yxx)
+
+
+def test_torn_temporary_file_does_not_wedge_reads(spark, store, tmp_path):
+    # A writer that died mid-batch leaves an uncommitted subdir that can
+    # contain _temporary/ garbage and torn parquet part files. The
+    # committed-state view must never OPEN those files: a footer error
+    # would fail every later ingest until that batch retried.
+    store.ingest(_docs(spark, [(0, BASE)]), batch_id="aaaa")
+    store.commit_batch("aaaa")
+    # simulate the crash: uncommitted batch dir with a torn file inside
+    import os
+    crash = tmp_path / "sigstore" / "docs" / "bcrash" / "_temporary" / "0"
+    os.makedirs(crash, exist_ok=True)
+    (crash / "part-00000.parquet").write_bytes(b"PAR1 this is not a parquet footer")
+    (tmp_path / "sigstore" / "docs" / "bcrash" / "part-torn.parquet").write_bytes(b"torn")
+    assert {r["doc_id"] for r in store.docs().collect()} == {0}
+    # and a follow-up ingest (which probes the store views) still works
+    accepted, rep = store.ingest(_docs(spark, [(5, OTHER)]), batch_id="bbbb")
+    store.commit_batch("bbbb")
+    assert rep.n_accepted == 1
+    assert {r["doc_id"] for r in store.docs().collect()} == {0, 5}
