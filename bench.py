@@ -108,6 +108,21 @@ def main() -> None:
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) < 1950:
             break
+    else:
+        # Even the 5-entry record can overflow with long query names;
+        # guarantee a parseable line by dropping the per-query map
+        # entirely (scalars only — the full map is in bench_full.json).
+        compact = {
+            "metric": "total_sec_all_queries_noop_best_of_3",
+            "value": total,
+            "unit": "sec",
+            "queries": {},
+            "queries_omitted": len(timings),
+            "total_median": round(sum(medians.values()), 3),
+            "sf": _sf_label(SF_DIR),
+            "n_queries": len(timings),
+        }
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

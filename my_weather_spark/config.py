@@ -52,8 +52,20 @@ class DataClass:
 
     def __hash__(self) -> int:
         # defining __eq__ alone sets __hash__ to None (unhashable);
-        # hash by sorted items so equal configs collide as dict keys
-        return hash(tuple(sorted((k, repr(v)) for k, v in self.__dict__.items())))
+        # hash by sorted items so equal configs collide as dict keys.
+        # Hash VALUES (recursing into lists), not reprs: __eq__ uses
+        # dict equality, where 1 == 1.0, so repr-based hashing would
+        # give equal configs different hashes (dict/set duplicates).
+        # repr stays as the fallback for unhashable leaves only.
+        def hv(v):
+            if isinstance(v, (list, tuple)):
+                return hash(tuple(hv(x) for x in v))
+            try:
+                return hash(v)
+            except TypeError:
+                return hash(repr(v))
+
+        return hash(tuple(sorted((k, hv(v)) for k, v in self.__dict__.items())))
 
     def __repr__(self) -> str:
         inner = ", ".join(f"{k}={v!r}" for k, v in self.__dict__.items())

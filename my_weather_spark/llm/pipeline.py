@@ -50,6 +50,14 @@ def clean_corpus(
     Near-dup removal keeps the smallest id of each verified pair and
     drops the larger — deterministic survivor choice, same rule as
     exact dedup, so re-runs are idempotent.
+
+    Each materialized stage is localCheckpoint(eager)ed before its
+    report count: the five counts are actions, and without the
+    lineage cut every one would re-trigger the whole upstream chain
+    (quality -> exact dedup -> LSH -> verify) — at 100 TB that is
+    re-running a corpus-wide LSH to print a log line. With the cuts,
+    stage N's count scans stage N's materialized output and nothing
+    upstream ever executes twice.
     """
     n_input = docs.count()
 
@@ -57,11 +65,11 @@ def clean_corpus(
     q = text_ops.quality_filter(
         docs, min_words=min_words, max_punct_ratio=max_punct_ratio,
         text_col=text_col, id_col=id_col,
-    )
+    ).localCheckpoint()
     n_quality = q.count()
 
     # 2. exact dedup (hash groupBy)
-    exact = dedup.drop_exact_duplicates(q, text_col, id_col)
+    exact = dedup.drop_exact_duplicates(q, text_col, id_col).localCheckpoint()
     n_exact = exact.count()
 
     # 3. LSH candidates -> exact Jaccard scored ON THE CANDIDATES ONLY
@@ -73,7 +81,7 @@ def clean_corpus(
     verified = dedup.jaccard_for_candidates(
         exact, cand, min_jaccard=jaccard_threshold,
         text_col=text_col, id_col=id_col,
-    )
+    ).localCheckpoint()
     n_pairs = verified.count()
 
     # 4. drop near-dups: cluster the verified-pair graph (connected
@@ -87,7 +95,7 @@ def clean_corpus(
     losers = components.where(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias(id_col)
     )
-    survivors = exact.join(losers, id_col, "left_anti")
+    survivors = exact.join(losers, id_col, "left_anti").localCheckpoint()
     n_near = survivors.count()
 
     # 5. analysis columns for the surviving corpus

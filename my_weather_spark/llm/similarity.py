@@ -307,24 +307,46 @@ def ivf_centroids(
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_target: int = 65536,
 ) -> DataFrame:
     """Train IVF centroids: deterministic seed sample + Lloyd refinement.
 
-    Seeds are the first ``n_centroids`` corpus rows in md5(id) order — a
-    uniform, engine-reproducible pseudo-random sample (TakeOrdered, no
-    full sort materialization). Each refinement iteration is one
-    distributed assign pass (BLAS argmax per Arrow batch) plus a
-    per-dimension mean aggregate; only the C x dim centroid matrix ever
-    reaches the driver. C stays FIXED as the corpus grows — recall is
-    tuned with nprobe, cost of assignment stays O(N*C). At 100 TB you
-    would train on corpus.sample(...) instead of the full pass; the
-    assign/aggregate shape is identical.
+    Training is SAMPLE-BASED by default: when the corpus exceeds
+    ``train_sample_target`` rows, seeds and every refinement pass run
+    on a deterministic md5-ticket hash sample of ~that size (content-
+    keyed, repartition-invariant — see llm/sampling.hash_sample), so
+    the train path never scans the full 100 TB corpus per retrain; only
+    the one-off ``ivf_build`` assignment pass does. Centroid quality is
+    insensitive to training-set size far above C (k-means on a uniform
+    sample converges to the same cell structure), and recall stays
+    pinned by test_ivf_recall_vs_bruteforce. Set
+    ``train_sample_target=0`` to force full-corpus training.
+
+    Seeds are the first ``n_centroids`` training rows in md5(id) order
+    — uniform and engine-reproducible (TakeOrdered, no full sort
+    materialization). Each refinement iteration is one distributed
+    assign pass (BLAS argmax per Arrow batch) plus a per-dimension mean
+    aggregate; only the C x dim centroid matrix ever reaches the
+    driver. C stays FIXED as the corpus grows — recall is tuned with
+    nprobe, cost of assignment stays O(N_train*C).
     """
     import numpy as np
 
+    from my_weather_spark.llm import sampling
+
     spark = corpus.sparkSession
+    train = corpus.select(id_col, vec_col)
+    if train_sample_target:
+        # count() on a parquet source is metadata-only; the md5-ticket
+        # filter keeps the sample deterministic across partitionings.
+        n = corpus.count()
+        if n > train_sample_target:
+            train = sampling.hash_sample(
+                train, rate=train_sample_target / n, seed="ivf_train",
+                id_col=id_col,
+            )
     seeds = (
-        corpus.select(id_col, vec_col)
+        train
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .collect()
@@ -338,7 +360,7 @@ def ivf_centroids(
     for _ in range(refine_iters):
         cdf = _centroids_df(spark, mat, vec_col)
         assigned = ivf_assign(
-            corpus, cdf, id_col, vec_col, _cmat=(np.arange(len(mat)), mat)
+            train, cdf, id_col, vec_col, _cmat=(np.arange(len(mat)), mat)
         )
         means = (
             assigned.select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))

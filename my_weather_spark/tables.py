@@ -62,6 +62,21 @@ def _ensure_reader_conf(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass
+    # The swallowed set above is best-effort; the timestamp math below
+    # (NTZ casts in load_table, wall-clock date_trunc in every oracle)
+    # is only exact under a UTC session. If a locked-down session
+    # refused the set, every timestamp would silently shift by the host
+    # offset — fail loudly instead.
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
+        raise RuntimeError(
+            f"session timeZone is {tz!r} and could not be set to UTC; "
+            "timestamp normalization would be inexact — run with a "
+            "session that allows spark.sql.session.timeZone=UTC"
+        )
 
 
 # Backwards-compatible alias (older call sites / tests).

@@ -270,3 +270,49 @@ def test_redact_pii_golden(spark):
     assert out[1]["redacted"] == rows[1][1] and out[1]["n_redactions"] == 0
     assert out[2]["redacted"] == "two mails <EMAIL> <EMAIL>"
     assert out[2]["n_redactions"] == 2
+
+
+def test_clean_corpus_counts_do_not_reexecute_chain(spark, monkeypatch):
+    # The five report counts are actions; without the per-stage
+    # localCheckpoint cuts each one re-plans the whole upstream
+    # quality->exact->LSH->verify chain. Self-calibrating check: the
+    # same pipeline with localCheckpoint no-op'd must plan strictly
+    # more stages than the real (lineage-cutting) version, and the
+    # real version's returned plan must scan a materialized RDD, not
+    # the dedup chain.
+    from my_weather_spark.llm.pipeline import clean_corpus
+
+    # Dup-free corpus: keeps connected-components trivial (its own
+    # INTERNAL iteration checkpoints are also no-op'd by the patch
+    # below and would otherwise blow up plan growth), so the stage
+    # delta measured is exactly the five report counts re-planning
+    # the quality->exact->LSH->verify chain.
+    rows = [(i, f"unique document {i} with its own words token{i} "
+                f"body content here", "books") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def stages_for(group):
+        return sum(len(tracker.getJobInfo(j).stageIds)
+                   for j in tracker.getJobIdsForGroup(group))
+
+    # patch the CONCRETE class (pyspark.sql.classic under Spark 4+,
+    # where the public DataFrame is an overridden abstract base)
+    df_cls = type(docs)
+    real_ckpt = df_cls.localCheckpoint
+    monkeypatch.setattr(df_cls, "localCheckpoint",
+                        lambda self, eager=True: self)
+    sc.setJobGroup("cc_nockpt", "clean_corpus without lineage cuts")
+    clean_corpus(docs, min_words=5)
+    monkeypatch.setattr(df_cls, "localCheckpoint", real_ckpt)
+    sc.setJobGroup("cc_ckpt", "clean_corpus with lineage cuts")
+    out, rep = clean_corpus(docs, min_words=5)
+    sc.setJobGroup(None, None)
+
+    assert rep.n_input == 60 and rep.n_after_near == 60
+    n_nockpt, n_ckpt = stages_for("cc_nockpt"), stages_for("cc_ckpt")
+    assert n_ckpt < n_nockpt, (n_ckpt, n_nockpt)
+    # the survivors feeding the returned DF are a materialized scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:500]

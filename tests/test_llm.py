@@ -112,6 +112,29 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir, tmp_path):
     assert a2 == a
 
 
+def test_ivf_sampled_training_recall_and_determinism(spark, sf_dir, tmp_path):
+    # sample-based training (the 100 TB default) must stay deterministic
+    # across runs (md5-ticket sample, not df.sample) and keep the same
+    # recall bound as full-corpus training
+    from my_weather_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    c1 = similarity.ivf_centroids(
+        emb, n_centroids=16, refine_iters=1, train_sample_target=200)
+    c2 = similarity.ivf_centroids(
+        emb, n_centroids=16, refine_iters=1, train_sample_target=200)
+    key = lambda r: r["centroid_id"]
+    assert sorted(c1.collect(), key=key) == sorted(c2.collect(), key=key)
+    index = similarity.ivf_build(emb, c1, str(tmp_path / "ivf_sampled"))
+    approx = similarity.ivf_topk(index, queries, c1, k=3, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a) == len(e)
+    assert len(e & a) >= len(e) // 2
+
+
 def test_ivf_string_ids(spark):
     # id column type flows through assign/probe/score schemas
     rows = [(f"doc-{i}", [float(i == j) for j in range(8)]) for i in range(20)]
@@ -460,3 +483,21 @@ def test_srp_lsh_zero_norm_vectors_never_pair(spark):
     got = similarity.srp_lsh_pairs(corpus, threshold=0.9).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(2, 3)}
     assert all(not (r["cos"] != r["cos"]) for r in got)  # no NaN
+
+
+def test_decontam_flags_prunes_document_columns(spark, sf_dir):
+    # Column pruning must reach the parquet scan: decontam only needs
+    # (doc_id, text), and a scan that also reads lang/source/n_chars
+    # would move ~2x the bytes at 100 TB. Pin ReadSchema against
+    # regression (same style as the p2 projection audit).
+    import __spark_entry__ as entry
+
+    df = entry.queries()["decontam_flags"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [seg for seg in plan.split("ReadSchema: ")[1:]]
+    doc_scans = [seg for seg in scans if "text" in seg.split("\n")[0]]
+    assert doc_scans, f"no documents scan found in plan: {plan[:800]}"
+    for seg in doc_scans:
+        schema_line = seg.split("\n")[0]
+        assert "lang" not in schema_line and "n_chars" not in schema_line, (
+            f"documents scan reads unpruned columns: {schema_line}")
