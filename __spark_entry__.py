@@ -2316,6 +2316,67 @@ def text_repetition_stats(spark, sf_dir):
 
 
 @_q(
+    "line_boilerplate_clean",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i AS line_no,
+             array_to_string(words[(i*8+1):(i*8+8)], ' ') AS line
+      FROM w, UNNEST(range(greatest(CAST(ceil(len(words)/8.0) AS BIGINT), 1))) AS t(i)),
+    boiler AS (
+      SELECT line FROM (
+        SELECT trim(line) AS line, count(DISTINCT doc_id) AS df
+        FROM lines WHERE trim(line) <> '' GROUP BY trim(line))
+      WHERE df >= 3),
+    kept AS (
+      SELECT l.doc_id, l.line_no, l.line
+      FROM lines l LEFT JOIN boiler b ON trim(l.line) = b.line
+      WHERE b.line IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS n_lines_kept,
+             md5(string_agg(line, chr(10) ORDER BY line_no)) AS clean_md5
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+           coalesce(a.clean_md5, md5('')) AS clean_md5
+    FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def line_boilerplate_clean(spark, sf_dir):
+    """Line-level boilerplate dedup (RefinedWeb/CCNet style) over the
+    documents table: the corpus is single-line synthetic text, so the
+    query first derives deterministic 8-word lines (slice over the
+    whitespace-run word array — in-row, shuffle-free), then removes
+    every line whose trimmed form occurs in >= 3 distinct docs and
+    fingerprints the cleaned text. Catches cross-document template
+    text that document-level near-dup never flags. Shape at 100 TB:
+    one explode + one (line, doc)-distinct count; only the tiny
+    above-threshold line set joins back (AQE broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    n_lines = F.greatest(
+        F.ceil(F.size(words) / 8).cast("long"), F.lit(1).cast("long")
+    )
+    lines_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, (i * 8 + 1).cast("int"), F.lit(8)), " "),
+    )
+    ml = docs.select("doc_id", F.array_join(lines_arr, "\n").alias("text"))
+    out = text_ops.remove_boilerplate_lines(ml, min_doc_frequency=3)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_lines_kept",
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+@_q(
     "pack_chunks_by_source",
     """
     WITH t AS (
@@ -2995,8 +3056,11 @@ _DRIVER_PRIORITY = [
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_bracket_revenue",
     "q21_lone_returned_supplier", "q22_idle_customer_balance",
-    # (d) round-3-green canaries for testdata-format drift
-    "w1_lag_delta", "q1_pricing_summary",
+    # (b) new this round (takes the second canary's slot — w1_lag_delta
+    # already covers events time-math drift)
+    "line_boilerplate_clean",
+    # (d) round-3-green canary for testdata-format drift
+    "w1_lag_delta",
 ]
 
 

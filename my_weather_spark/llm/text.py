@@ -224,6 +224,77 @@ def repetition_stats(
 
 
 # ----------------------------------------------------------------------
+# Line-level boilerplate dedup (RefinedWeb / CCNet style): drop lines
+# whose normalized form recurs across many documents — nav bars,
+# cookie banners, footers — which document-level near-dup never
+# catches (every page is "unique", every page carries the banner).
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_doc_frequency: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """(id, text [cleaned], n_lines, n_lines_kept).
+
+    A line is boilerplate iff its TRIMMED form occurs in at least
+    ``min_doc_frequency`` distinct documents; such lines are removed
+    everywhere and the survivors are rejoined in original order.
+    Blank lines are never counted or removed (they carry layout, not
+    boilerplate, and would otherwise always cross the threshold).
+
+    Scale shape: one narrow posexplode, one distinct + count over
+    (line, doc) to build the frequency table (the only corpus-wide
+    shuffle, map-side combined), and a join of the exploded lines
+    against only the ABOVE-THRESHOLD lines — that set is tiny by
+    construction (genuine boilerplate), so AQE turns the anti-join
+    into a broadcast at runtime; reassembly is one exchange on the
+    document key. Never materializes all-pairs anything.
+    """
+    if min_doc_frequency < 2:
+        raise ValueError("min_doc_frequency must be >= 2")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("line_no", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    boiler = (
+        lines.where(norm != "")
+        .select(norm.alias("_nline"), id_col)
+        .distinct()
+        .groupBy("_nline")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_doc_frequency)
+        .select("_nline")
+    )
+    kept = lines.join(boiler, norm == F.col("_nline"), "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # docs whose every line was boilerplate drop out of `rebuilt`;
+    # keep them with empty text rather than silently deleting docs
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+            "n_lines",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")).alias(
+                "n_lines_kept"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # PII redaction: regex scrubbing of emails / phone numbers / IPv4 in
 # the hot path. Patterns are deliberately RE2-compatible (no
 # backrefs/lookaround) so the identical pattern runs in Java regex,

@@ -501,3 +501,29 @@ def test_decontam_flags_prunes_document_columns(spark, sf_dir):
         schema_line = seg.split("\n")[0]
         assert "lang" not in schema_line and "n_chars" not in schema_line, (
             f"documents scan reads unpruned columns: {schema_line}")
+
+
+def test_remove_boilerplate_lines(spark):
+    # RefinedWeb-style line dedup: lines recurring in >= K docs vanish
+    # everywhere, blank lines and order survive, all-boilerplate docs
+    # stay as empty rows (never silently dropped).
+    header = "SITE NAV | home | about"
+    footer = "(c) footer common to pages"
+    rows = [
+        (1, header + "\ncontent one unique\n\n" + footer),
+        (2, header + "\ncontent two differs\n" + footer),
+        (3, header + "\nthird body text here\n" + footer),
+        (4, "standalone document no boilerplate"),
+        (5, header),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.remove_boilerplate_lines(df, min_doc_frequency=3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["text"] == "content one unique\n"      # blank line kept
+    assert (got[1]["n_lines"], got[1]["n_lines_kept"]) == (4, 2)
+    assert got[2]["text"] == "content two differs"
+    assert got[4]["text"] == "standalone document no boilerplate"
+    assert got[5]["text"] == "" and got[5]["n_lines_kept"] == 0
+    with pytest.raises(ValueError):
+        text_ops.remove_boilerplate_lines(df, min_doc_frequency=1)
