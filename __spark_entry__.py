@@ -31,6 +31,7 @@ from my_weather_spark.llm import dedup, similarity, text as text_ops
 from my_weather_spark.llm import sampling as llm_sampling
 from my_weather_spark.llm import decontam as llm_decontam
 from my_weather_spark.llm import packing as llm_packing
+from my_weather_spark import streaming as streaming_mod
 from my_weather_spark.model import UtcPeriod, MEASUREMENT_TYPES
 from my_weather_spark.sources.heartbeat import synthetic_series
 
@@ -2962,6 +2963,78 @@ def w2_end_extension_raw(spark, sf_dir):
     return ts_ops.end_extension(e)
 
 
+_CURATED_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+@_q(
+    "stream_curated_front",
+    """
+    SELECT DISTINCT md5(text) AS content_hash,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) >= 25
+      AND (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+          / length(text) <= CAST(0.2 AS DOUBLE)
+    """,
+)
+def stream_curated_front(spark, sf_dir):
+    """The watermark-bounded streaming curation front filter
+    (streaming.curated_doc_stream: shared quality predicate +
+    dropDuplicatesWithinWatermark) driven as a REAL Structured
+    Streaming query: documents land in a temp area with a synthetic
+    event time, an availableNow stream drains them through the filter
+    into a parquet sink, and the committed sink is read back. Survivor
+    choice among exact duplicates is processing-order nondeterministic
+    (documented), so the query projects the content-deterministic
+    columns — (md5(text), length) are identical across any survivor of
+    the same hash — which makes the streaming output exactly
+    hash-verifiable against the batch SQL oracle."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CURATED_STREAM_CACHE:
+        root = tempfile.mkdtemp(prefix="mws_curated_stream_")
+        # synthetic event time strictly AFTER epoch 0: the initial
+        # watermark is 0 and a row landing exactly on it is dropped as
+        # late (doc_id 0 would silently vanish)
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "ingest_ts",
+            F.timestamp_micros((F.col("doc_id") + 1) * F.lit(1_000_000)),
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{root}/landing")
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, ingest_ts timestamp"
+        ).parquet(f"{root}/landing")
+        # min_words=25 sits inside the corpus word-count distribution
+        # (p10 ~ 21), so the gate demonstrably filters rather than
+        # passing everything
+        curated = streaming_mod.curated_doc_stream(
+            stream, min_words=25, max_punct_ratio=0.2
+        )
+        q = (
+            curated.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("curated stream drain did not finish in 600s")
+        _CURATED_STREAM_CACHE[key] = root
+    root = _CURATED_STREAM_CACHE[key]
+    out = spark.read.schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, ingest_ts timestamp"
+    ).parquet(f"{root}/out")
+    return out.select(
+        F.md5("text").alias("content_hash"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).distinct()
+
+
 _STREAM_INGEST_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -3056,11 +3129,10 @@ _DRIVER_PRIORITY = [
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_bracket_revenue",
     "q21_lone_returned_supplier", "q22_idle_customer_balance",
-    # (b) new this round (takes the second canary's slot — w1_lag_delta
-    # already covers events time-math drift)
-    "line_boilerplate_clean",
-    # (d) round-3-green canary for testdata-format drift
-    "w1_lag_delta",
+    # (b) new this round (format-drift canary duty is already covered
+    # in-window: sessionize_users exercises events epoch-us math and
+    # the rotated TPC-H queries exercise orders/lineitem date math)
+    "line_boilerplate_clean", "stream_curated_front",
 ]
 
 
