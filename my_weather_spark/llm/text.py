@@ -243,13 +243,17 @@ def remove_boilerplate_lines(
     Blank lines are never counted or removed (they carry layout, not
     boilerplate, and would otherwise always cross the threshold).
 
-    Scale shape: one narrow posexplode, one distinct + count over
-    (line, doc) to build the frequency table (the only corpus-wide
-    shuffle, map-side combined), and a join of the exploded lines
-    against only the ABOVE-THRESHOLD lines — that set is tiny by
-    construction (genuine boilerplate), so AQE turns the anti-join
-    into a broadcast at runtime; reassembly is one exchange on the
-    document key. Never materializes all-pairs anything.
+    Scale shape: two corpus passes total. Pass 1 builds the frequency
+    table — one distinct + count over (line, doc), the only
+    corpus-wide shuffle, map-side combined. Pass 2 left-joins the
+    exploded lines against only the ABOVE-THRESHOLD lines (tiny by
+    construction — genuine boilerplate — so AQE turns it into a
+    broadcast at runtime) and computes totals, kept counts, and the
+    reassembled text in ONE document-key aggregation: keeping all
+    lines through the flagging join means docs whose every line was
+    boilerplate stay as empty rows instead of silently vanishing, and
+    no separate totals scan or re-join is needed. Never materializes
+    all-pairs anything.
     """
     if min_doc_frequency < 2:
         raise ValueError("min_doc_frequency must be >= 2")
@@ -267,30 +271,21 @@ def remove_boilerplate_lines(
         .where(F.col("_df") >= min_doc_frequency)
         .select("_nline")
     )
-    kept = lines.join(boiler, norm == F.col("_nline"), "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    flagged = lines.join(boiler, norm == F.col("_nline"), "left")
+    is_kept = F.col("_nline").isNull()
+    # collect_list skips nulls, so the WHEN collects only kept lines
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                F.array_sort(
+                    F.collect_list(F.when(is_kept, F.struct("line_no", "line")))
+                ),
                 lambda s: s["line"],
             ),
             line_sep,
-        ).alias("_clean"),
-        F.count(F.lit(1)).alias("n_lines_kept"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    # docs whose every line was boilerplate drop out of `rebuilt`;
-    # keep them with empty text rather than silently deleting docs
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
-            "n_lines",
-            F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")).alias(
-                "n_lines_kept"
-            ),
-        )
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(is_kept, F.lit(1))).alias("n_lines_kept"),
     )
 
 
