@@ -3,7 +3,8 @@
 The standard large-corpus preparation flow, assembled from the engine's
 operators exactly the way a 100 TB run would chain them:
 
-    quality filter -> exact dedup -> MinHash-LSH candidates
+    [line-level boilerplate removal (optional)]
+        -> quality filter -> exact dedup -> MinHash-LSH candidates
         -> Jaccard verify -> drop near-dups (keep smallest id)
         -> attach analysis columns (tokens, language, fingerprint)
 
@@ -42,6 +43,7 @@ def clean_corpus(
     jaccard_threshold: float = 0.85,
     num_hashes: int = 16,
     band_size: int = 4,
+    line_dedup_min_df: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, CleanReport]:
@@ -60,6 +62,17 @@ def clean_corpus(
     upstream ever executes twice.
     """
     n_input = docs.count()
+
+    # 0. optional line-level boilerplate removal (RefinedWeb order:
+    # strip cross-document template lines BEFORE any document-level
+    # signal is computed, so nav bars/footers can't mask real content
+    # in quality ratios or poison shingle sets)
+    if line_dedup_min_df is not None:
+        cleaned = text_ops.remove_boilerplate_lines(
+            docs, min_doc_frequency=line_dedup_min_df,
+            text_col=text_col, id_col=id_col,
+        ).select(id_col, text_col)
+        docs = docs.drop(text_col).join(cleaned, id_col)
 
     # 1. quality gate (cheap, narrow — run first to shrink everything)
     q = text_ops.quality_filter(

@@ -316,3 +316,29 @@ def test_clean_corpus_counts_do_not_reexecute_chain(spark, monkeypatch):
     # the survivors feeding the returned DF are a materialized scan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:500]
+
+
+def test_clean_corpus_line_dedup_stage(spark):
+    # With line_dedup_min_df set, cross-document boilerplate lines are
+    # stripped BEFORE the quality gate, so a doc that only clears
+    # min_words thanks to its boilerplate gets filtered out.
+    from my_weather_spark.llm.pipeline import clean_corpus
+
+    banner = "cookie banner accept all choices here now please today"
+    rows = [
+        (1, banner + "\none two three four five six seven eight nine ten", "web"),
+        (2, banner + "\nalpha beta gamma delta epsilon zeta eta theta iota kappa", "web"),
+        (3, banner + "\nred orange yellow green blue indigo violet pink brown black", "web"),
+        # passes min_words=10 ONLY while the 9-word banner counts
+        (4, banner + "\nshort tail", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out_plain, _ = clean_corpus(docs, min_words=10)
+    assert {r["doc_id"] for r in out_plain.collect()} == {1, 2, 3, 4}
+
+    out, rep = clean_corpus(docs, min_words=10, line_dedup_min_df=3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}          # 4 fails quality once stripped
+    assert rep.n_after_quality == 3
+    assert all(banner not in r["text"] for r in got.values())
