@@ -33,6 +33,8 @@ QUERIES = [
     "range_join_error_window",
     "mm_frame_sample",
     "approx_distinct_users",
+    "line_boilerplate_clean",
+    "stream_curated_front",
 ]
 SF_DIRS = [
     "/root/testdata/sf0.001",
