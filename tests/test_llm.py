@@ -527,3 +527,45 @@ def test_remove_boilerplate_lines(spark):
     assert got[5]["text"] == "" and got[5]["n_lines_kept"] == 0
     with pytest.raises(ValueError):
         text_ops.remove_boilerplate_lines(df, min_doc_frequency=1)
+
+
+def test_remove_boilerplate_lines_matches_python_reference(spark):
+    # randomized corpus (seeded) checked line-for-line against an
+    # independent in-memory implementation of the same semantics
+    import random
+
+    rng = random.Random(42)
+    pool_common = [f"common banner {i}" for i in range(4)]
+    pool_rare = [f"rare line {i} with words" for i in range(200)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(1, 8)
+        lines = []
+        for _ in range(n):
+            if rng.random() < 0.35:
+                lines.append(rng.choice(pool_common))
+            elif rng.random() < 0.1:
+                lines.append("   ")  # whitespace-only: never boilerplate
+            else:
+                lines.append(rng.choice(pool_rare))
+        rows.append((d, "\n".join(lines)))
+
+    min_df = 3
+    # python reference
+    doc_lines = {d: t.split("\n") for d, t in rows}
+    df_count = {}
+    for d, ls in doc_lines.items():
+        for nl in {l.strip() for l in ls if l.strip()}:
+            df_count[nl] = df_count.get(nl, 0) + 1
+    boiler = {l for l, c in df_count.items() if c >= min_df}
+    expect = {}
+    for d, ls in doc_lines.items():
+        kept = [l for l in ls if l.strip() not in boiler or not l.strip()]
+        expect[d] = ("\n".join(kept), len(ls), len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+        for r in text_ops.remove_boilerplate_lines(df, min_doc_frequency=min_df).collect()
+    }
+    assert got == expect
