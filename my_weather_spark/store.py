@@ -41,11 +41,24 @@ def ensure_utc_session(spark: SparkSession) -> None:
     bucket starts — both via ``to_date``, which follows the SESSION
     timezone. A non-UTC session would write rows into local-date
     partitions and make date-keyed refreshes overwrite the wrong
-    partition, so every write/refresh path sets this defensively."""
+    partition, so every write/refresh path sets this defensively —
+    and FAILS LOUDLY if a locked-down session refused the set, because
+    proceeding would silently corrupt date partitioning (same
+    verify-or-raise contract as tables._ensure_reader_conf)."""
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
+        raise RuntimeError(
+            f"session timeZone is {tz!r} and could not be set to UTC; "
+            "store date partitioning would be wrong — run with a session "
+            "that allows spark.sql.session.timeZone=UTC"
+        )
 
 
 class TsStore:
