@@ -281,3 +281,23 @@ def test_stream_watchdog_records_progress_and_restarts(spark, tmp_path):
         assert [f["name"] for f in wd.failures] == [None]
     finally:
         wd.close()
+
+
+def test_streaming_driver_queries_smoke(spark, tmp_path):
+    # The two streaming queries() entries must drain, commit, and
+    # return stable results when called twice in one session (the
+    # bench/driver pattern). Row counts are data-dependent; stability
+    # and non-emptiness are the contract.
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    a1 = entry.queries()["stream_ingest_accepted"](spark, sf)
+    n1 = a1.count()
+    n2 = entry.queries()["stream_ingest_accepted"](spark, sf).count()
+    assert n1 == n2 and 0 < n1 <= 500
+
+    c1 = entry.queries()["stream_curated_front"](spark, sf)
+    m1 = c1.count()
+    m2 = entry.queries()["stream_curated_front"](spark, sf).count()
+    assert m1 == m2 and 0 < m1 <= 500
+    assert set(c1.columns) == {"content_hash", "n_chars"}
