@@ -1752,7 +1752,7 @@ def j4_fuzzy_match(spark, sf_dir):
 
 _SQL_WORDS = (
     "words AS (SELECT DISTINCT doc_id, w FROM "
-    "(SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents) WHERE w <> '')"
+    r"(SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents) WHERE w <> '')"
 )
 
 
@@ -2015,7 +2015,7 @@ def cosine_threshold_pairs(spark, sf_dir):
 
 @_q(
     "text_hashed_bow",
-    """
+    r"""
     WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
     SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
            count(*) AS tf
@@ -2052,7 +2052,7 @@ def srp_cosine_near_dup(spark, sf_dir):
 
 @_q(
     "text_token_stats",
-    """
+    r"""
     SELECT doc_id, length(text) AS n_chars,
            len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_words,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est,
@@ -2069,7 +2069,7 @@ def text_token_stats(spark, sf_dir):
 
 @_q(
     "text_quality_stats",
-    """
+    r"""
     WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws,
                       text FROM documents)
     SELECT doc_id, length(text) AS n_chars, len(ws) AS n_words,
@@ -2220,7 +2220,7 @@ def split_assign_counts(spark, sf_dir):
 
 @_q(
     "decontam_flags",
-    """
+    r"""
     WITH bench_docs AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
     corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
     bw AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
@@ -2341,7 +2341,7 @@ def training_order_head(spark, sf_dir):
 
 @_q(
     "text_repetition_stats",
-    """
+    r"""
     WITH ws AS (
       SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
       FROM documents),
@@ -2673,7 +2673,7 @@ def _langid_oracle() -> str:
             f"len(list_filter(ws, x -> list_contains([{lst}], x))) AS hits FROM w"
         )
     union = "\n      UNION ALL ".join(selects)
-    return f"""
+    return rf"""
     WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
                FROM documents),
     scores AS ({union})
