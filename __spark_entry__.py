@@ -1309,7 +1309,15 @@ def running_total(spark, sf_dir):
 )
 def value_deciles(spark, sf_dir):
     """Ranking/analytic window functions (ntile, percent_rank) with a
-    fully deterministic order (value ties broken by event_id)."""
+    fully deterministic order (value ties broken by event_id).
+
+    Scale note: an unpartitioned window moves ALL rows to one
+    partition (WindowExec warns) — inherent to exact global ranking,
+    fine at the events-table scale this query targets. At 100 TB the
+    right tools are approx_percentile / percentile_approx (mergeable
+    sketch, no global sort) or a two-pass range-partitioned rank
+    (sortWithinPartitions over rangepartitioned data + per-partition
+    offsets); exact global ntile is deliberately NOT the scale path."""
     e = load_table(spark, sf_dir, "events")
     w = W.orderBy("value", "event_id")
     return e.select(

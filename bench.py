@@ -42,11 +42,17 @@ def main() -> None:
     )
     qs = entrymod.queries()
 
-    # Warm-up (not timed): JVM/codegen/parquet footers, the Python
-    # worker pool + Arrow path (createDataFrame, mapInPandas), and the
-    # noop committer — so per-query numbers measure steady state.
-    for wq in ("q1_pricing_summary", "f1_camel_to_snake", "knn_bruteforce"):
-        qs[wq](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Warm-up (not timed): one full untimed pass over every query —
+    # the standard microbenchmark warmup (JMH-style). A partial warmup
+    # (3 representative queries) left the heavy Arrow/codegen paths on
+    # the C2-compilation slope for their first timed rep: srp at sf0.1
+    # runs 12s -> 7.7s -> 5.2s -> 5.0s steady in one session, so
+    # min-of-3 after cold start was measuring JIT warmup depth (2-3x
+    # run-to-run spread), not the plan. The full pass also absorbs the
+    # one-off per-session builds (IVF index, CC labels, stream drains)
+    # so timed reps measure the steady-state serving path.
+    for wfn in qs.values():
+        wfn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     # 3 reps per query: this container shows 2-4x run-to-run timing
     # noise on identical plans (see BASELINE.md). The headline stays
