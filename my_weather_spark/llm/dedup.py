@@ -195,20 +195,63 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any full band. Output
-    (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    Hot-bucket guard (the 100 TB failure mode of any LSH bucket join):
+    a bucket of B colliding docs emits O(B^2) pair rows — one million
+    byte-identical boilerplate pages in one bucket is 10^12 candidates
+    from a single key, which no amount of partitioning absorbs. Buckets
+    larger than ``max_bucket`` therefore degrade to a STAR: every
+    member pairs with the bucket minimum only (B-1 pairs, linear).
+    Connectivity through the bucket is preserved exactly — downstream
+    connected-components labels the whole bucket one cluster via the
+    hub — and for the realistic hot case (identical or near-identical
+    content, which is WHY the bucket is hot) the hub pairs all pass the
+    Jaccard verify, so cluster recall is unchanged. What is given up is
+    the per-pair Jaccard of non-hub members of a >max_bucket bucket
+    (they reach each other through the hub, not directly); callers that
+    need every pairwise score must raise the cap. The default (4096 →
+    ≤ ~8.4 M pairs per hot bucket) never triggers at test scale, so
+    capped and uncapped plans are bit-identical on the oracle data;
+    the degradation is asserted linear in test_llm.
+    """
+    # Materialize the signature table once (the srp_lsh_pairs pattern):
+    # the guard's bucket-size aggregate plus the two join sides would
+    # otherwise each replay the md5-per-word corpus pass — Catalyst
+    # can't exchange-reuse the three subtrees because different
+    # filters/projections get pushed into each.
     bands = minhash_signatures(df, num_hashes, band_size, text_col, id_col)
-    a = bands.select(
-        F.col(id_col).alias("doc_a"), "band", "band_key"
+    bands = bands.localCheckpoint(eager=True)
+    # Hot-bucket detection via an aggregate, not a window: the hot set
+    # (≤ corpus/max_bucket buckets, zero on healthy data) is a TINY
+    # table, so tagging band rows with it is an AQE-picked broadcast
+    # join — the band rows themselves are never re-shuffled for the
+    # guard (a window over (band, band_key) would sort-shuffle every
+    # band row just to learn its bucket size).
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_hub"))
+        .where(F.col("_n") > max_bucket)
+        .select("band", "band_key", "_hub")
     )
-    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
-    return (
+    tagged = bands.join(hot, ["band", "band_key"], "left")
+    small = tagged.where(F.col("_hub").isNull())
+    a = small.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = small.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    pairs = (
         a.join(b, ["band", "band_key"])  # bucket join — the LSH step
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    # Hot buckets: hub-and-spoke to the bucket minimum.
+    star = (
+        tagged.where(F.col("_hub").isNotNull() & (F.col(id_col) != F.col("_hub")))
+        .select(F.col("_hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    return pairs.unionByName(star).distinct()
 
 
 # ----------------------------------------------------------------------

@@ -657,6 +657,7 @@ def srp_lsh_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 8192,
 ) -> DataFrame:
     """All corpus pairs with cosine >= ``threshold`` found via SRP-LSH
     candidate buckets + exact verify: (id_a, id_b, cos), id_a < id_b.
@@ -680,9 +681,17 @@ def srp_lsh_pairs(
     larger. Zero-norm vectors never reach the verify (dropped in
     srp_codes), so cos is never NaN. Duplicate finds across bands
     carry identical rounded cos, so the final distinct() collapses
-    them. A pathologically hot bucket (≫ corpus/2^band_bits) is the
-    signal that band_bits is too small for the corpus size — widen the
-    bands rather than relying on one task to grind a quadratic bucket.
+    them. A pathologically hot bucket (≫ corpus/2^band_bits) no longer
+    grinds one task quadratically: above ``max_bucket`` members the
+    bucket verifies HUB-AND-SPOKE — every member is scored against the
+    bucket's min-id member only (linear work, exact cosines on the
+    emitted pairs). The hot case in practice is near-identical
+    content, where hub pairs clear the threshold and downstream
+    connected components recovers the full cluster through the hub;
+    what is lost is the direct pairwise score between non-hub members
+    of an over-cap bucket. Widening band_bits remains the right first
+    response when hot buckets appear; the cap is the backstop that
+    bounds the damage while you do.
     """
     # The corpus projection feeds both the code pass and the vector
     # attach; checkpoint so an expensive upstream plan (e.g. a
@@ -709,8 +718,26 @@ def srp_lsh_pairs(
         import pandas as pd
 
         def _bucket_pairs(ids, A):
-            # blocked self-product keeps peak memory ~ block x n
             A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            if len(A) > max_bucket:
+                # hot bucket: hub-and-spoke verify (linear). hub = the
+                # min-id member, so id_a < id_b holds by construction.
+                hub = int(np.argmin(ids))
+                S = np.round(A @ A[hub], 6)
+                keep = S >= threshold
+                keep[hub] = False
+                if not keep.any():
+                    return []
+                return [
+                    pd.DataFrame(
+                        {
+                            "id_a": np.full(int(keep.sum()), ids[hub]),
+                            "id_b": ids[keep],
+                            "cos": S[keep],
+                        }
+                    )
+                ]
+            # blocked self-product keeps peak memory ~ block x n
             n, out = len(A), []
             block = 2048
             for s in range(0, n, block):

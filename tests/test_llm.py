@@ -65,6 +65,44 @@ def test_empty_docs_emit_no_lsh_candidates(spark):
     assert dedup.minhash_lsh_pairs(df).count() == 0
 
 
+def test_minhash_hot_bucket_degrades_to_star(spark):
+    # A bucket over max_bucket emits hub-and-spoke pairs (linear),
+    # not all-pairs (quadratic) — the 100 TB boilerplate-page guard.
+    # 30 identical docs + 2 distinct; cap 8 << 30.
+    rows = [(i, "same boilerplate page content repeated everywhere") for i in range(30)]
+    rows += [(100, "some other genuine document body"), (101, "yet another unrelated text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(df, max_bucket=8).collect()
+    # linear: exactly hub(0) x members(1..29); no quadratic 435-pair set
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(0, i) for i in range(1, 30)}
+    # uncapped default emits the full quadratic candidate set
+    assert dedup.minhash_lsh_pairs(df).count() == 30 * 29 // 2
+    # cluster recovery is UNCHANGED through the verify + components
+    # chain: hub pairs all verify at J=1, components identical.
+    verified = dedup.jaccard_for_candidates(
+        df, spark.createDataFrame(capped, "doc_a long, doc_b long"), min_jaccard=0.8
+    )
+    comps = dedup.connected_components_star(verified.select("doc_a", "doc_b")).collect()
+    assert {r["doc_id"] for r in comps} == set(range(30))
+    assert {r["component"] for r in comps} == {0}
+
+
+def test_srp_hot_bucket_degrades_to_star(spark):
+    # Same guard on the SRP verify: over-cap buckets score members
+    # against the min-id member only, with exact cosines.
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)]
+    rows += [(100, [-4.0, 3.0, -2.0, 1.0]), (101, [0.5, -1.5, 2.5, -3.5])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = similarity.srp_lsh_pairs(corpus, threshold=0.9, max_bucket=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(0, i) for i in range(1, 20)}
+    assert all(r["cos"] == 1.0 for r in capped)
+    # uncapped finds the quadratic identical-cluster pair set
+    uncapped = similarity.srp_lsh_pairs(corpus, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in uncapped} == {
+        (a, b) for a in range(20) for b in range(a + 1, 20)
+    }
+
+
 def test_jaccard_verify_step(docs):
     lsh = dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
     jac = dedup.jaccard_pairs(docs, min_jaccard=0.5)
