@@ -12,7 +12,9 @@ Scale notes (100 TB):
   are on uniformly-distributed hash keys (md5), no skew by design;
 * the LSH bucket join replaces the quadratic all-pairs comparison —
   candidate pairs ~ O(docs x band collisions), then exact Jaccard only
-  on candidates;
+  on candidates; buckets over ``max_bucket`` degrade to hub-and-spoke
+  stars (linear) so one ultra-duplicated page can't emit B^2 pairs
+  from a single band key;
 * hashes are md5-based and ENGINE-PORTABLE (hex strings / hex-prefix
   ints), so results are reproducible across Spark/DuckDB — important
   for cross-engine validation of a petabyte dedup run before deleting

@@ -331,7 +331,16 @@ class SignatureStore:
         store_dups = verified.select(F.col("_new_id").alias(id_col)).distinct()
 
         # 3. near dups WITHIN the batch: bucket-join the new bands with
-        # themselves, verify, keep the smaller id.
+        # themselves, verify, keep the smaller id. Unlike the corpus-
+        # wide minhash_lsh_pairs (which carries a max_bucket star
+        # guard), this self-join needs none: exact dups are already
+        # gone (stage 1), so a hot bucket is near-identical-but-not-
+        # equal content bounded by the MICRO-BATCH size — worst case
+        # batch^2 pairs, sized by the ingest trigger, not the corpus.
+        # The store-probe join above is linear per bucket too: the
+        # store side holds only ACCEPTED (near-dup-distinct) docs and
+        # the batch side is broadcast, so a colliding bucket emits
+        # store-bucket-size x batch-collisions rows, never bucket^2.
         a = new_bands.select(F.col(id_col).alias("_ia"), "band", "band_key")
         b = new_bands.select(F.col(id_col).alias("_ib"), "band", "band_key")
         batch_pairs = (
