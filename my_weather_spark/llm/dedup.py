@@ -500,6 +500,24 @@ def connected_components_star(
     With ``return_rounds=True`` returns (labels, rounds_used) so
     convergence behavior is assertable in tests.
     """
+    def _summary(edges: DataFrame) -> tuple:
+        # Order-invariant edge-set summary in ONE narrow aggregate (a
+        # partial+final agg, no shuffle of the edge rows): count plus
+        # two independently-seeded 64-bit xor reductions. Edge sets
+        # are distinct, so xor cannot cancel duplicate rows (the
+        # batch_fingerprint failure mode) — and exactness never rests
+        # on the hashes anyway: equal sets ALWAYS summarize equal, so
+        # a differing summary is a sound "keep iterating", and an
+        # equal summary is confirmed with one exact subtract before
+        # the loop exits. A full set comparison every round would
+        # re-shuffle both edge sets (at 100 TB, doubling each round).
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("x1"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v, 7919))"), F.lit(0)).alias("x2"),
+        ).collect()[0]
+        return (row["n"], row["x1"], row["x2"])
+
     e = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -509,6 +527,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e_sum = _summary(e)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -534,12 +553,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # converged when the edge set is unchanged (sets are distinct,
-        # so equal count + empty one-way difference <=> equality)
-        if small.count() == e.count() and small.subtract(e).limit(1).count() == 0:
+        # converged when the edge set is unchanged: cheap summary
+        # probe every round; on a summary match, ONE exact subtract
+        # confirms set equality (sets are distinct, so equal count +
+        # empty one-way difference <=> equality) — the expensive
+        # comparison runs once at convergence, not every round.
+        small_sum = _summary(small)
+        if small_sum == e_sum and small.subtract(e).limit(1).count() == 0:
             e = small
             break
-        e = small
+        e, e_sum = small, small_sum
     else:
         if strict:
             raise RuntimeError(
