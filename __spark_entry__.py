@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from my_weather_spark.tables import load_table
+from my_weather_spark.ops import ranking as ranking_ops
 from my_weather_spark.ops import scalars as sc
 from my_weather_spark.ops import timeseries as ts_ops
 from my_weather_spark.llm import dedup, similarity, text as text_ops
@@ -1299,14 +1300,14 @@ def running_total(spark, sf_dir):
     )
 
 
-@_q(
-    "value_deciles",
-    """
+_DECILES_SQL = """
     SELECT event_id, ntile(10) OVER (ORDER BY value, event_id) AS decile,
            CAST(floor(percent_rank() OVER (ORDER BY value, event_id) * 1000000) AS BIGINT) AS pr_ppm
     FROM events
-    """,
-)
+    """
+
+
+@_q("value_deciles", _DECILES_SQL)
 def value_deciles(spark, sf_dir):
     """Ranking/analytic window functions (ntile, percent_rank) with a
     fully deterministic order (value ties broken by event_id).
@@ -1326,6 +1327,27 @@ def value_deciles(spark, sf_dir):
         # explicit floor: DuckDB's double->BIGINT cast rounds while
         # Spark's truncates — floor() is identical in both
         F.floor(F.percent_rank().over(w) * 1000000).cast("long").alias("pr_ppm"),
+    )
+
+
+@_q("value_deciles_scaled", _DECILES_SQL)
+def value_deciles_scaled(spark, sf_dir):
+    """The SAME exact global deciles computed the 100 TB way: range-
+    repartitioned parallel sort + per-partition numbering + broadcast
+    offsets (ops/ranking.global_row_number) instead of a single-
+    partition ranking window. Shares value_deciles' oracle — the two
+    implementations must be bit-identical, which pins the distributed
+    rank against the engine's own window semantics AND DuckDB's."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked, n = ranking_ops.global_row_number(
+        e, ["value", "event_id"], out_col="_rn"
+    )
+    return ranked.select(
+        "event_id",
+        ranking_ops.ntile_expr("_rn", n, 10).alias("decile"),
+        F.floor(ranking_ops.percent_rank_expr("_rn", n) * 1000000)
+        .cast("long")
+        .alias("pr_ppm"),
     )
 
 

@@ -1,0 +1,122 @@
+"""Distributed exact global ranking (100 TB checklist).
+
+An unpartitioned ranking window (``row_number() OVER (ORDER BY ...)``)
+moves EVERY row to one partition — WindowExec warns, and at scale one
+task sorts the world. The standard distributed shape for an exact
+global rank keeps the sort parallel:
+
+1. ``repartitionByRange`` on the order columns — Spark samples range
+   bounds, so each partition holds a contiguous, disjoint slice of the
+   global order (skew-resistant: bounds adapt to the data);
+2. number rows WITHIN each partition (parallel, zero extra shuffle —
+   a running counter over the partition's Arrow batches);
+3. add per-partition offsets (a tiny count-per-partition aggregate,
+   cumulated driver-side — one row per partition — and broadcast back).
+
+The result is bit-identical to the single-partition window whenever
+the order columns form a total order (callers must include a
+tie-breaking column, exactly as they must for ANY deterministic
+ranking). ntile/percent_rank derive from the rank arithmetically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """(df + ``out_col`` 1-based global row number, total row count).
+
+    ``order_by`` must be a TOTAL order (include a tie-breaker) for a
+    deterministic result. The total count rides along because every
+    derived analytic (ntile, percent_rank) needs it and it falls out
+    of the offset computation for free.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_by]
+    parted = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # materialize the ranged sort ONCE: the counts pass and the
+        # numbering pass below both consume it, and partition order
+        # must not be re-derived between them.
+        .localCheckpoint(eager=True)
+    )
+    # One row per partition after partial aggregation — tiny.
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = int(sum(counts.values()))
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not counts:
+        empty = parted.drop("_pid").withColumn(out_col, F.lit(0).cast("long"))
+        return empty.where(F.lit(False)), 0
+    # Running counter over the partition's Arrow batches: batches of
+    # one partition arrive in order, so base+i is the local rank.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_out = StructType(
+        list(parted.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def _number(batches):
+        base = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = range(base + 1, base + 1 + len(pdf))
+            base += len(pdf)
+            yield pdf
+
+    numbered = parted.mapInPandas(_number, schema=schema_out)
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    out = (
+        numbered.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col(out_col) + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
+    return out, total
+
+
+def ntile_expr(rank_col: str, total: int, k: int) -> Column:
+    """Exact SQL ``ntile(k)`` from a 1-based total-order rank.
+
+    ntile puts ``total % k`` leading buckets one row over the floor
+    size — the first ``n_big * (size + 1)`` ranks land in the big
+    buckets, the rest in floor-size buckets.
+    """
+    size = total // k
+    n_big = total % k
+    big_span = n_big * (size + 1)
+    r = F.col(rank_col)
+    if size == 0:
+        # fewer rows than buckets: rank IS the bucket
+        return r.cast("int")
+    return (
+        F.when(r <= big_span, F.floor((r - 1) / (size + 1)))
+        .otherwise(n_big + F.floor((r - big_span - 1) / size))
+        .cast("int")
+        + 1
+    )
+
+
+def percent_rank_expr(rank_col: str, total: int) -> Column:
+    """``percent_rank()`` from a 1-based rank over a TOTAL order (no
+    ties, so rank == row_number): (rank - 1) / (total - 1)."""
+    if total <= 1:
+        return F.lit(0.0)
+    return (F.col(rank_col) - 1) / F.lit(float(total - 1))

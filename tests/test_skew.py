@@ -87,3 +87,71 @@ def test_wide_view_pivot(spark):
     wide = wide_view(df, ["temp", "hum"]).orderBy("ts").collect()
     assert wide[0]["temp"] == 20.0 and wide[0]["hum"] == 55.0
     assert wide[1]["temp"] == 21.0 and wide[1]["hum"] == 54.0
+
+
+# ----------------------------------------------------------------------
+# Distributed exact global ranking (ops/ranking): must agree bit-for-
+# bit with the single-partition window it replaces.
+def test_global_row_number_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([1.5, 2.5, 3.5, 4.5])) for i in range(997)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got, n = ranking.global_row_number(df, ["v", "id"], out_col="rn")
+    assert n == 997
+    want = df.withColumn("rn", F.row_number().over(W.orderBy("v", "id")))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    # the distributed plan must not funnel rows into a single-partition
+    # sort: range partitioning spreads the checkpointed intermediate.
+    parts = (
+        df.repartitionByRange(8, F.col("v"), F.col("id"))
+        .rdd.glom()
+        .map(len)
+        .collect()
+    )
+    assert max(parts) < 997  # no single partition holds everything
+
+
+def test_ntile_and_percent_rank_exprs_match_window(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    # 47 rows, 10 buckets: 7 big buckets of 5, 3 small of 4 — the
+    # uneven split is where hand-rolled ntile math usually breaks.
+    df = spark.createDataFrame([(i, float(i % 13)) for i in range(47)], "id long, v double")
+    ranked, n = ranking.global_row_number(df, ["v", "id"], out_col="rn")
+    got = ranked.select(
+        "id",
+        ranking.ntile_expr("rn", n, 10).alias("nt"),
+        F.round(ranking.percent_rank_expr("rn", n), 9).alias("pr"),
+    )
+    w = W.orderBy("v", "id")
+    want = df.select(
+        "id",
+        F.ntile(10).over(w).alias("nt"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+    )
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_global_row_number_edge_cases(spark):
+    from my_weather_spark.ops import ranking
+
+    empty = spark.createDataFrame([], "id long, v double")
+    got, n = ranking.global_row_number(empty, ["v", "id"])
+    assert n == 0 and got.count() == 0
+    one = spark.createDataFrame([(1, 9.0)], "id long, v double")
+    got, n = ranking.global_row_number(one, ["v", "id"])
+    assert n == 1 and got.collect()[0]["rn"] == 1
+    # fewer rows than buckets: ntile degenerates to rank
+    assert (
+        got.select(ranking.ntile_expr("rn", 1, 10).alias("nt")).collect()[0]["nt"] == 1
+    )
