@@ -655,6 +655,7 @@ def simhash_hamming_pairs(
     bits: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Candidate pairs within hamming distance ``max_hamming``.
 
@@ -663,7 +664,13 @@ def simhash_hamming_pairs(
     on at least one band, so a bucket join per band finds all true
     candidates; exact hamming (bit_count of xor) then filters false
     positives. Same candidate-then-verify shape as minhash LSH, with
-    the verify in-plan (no second pass over text).
+    the verify in-plan (no second pass over text) — and with the same
+    hot-bucket guard: identical docs share a simhash, so one
+    ultra-duplicated page is one (band, band_val) bucket emitting B^2
+    pairs. Over ``max_bucket`` members a bucket degrades to
+    hub-and-spoke against its min-id member (linear; hamming still
+    exact on the emitted pairs; connectivity through the bucket
+    preserved for downstream clustering).
     """
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
@@ -682,15 +689,46 @@ def simhash_hamming_pairs(
             )
         ).alias("band", "band_val"),
     )
-    a = bands.select(
+    # one band row per (doc, band): materialize once — the hot-bucket
+    # aggregate and both join sides reuse it (see minhash_lsh_pairs).
+    bands = bands.localCheckpoint(eager=True)
+    hot = (
+        bands.groupBy("band", "band_val")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(id_col, "simhash")).alias("_hub"),
+        )
+        .where(F.col("_n") > max_bucket)
+        .select(
+            "band",
+            "band_val",
+            F.col(f"_hub.{id_col}").alias("_hub_id"),
+            F.col("_hub.simhash").alias("_hub_sim"),
+        )
+    )
+    tagged = bands.join(hot, ["band", "band_val"], "left")
+    small = tagged.where(F.col("_hub_id").isNull())
+    a = small.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"), "band", "band_val"
     )
-    b = bands.select(
+    b = small.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"), "band", "band_val"
     )
-    return (
+    pairs = (
         a.join(b, ["band", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ha", "_hb")
+    )
+    star = tagged.where(
+        F.col("_hub_id").isNotNull() & (F.col(id_col) != F.col("_hub_id"))
+    ).select(
+        F.col("_hub_id").alias("doc_a"),
+        F.col(id_col).alias("doc_b"),
+        F.col("_hub_sim").alias("_ha"),
+        F.col("simhash").alias("_hb"),
+    )
+    return (
+        pairs.unionByName(star)
         .withColumn("hamming", F.bit_count(F.expr("_ha ^ _hb")))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

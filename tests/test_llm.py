@@ -87,6 +87,18 @@ def test_minhash_hot_bucket_degrades_to_star(spark):
     assert {r["component"] for r in comps} == {0}
 
 
+def test_simhash_hot_bucket_degrades_to_star(spark):
+    # Identical docs share a simhash — one hot (band, band_val) bucket.
+    # Over the cap it emits hub spokes (linear), with exact hamming.
+    rows = [(i, "same boilerplate page content repeated everywhere") for i in range(25)]
+    rows += [(100, "an entirely different document body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.simhash_hamming_pairs(df, max_bucket=8).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(0, i) for i in range(1, 25)}
+    assert all(r["hamming"] == 0 for r in capped)
+    assert dedup.simhash_hamming_pairs(df).count() == 25 * 24 // 2
+
+
 def test_srp_hot_bucket_degrades_to_star(spark):
     # Same guard on the SRP verify: over-cap buckets score members
     # against the min-id member only, with exact cosines.
