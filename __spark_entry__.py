@@ -1269,17 +1269,17 @@ def w5_sliding_count(spark, sf_dir):
     )
 
 
-@_q(
-    "running_total",
-    """
+_RUNNING_TOTAL_SQL = """
     SELECT event_id, event_type,
            round(CAST(sum(CAST(round(value * 100) AS BIGINT))
                  OVER (PARTITION BY event_type ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0, 2)
              AS running_value
     FROM events
-    """,
-)
+    """
+
+
+@_q("running_total", _RUNNING_TOTAL_SQL)
 def running_total(spark, sf_dir):
     """Explicit rowsBetween frame: per-series running sum (exact
     integer cents so the prefix sums are order-stable)."""
@@ -1297,6 +1297,32 @@ def running_total(spark, sf_dir):
             / 100.0,
             2,
         ).alias("running_value"),
+    )
+
+
+@_q("running_total_scaled", _RUNNING_TOTAL_SQL)
+def running_total_scaled(spark, sf_dir):
+    """The SAME per-type running total computed the 100 TB way: a
+    per-key ordered window sends each key's entire history to ONE task
+    (5 event types = 5 tasks no matter the cluster), so the scaled
+    twin uses ops/ranking.grouped_prefix_sum — range-partitioned
+    contiguous slices, per-(partition, key) partials cumulated over a
+    tiny table, within-partition Arrow carry. Integer cents make the
+    distributed sum bit-identical to the sequential window, so it
+    shares running_total's oracle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+    )
+    cum = ranking_ops.grouped_prefix_sum(
+        e, ["event_type"], ["ts", "event_id"], "_cents", out_col="_cum"
+    )
+    return cum.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("_cum").cast("long") / 100.0, 2).alias("running_value"),
     )
 
 

@@ -92,6 +92,102 @@ def global_row_number(
     return out, total
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``value_col`` per group in ``order_by`` order —
+    the distributed twin of ``sum(...) OVER (PARTITION BY group ORDER
+    BY order ROWS UNBOUNDED PRECEDING)``.
+
+    A per-key running sum window sends each key's ENTIRE history to one
+    task: with a handful of hot keys (event types, tenant ids) that is
+    a straggler at 100 TB no matter how many executors exist. The
+    distributed shape mirrors global_row_number:
+
+    1. ``repartitionByRange`` on (group, order) — each partition holds
+       a CONTIGUOUS slice, so a group spans adjacent partitions only
+       and the per-(partition, group) partials table has ~n_groups +
+       n_partitions rows TOTAL (not n_groups x n_partitions);
+    2. per-(partition, group) sums, cumulated per group across
+       partitions with an ordinary window over that tiny table;
+    3. within-partition per-group running sums via a carry over each
+       partition's Arrow batches, plus the broadcast offsets.
+
+    Bit-exact for integer/decimal values (addition is associative);
+    for doubles the result can differ from the sequential window in
+    the last ulp (the offset is added as one number, not accumulated
+    row by row) — sum integer cents for money, exactly like the
+    ``running_total`` query does.
+
+    ``order_by`` must totally order rows WITHIN a group for a
+    deterministic result (same as any running-sum window).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in group_by + order_by]
+    parted = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    partials = parted.groupBy("_pid", *group_by).agg(
+        F.sum(value_col).alias("_s")
+    )
+    w_off = (
+        W.partitionBy(*group_by)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "_pid",
+        *group_by,
+        F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_off"),
+    )
+
+    gcols = list(group_by)
+    vtype = df.schema[value_col].dataType
+
+    def _cumsum(batches):
+        carry_key = None
+        carry_val = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            local = pdf.groupby(gcols, sort=False)[value_col].cumsum()
+            if carry_key is not None and len(pdf):
+                first = tuple(pdf.iloc[0][gcols])
+                if first == carry_key:
+                    # contiguous prefix of the batch continues the
+                    # carried group (rows are sorted by group), so the
+                    # prefix length is simply the run of matching rows
+                    mask = (pdf[gcols] == carry_key).all(axis=1)
+                    run = (~mask).to_numpy().argmax() if not mask.all() else len(pdf)
+                    local.iloc[:run] = local.iloc[:run] + carry_val
+            if len(pdf):
+                carry_key = tuple(pdf.iloc[-1][gcols])
+                carry_val = local.iloc[-1]
+            pdf["_local"] = local
+            yield pdf
+
+    schema_out = StructType(
+        list(parted.schema.fields) + [StructField("_local", vtype)]
+    )
+    local = parted.mapInPandas(_cumsum, schema=schema_out)
+    return (
+        local.join(F.broadcast(offsets), ["_pid"] + gcols)
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
 def ntile_expr(rank_col: str, total: int, k: int) -> Column:
     """Exact SQL ``ntile(k)`` from a 1-based total-order rank.
 

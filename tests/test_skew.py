@@ -155,3 +155,50 @@ def test_global_row_number_edge_cases(spark):
     assert (
         got.select(ranking.ntile_expr("rn", 1, 10).alias("nt")).collect()[0]["nt"] == 1
     )
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["a", "b", "c"]), rng.randrange(-50, 50))
+        for i in range(1201)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    # tiny Arrow batches force the per-partition carry across batch
+    # boundaries; few partitions force groups to span partitions.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = ranking.grouped_prefix_sum(
+            df, ["g"], ["id"], "v", out_col="cum", num_partitions=4
+        ).select("id", "g", "v", "cum")
+        w = (
+            W.partitionBy("g")
+            .orderBy("id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        want = df.withColumn("cum", F.sum("v").over(w)).select("id", "g", "v", "cum")
+        assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_grouped_prefix_sum_single_group_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    one = spark.createDataFrame(
+        [(i, "x", 1) for i in range(10)], "id long, g string, v long"
+    )
+    got = ranking.grouped_prefix_sum(one, ["g"], ["id"], "v", num_partitions=3)
+    vals = {r["id"]: r["cum"] for r in got.collect()}
+    assert vals == {i: i + 1 for i in range(10)}
+    empty = spark.createDataFrame([], "id long, g string, v long")
+    assert ranking.grouped_prefix_sum(empty, ["g"], ["id"], "v").count() == 0
