@@ -1248,15 +1248,15 @@ def a4_dt_mode(spark, sf_dir):
     )
 
 
-@_q(
-    "w5_sliding_count",
-    f"""
+_W5_SQL = f"""
     SELECT event_id, event_type,
            count(*) OVER (PARTITION BY event_type ORDER BY {_E} // 1000000
                           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_in_window
     FROM events
-    """,
-)
+    """
+
+
+@_q("w5_sliding_count", _W5_SQL)
 def w5_sliding_count(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     w = (
@@ -1267,6 +1267,25 @@ def w5_sliding_count(spark, sf_dir):
     return e.select(
         "event_id", "event_type", F.count(F.lit(1)).over(w).alias("n_in_window")
     )
+
+
+@_q("w5_sliding_count_scaled", _W5_SQL)
+def w5_sliding_count_scaled(spark, sf_dir):
+    """The SAME sliding-range count the 100 TB way: a range-frame
+    window is a per-key serial scan, so the scaled twin decomposes
+    count[s-600, s] = cum(s) - cum(s-601) over dense 600s-bin prefix
+    sums (ops/ranking.sliding_range_count — grouped_prefix_sum on a
+    tiny (key, bin) table + bucket joins bounded by one bin). Counting
+    is exact, so it shares w5_sliding_count's oracle bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("_sec"),
+    )
+    out = ranking_ops.sliding_range_count(
+        e, ["event_type"], ["event_id"], "_sec", preceding=600
+    )
+    return out.select("event_id", "event_type", "n_in_window")
 
 
 _RUNNING_TOTAL_SQL = """

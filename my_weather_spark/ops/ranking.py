@@ -188,6 +188,105 @@ def grouped_prefix_sum(
     )
 
 
+def sliding_range_count(
+    df: DataFrame,
+    group_by: list[str],
+    id_cols: list[str],
+    sec_col: str,
+    preceding: int,
+    out_col: str = "n_in_window",
+    bin_size: int | None = None,
+) -> DataFrame:
+    """Per-row count of same-group rows within ``[sec - preceding,
+    sec]`` — the distributed twin of ``count(*) OVER (PARTITION BY
+    group ORDER BY sec RANGE BETWEEN preceding PRECEDING AND CURRENT
+    ROW)``.
+
+    The range-frame window is a per-key serial scan (one task per hot
+    key). The distributed decomposition is the textbook one:
+    ``count[s-p, s] = cum(s) - cum(s - p - 1)`` where each ``cum`` is
+    (cumulative count through the end of the PREVIOUS time bin) +
+    (rows inside the boundary bin up to the point). Bin-level
+    cumulative counts come from :func:`grouped_prefix_sum` over a
+    densified (group, bin) table (~time_span / bin_size rows per
+    group — tiny); the within-bin remainders are bucket equi-joins
+    bounded by one bin's rows. Every stage is a hash join or
+    aggregate on (group, bin) — no per-key history ever serializes
+    through one task.
+
+    ``id_cols`` must uniquely identify rows (the remainder counts
+    group by them). ``sec_col`` is integer seconds (or any integer
+    time unit; ``preceding`` in the same unit).
+    """
+    bin_size = bin_size or max(1, preceding)
+    g = list(group_by)
+    _bin = F.floor(F.col(sec_col) / F.lit(float(bin_size))).cast("long")
+    rows = df.select(
+        *g,
+        F.col(sec_col).alias("_s2"),
+        _bin.alias("_b2"),
+    )
+    binned = rows.groupBy(*g, "_b2").agg(F.count(F.lit(1)).alias("_c"))
+    rng = binned.groupBy(*g).agg(
+        F.min("_b2").alias("_lo"), F.max("_b2").alias("_hi")
+    )
+    dense = (
+        rng.select(*g, F.explode(F.sequence("_lo", "_hi")).alias("_b2"))
+        .join(binned, g + ["_b2"], "left")
+        .withColumn("_c", F.coalesce("_c", F.lit(0)))
+    )
+    cum_end = grouped_prefix_sum(dense, g, ["_b2"], "_c", out_col="_cum")
+
+    probes = (
+        df.withColumn("_b", _bin)
+        .withColumn("_t", F.col(sec_col) - F.lit(preceding + 1))
+        .withColumn(
+            "_tb", F.floor(F.col("_t") / F.lit(float(bin_size))).cast("long")
+        )
+    )
+
+    def _base(p: DataFrame, bin_col: str, alias: str) -> DataFrame:
+        ce = cum_end.select(
+            *g, (F.col("_b2") + 1).alias(bin_col), F.col("_cum").alias(alias)
+        )
+        return p.join(ce, g + [bin_col], "left").withColumn(
+            alias, F.coalesce(alias, F.lit(0))
+        )
+
+    def _remainder(p: DataFrame, bin_col: str, upto_col: str, alias: str) -> DataFrame:
+        j = p.join(
+            rows.withColumnRenamed("_b2", bin_col), g + [bin_col], "left"
+        )
+        agg_cols = [F.first(c).alias(c) for c in p.columns if c not in id_cols]
+        return (
+            j.groupBy(*id_cols)
+            .agg(
+                *agg_cols,
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_s2") <= F.col(upto_col), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias(alias),
+            )
+        )
+
+    p = _base(probes, "_b", "_base_s")
+    p = _base(p, "_tb", "_base_t")
+    p = _remainder(p, "_b", sec_col, "_rem_s")
+    p = _remainder(p, "_tb", "_t", "_rem_t")
+    return (
+        p.withColumn(
+            out_col,
+            (
+                (F.col("_base_s") + F.col("_rem_s"))
+                - (F.col("_base_t") + F.col("_rem_t"))
+            ).cast("long"),
+        )
+        .drop("_b", "_t", "_tb", "_base_s", "_base_t", "_rem_s", "_rem_t")
+    )
+
+
 def ntile_expr(rank_col: str, total: int, k: int) -> Column:
     """Exact SQL ``ntile(k)`` from a 1-based total-order rank.
 

@@ -202,3 +202,29 @@ def test_grouped_prefix_sum_single_group_and_empty(spark):
     assert vals == {i: i + 1 for i in range(10)}
     empty = spark.createDataFrame([], "id long, g string, v long")
     assert ranking.grouped_prefix_sum(empty, ["g"], ["id"], "v").count() == 0
+
+
+def test_sliding_range_count_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    rng = random.Random(5)
+    # sparse gaps (empty bins), duplicate seconds, and rows inside the
+    # first window-length of the range all exercised
+    rows = [
+        (i, rng.choice(["a", "b"]), rng.choice([0, 1, 5, 599, 600, 601, 1200, 7000, 7001, rng.randrange(0, 9000)]))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, sec long")
+    got = ranking.sliding_range_count(df, ["g"], ["id"], "sec", 600).select(
+        "id", "g", "sec", "n_in_window"
+    )
+    w = W.partitionBy("g").orderBy("sec").rangeBetween(-600, 0)
+    want = df.withColumn("n_in_window", F.count(F.lit(1)).over(w)).select(
+        "id", "g", "sec", "n_in_window"
+    )
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
