@@ -1197,14 +1197,14 @@ def a1_series_stats(spark, sf_dir):
     )
 
 
-@_q(
-    "w1_lag_delta",
-    f"""
+_W1_SQL = f"""
     SELECT event_type, event_id,
            {_E} - lag({_E}) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta_us
     FROM events
-    """,
-)
+    """
+
+
+@_q("w1_lag_delta", _W1_SQL)
 def w1_lag_delta(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy("ts", "event_id")
@@ -1212,6 +1212,30 @@ def w1_lag_delta(spark, sf_dir):
         "event_type",
         "event_id",
         (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("delta_us"),
+    )
+
+
+@_q("w1_lag_delta_scaled", _W1_SQL)
+def w1_lag_delta_scaled(spark, sf_dir):
+    """The SAME per-series lag the 100 TB way: a per-key lag window
+    serializes each key's history through one task, so the scaled twin
+    uses ops/ranking.grouped_lag — range-partitioned contiguous
+    slices, within-partition Arrow shift with batch carry, and exactly
+    one boundary row per partition handed forward. Shares
+    w1_lag_delta's oracle bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("_us"),
+    )
+    lagged = ranking_ops.grouped_lag(
+        e, ["event_type"], ["ts", "event_id"], ["_us"]
+    )
+    return lagged.select(
+        "event_type",
+        "event_id",
+        (F.col("_us") - F.col("_us_prev")).alias("delta_us"),
     )
 
 

@@ -188,6 +188,111 @@ def grouped_prefix_sum(
     )
 
 
+def grouped_lag(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[str],
+    lag_cols: list[str],
+    suffix: str = "_prev",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``<col><suffix>`` columns: each ``lag_cols`` value from the
+    group's PREVIOUS row in ``order_by`` order (NULL at group starts)
+    — the distributed twin of ``lag(col) OVER (PARTITION BY group
+    ORDER BY order)``.
+
+    A per-key lag window serializes each key's history through one
+    task. Here the data range-partitions on (group, order) — groups
+    are contiguous, so the only rows whose predecessor lives elsewhere
+    are each partition's FIRST rows, and their predecessors are each
+    partition's LAST rows: exactly one row per partition, collected
+    and carried forward driver-side (skipping empty range partitions)
+    and broadcast into a per-partition Arrow shift with batch carry.
+
+    ``order_by`` must be all-ascending (partition boundaries are
+    located with a max-struct) and total within a group for a
+    deterministic result — the same contract as the window it
+    replaces.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    g = list(group_by)
+    cols = [F.col(c) for c in g + list(order_by)]
+    parted = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # struct comparison is lexicographic by field order: group cols
+    # FIRST, then order cols, so the max-struct is the partition's
+    # last row in (group, order) sort order
+    carry_fields = g + list(order_by) + list(lag_cols)
+    last_rows = {
+        r["_pid"]: r["_l"].asDict()
+        for r in parted.groupBy("_pid")
+        .agg(F.max(F.struct(*[F.col(c) for c in carry_fields])).alias("_l"))
+        .collect()
+    }
+    # predecessor of partition p's first row = last row of the nearest
+    # NON-EMPTY earlier partition (range partitions can be empty)
+    boundary = {}
+    prev = None
+    for pid in range(n_part + 1):
+        boundary[pid] = prev
+        if pid in last_rows:
+            prev = last_rows[pid]
+
+    from pyspark.sql.types import StructField, StructType
+
+    schema_out = StructType(
+        list(parted.schema.fields)
+        + [
+            StructField(c + suffix, parted.schema[c].dataType)
+            for c in lag_cols
+        ]
+    )
+    gcols = list(g)
+    lcols = list(lag_cols)
+
+    def _shift(batches):
+        pred = None  # dict of previous row's fields, or None
+        first = True
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                for c in lcols:
+                    pdf[c + suffix] = None
+                yield pdf
+                continue
+            if first:
+                pred = boundary.get(int(pdf["_pid"].iloc[0]))
+                first = False
+            # vectorized within-batch shift, group-change rows nulled
+            same = np.ones(len(pdf), dtype=bool)
+            for c in gcols:
+                v = pdf[c].to_numpy()
+                same[1:] &= v[1:] == v[:-1]
+            for c in lcols:
+                v = pdf[c].to_numpy()
+                out = np.empty(len(pdf), dtype=object)
+                out[1:] = v[:-1]
+                out[~same] = None
+                out[0] = (
+                    pred[c]
+                    if pred is not None
+                    and all(pred[cc] == pdf[cc].iloc[0] for cc in gcols)
+                    else None
+                )
+                pdf[c + suffix] = out
+            pred = {c: pdf[c].iloc[-1] for c in gcols + lcols}
+            yield pdf
+
+    return parted.mapInPandas(_shift, schema=schema_out).drop("_pid")
+
+
 def sliding_range_count(
     df: DataFrame,
     group_by: list[str],
