@@ -293,6 +293,108 @@ def grouped_lag(
     return parted.mapInPandas(_shift, schema=schema_out).drop("_pid")
 
 
+def grouped_lead(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[str],
+    lead_cols: list[str],
+    suffix: str = "_next",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``<col><suffix>`` columns: each ``lead_cols`` value from
+    the group's NEXT row in ``order_by`` order (NULL at group ends) —
+    the mirror of :func:`grouped_lag` for ``lead()`` windows (the
+    end-extension / staircase shape: every per-series ``lead(ts)``).
+
+    Symmetric construction: the rows whose successor lives elsewhere
+    are each partition's LAST rows, and their successors are each
+    partition's FIRST rows — one row per partition, carried backward
+    past empty range partitions. Within a partition the Arrow pass
+    buffers one batch so each batch's last row can take its lead from
+    the NEXT batch's first row.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    g = list(group_by)
+    cols = [F.col(c) for c in g + list(order_by)]
+    parted = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    carry_fields = g + list(order_by) + list(lead_cols)
+    first_rows = {
+        r["_pid"]: r["_f"].asDict()
+        for r in parted.groupBy("_pid")
+        .agg(F.min(F.struct(*[F.col(c) for c in carry_fields])).alias("_f"))
+        .collect()
+    }
+    # successor of partition p's last row = first row of the nearest
+    # NON-EMPTY later partition
+    boundary = {}
+    nxt = None
+    for pid in range(n_part, -1, -1):
+        boundary[pid] = nxt
+        if pid in first_rows:
+            nxt = first_rows[pid]
+
+    from pyspark.sql.types import StructField, StructType
+
+    schema_out = StructType(
+        list(parted.schema.fields)
+        + [
+            StructField(c + suffix, parted.schema[c].dataType)
+            for c in lead_cols
+        ]
+    )
+    gcols = list(g)
+    lcols = list(lead_cols)
+
+    def _shift(batches):
+        def _within(pdf):
+            pdf = pdf.copy()
+            same = np.ones(len(pdf), dtype=bool)
+            for c in gcols:
+                v = pdf[c].to_numpy()
+                same[:-1] &= v[:-1] == v[1:]
+            for c in lcols:
+                v = pdf[c].to_numpy()
+                out = np.empty(len(pdf), dtype=object)
+                out[:-1] = v[1:]
+                out[~same] = None
+                out[-1] = None  # pending: filled from the next batch
+                pdf[c + suffix] = out
+            return pdf
+
+        def _finalize(pdf, succ):
+            if succ is not None and all(
+                succ[c] == pdf[c].iloc[-1] for c in gcols
+            ):
+                for c in lcols:
+                    col = pdf[c + suffix].to_numpy()
+                    col[-1] = succ[c]
+                    pdf[c + suffix] = col
+            return pdf
+
+        pid = None
+        held = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            if held is not None:
+                yield _finalize(held, {c: pdf[c].iloc[0] for c in gcols + lcols})
+            held = _within(pdf)
+        if held is not None:
+            yield _finalize(held, boundary.get(pid))
+
+    return parted.mapInPandas(_shift, schema=schema_out).drop("_pid")
+
+
 def sliding_range_count(
     df: DataFrame,
     group_by: list[str],

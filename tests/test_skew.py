@@ -256,3 +256,31 @@ def test_grouped_lag_matches_window(spark):
         assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_grouped_lead_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    rng = random.Random(17)
+    rows = [
+        (i, rng.choice(["a", "b", "c"]), rng.randrange(0, 10000))
+        for i in range(901)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = ranking.grouped_lead(
+            df, ["g"], ["v", "id"], ["v"], num_partitions=5
+        ).select("id", "g", "v", "v_next")
+        w = W.partitionBy("g").orderBy("v", "id")
+        want = df.withColumn("v_next", F.lead("v").over(w)).select(
+            "id", "g", "v", "v_next"
+        )
+        assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
