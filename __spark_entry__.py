@@ -1474,9 +1474,7 @@ def resample_hourly(spark, sf_dir):
     ).agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
 
 
-@_q(
-    "w2_end_extension",
-    """
+_W2_SQL = """
     WITH hourly AS (
       SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
              round(avg(value), 6) AS value
@@ -1501,8 +1499,10 @@ def resample_hourly(spark, sf_dir):
     UNION ALL
     SELECT l.series_id, (epoch_us(l.ts)//1000000 + m.dt) * 1000000 AS ts_us, l.value
     FROM last_pt l JOIN mode_dt m ON l.series_id = m.series_id
-    """,
-)
+    """
+
+
+@_q("w2_end_extension", _W2_SQL)
 def w2_end_extension(spark, sf_dir):
     """End-of-validity extension (reference repository.py:137-140) on
     the hourly-resampled series, via the engine's end_extension op."""
@@ -1513,6 +1513,58 @@ def w2_end_extension(spark, sf_dir):
     return ts_ops.end_extension(hourly).select(
         "series_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
+
+
+@_q("w2_end_extension_scaled", _W2_SQL)
+def w2_end_extension_scaled(spark, sf_dir):
+    """The SAME end-of-validity extension with ZERO windows: deltas
+    via ops/ranking.grouped_lag (one boundary row per partition), the
+    per-series dt-mode and last point via max_by / max-struct
+    aggregations (partial+final combine, no per-series ordered scan).
+    Shares w2_end_extension's oracle bit-for-bit."""
+    e = _events_series(spark, sf_dir)
+    hourly = ts_ops.resample(e, "1 hour", "avg").withColumn(
+        "value", F.round("value", 6)
+    )
+    h = hourly.select(
+        "series_id", "ts", "value",
+        F.expr("unix_micros(ts) div 1000000").alias("_sec"),
+    )
+    lagged = ranking_ops.grouped_lag(h, ["series_id"], ["ts"], ["_sec"])
+    deltas = lagged.where(F.col("_sec_prev").isNotNull()).select(
+        "series_id", (F.col("_sec") - F.col("_sec_prev")).alias("_dt")
+    )
+    # mode with ties toward the SMALLEST dt: lexicographic max of
+    # (count, -dt) — pure aggregation, no ranking window
+    mode = (
+        deltas.groupBy("series_id", "_dt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("series_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_c"), (-F.col("_dt")).alias("_nd"), F.col("_dt"))
+            ).alias("_m")
+        )
+        .select("series_id", F.col("_m._dt").alias("_dt"))
+    )
+    last = (
+        h.groupBy("series_id")
+        .agg(F.max_by(F.struct("_sec", "value"), "ts").alias("_l"))
+        .select(
+            "series_id",
+            F.col("_l._sec").alias("_sec"),
+            F.col("_l.value").alias("value"),
+        )
+    )
+    synthetic = last.join(mode, "series_id").select(
+        "series_id",
+        ((F.col("_sec") + F.col("_dt")) * 1_000_000).alias("ts_us"),
+        "value",
+    )
+    base = hourly.select(
+        "series_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return base.unionByName(synthetic)
 
 
 @_q(
