@@ -1686,20 +1686,16 @@ def mixed_interpretation_resample(spark, sf_dir):
     )
 
 
-@_q(
-    "asof_join_views",
-    """
+_ASOF_SQL = """
     SELECT c.user_id, epoch_us(c.ts) AS ts_us, c.value AS click_value,
            v.value AS prior_view_value
     FROM (SELECT * FROM events WHERE event_type = 'click') c
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON c.user_id = v.user_id AND c.ts >= v.ts
-    """,
-)
-def asof_join_views(spark, sf_dir):
-    """As-of join (range/as-of row of SURVEY §2): latest 'view' value
-    at-or-before each 'click', per user — via the engine's
-    union+window asof_join (one shuffle, no pandas)."""
+    """
+
+
+def _asof_views(spark, sf_dir, distributed_fill):
     e = load_table(spark, sf_dir, "events")
     clicks = e.where(F.col("event_type") == "click").select(
         F.col("user_id").cast("string").alias("series_id"), "ts", "value"
@@ -1707,13 +1703,36 @@ def asof_join_views(spark, sf_dir):
     views = e.where(F.col("event_type") == "view").select(
         F.col("user_id").cast("string").alias("series_id"), "ts", "value"
     )
-    out = ts_ops.asof_join(clicks, views, right_value_col="prior_view_value")
+    out = ts_ops.asof_join(
+        clicks,
+        views,
+        right_value_col="prior_view_value",
+        distributed_fill=distributed_fill,
+    )
     return out.select(
         F.col("series_id").cast("long").alias("user_id"),
         F.unix_micros("ts").alias("ts_us"),
         F.col("value").alias("click_value"),
         "prior_view_value",
     )
+
+
+@_q("asof_join_views", _ASOF_SQL)
+def asof_join_views(spark, sf_dir):
+    """As-of join (range/as-of row of SURVEY §2): latest 'view' value
+    at-or-before each 'click', per user — via the engine's
+    union+window asof_join (one shuffle, no pandas)."""
+    return _asof_views(spark, sf_dir, distributed_fill=False)
+
+
+@_q("asof_join_views_scaled", _ASOF_SQL)
+def asof_join_views_scaled(spark, sf_dir):
+    """The SAME as-of join the 100 TB way: the union+forward-fill's
+    one per-series window becomes ops/ranking.grouped_last_fill —
+    range-partitioned (series, ts, side) slices, one boundary struct
+    per partition, vectorized Arrow ffill. Fill pairing is exact, so
+    it shares asof_join_views' oracle bit-for-bit."""
+    return _asof_views(spark, sf_dir, distributed_fill=True)
 
 
 @_q(
@@ -2884,9 +2903,7 @@ def p4_scheme_routing(spark, sf_dir):
     )
 
 
-@_q(
-    "resample_time_weighted",
-    """
+_TWA_SQL = """
     WITH pts AS (
       SELECT event_type AS s, epoch_us(ts) AS t, value AS v FROM events),
     seg AS (
@@ -2904,8 +2921,10 @@ def p4_scheme_routing(spark, sf_dir):
            CAST(sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)) AS BIGINT)
              AS covered_us
     FROM bux GROUP BY s, b
-    """,
-)
+    """
+
+
+@_q("resample_time_weighted", _TWA_SQL)
 def resample_time_weighted_q(spark, sf_dir):
     """Time-weighted staircase resample to 6-hour buckets — the exact
     POINT_AVERAGE-interpretation integral, not the point mean."""
@@ -2915,9 +2934,23 @@ def resample_time_weighted_q(spark, sf_dir):
     )
 
 
-@_q(
-    "instant_interpolation",
-    """
+@_q("resample_time_weighted_scaled", _TWA_SQL)
+def resample_time_weighted_scaled(spark, sf_dir):
+    """The SAME time-weighted resample the 100 TB way: its only window
+    is the per-series lead(t), which with few series serializes each
+    series through one task — the scaled twin swaps it for
+    ops/ranking.grouped_lead (range-partitioned contiguous slices, one
+    boundary row per partition carried backward). Segment pairing is
+    exact, the bucket explode + hash-agg downstream are already
+    distributed, so it shares resample_time_weighted's oracle
+    bit-for-bit."""
+    e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
+    return ts_ops.resample_time_weighted(
+        e, bucket_seconds=6 * 3600, exact_value_decimals=2, distributed_lead=True
+    )
+
+
+_INTERP_SQL = """
     WITH pts AS (
       SELECT event_type AS s, epoch_us(ts) AS t, value AS v FROM events),
     bounds AS (
@@ -2945,13 +2978,28 @@ def resample_time_weighted_q(spark, sf_dir):
            round(CASE WHEN pt1 = pt0 THEN pv0
                       ELSE pv0 + (pv1 - pv0) * (t_us - pt0) / (pt1 - pt0) END, 6) AS value
     FROM f WHERE is_grid = 1 AND pt0 IS NOT NULL AND pt1 IS NOT NULL
-    """,
-)
+    """
+
+
+@_q("instant_interpolation", _INTERP_SQL)
 def instant_interpolation(spark, sf_dir):
     """POINT_INSTANT (linear-between-points) resample: series values
     lerped onto the hourly grid via the engine's interpolate_at."""
     e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
     out = ts_ops.interpolate_at(e, grid_dt_seconds=3600)
+    return out.select("series_id", F.unix_micros("ts").alias("t_us"), "value")
+
+
+@_q("instant_interpolation_scaled", _INTERP_SQL)
+def instant_interpolation_scaled(spark, sf_dir):
+    """The SAME linear interpolation the 100 TB way: the two
+    per-series fill windows (bracketing point before/after each grid
+    time) become two ops/ranking.grouped_last_fill passes — the
+    backward fill is the same primitive over the exact reversed sort
+    (t desc, is_grid asc). The lerp arithmetic is unchanged, so it
+    shares instant_interpolation's oracle bit-for-bit."""
+    e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
+    out = ts_ops.interpolate_at(e, grid_dt_seconds=3600, distributed_fill=True)
     return out.select("series_id", F.unix_micros("ts").alias("t_us"), "value")
 
 

@@ -522,3 +522,152 @@ def percent_rank_expr(rank_col: str, total: int) -> Column:
     if total <= 1:
         return F.lit(0.0)
     return (F.col(rank_col) - 1) / F.lit(float(total - 1))
+
+
+def grouped_last_fill(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[str],
+    fill_col: str,
+    out_col: str | None = None,
+    ascending: list[bool] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col``: the last non-NULL ``fill_col`` at-or-before
+    each row in (group, order) order — the distributed twin of
+    ``last(col, ignorenulls=True) OVER (PARTITION BY group ORDER BY
+    order ROWS UNBOUNDED PRECEDING)``, the forward-fill window behind
+    as-of joins and interpolation. ``ascending=[...]`` reverses order
+    columns, giving the mirrored backward fill ("first non-NULL
+    at-or-after" in natural order) without a separate primitive.
+
+    Shape: range-partition on (group, order cols with direction) so
+    each partition is a contiguous slice; one summary Arrow pass emits
+    a single row per partition (trailing group + its last non-NULL
+    value); the driver cumulates those n_partitions rows into a
+    boundary seed per partition; a second Arrow pass does vectorized
+    per-group ffill with batch carry. No per-key history ever
+    serializes through one task.
+
+    Contracts: group cols non-NULL; NULL (not NaN) marks missing in
+    ``fill_col`` (wrap doubles in a struct — as-of/interpolation
+    already fill whole structs so (ts, value) pair from the same row);
+    (group, order) need not be unique, but ties make the fill
+    nondeterministic exactly as they do for the window it replaces.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    g = list(group_by)
+    asc = ascending or [True] * len(order_by)
+    sort_exprs = [F.col(c) for c in g] + [
+        F.col(c).asc() if a else F.col(c).desc()
+        for c, a in zip(order_by, asc)
+    ]
+    out_col = out_col or fill_col + "_ff"
+    parted = (
+        df.repartitionByRange(n_part, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ftype = parted.schema[fill_col].dataType
+    sum_schema = StructType(
+        [StructField("_pid", IntegerType())]
+        + [StructField(c, parted.schema[c].dataType) for c in g]
+        + [StructField("_has", BooleanType()), StructField("_val", ftype)]
+    )
+
+    def _summary(batches):
+        pid = None
+        last_g = None
+        has = False
+        val = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            bg = tuple(pdf[c].iloc[-1] for c in g)
+            if bg != last_g:
+                last_g, has, val = bg, False, None
+            mask = pd.Series(True, index=pdf.index)
+            for c, v in zip(g, bg):
+                mask &= pdf[c] == v
+            nn = pdf.loc[mask, fill_col]
+            nn = nn[nn.notna()]
+            if len(nn):
+                val, has = nn.iloc[-1], True
+        if pid is not None:
+            row = {"_pid": pid, "_has": has, "_val": val}
+            for c, v in zip(g, last_g):
+                row[c] = v
+            yield pd.DataFrame([row], columns=[f.name for f in sum_schema.fields])
+
+    summaries = {
+        r["_pid"]: (tuple(r[c] for c in g), r["_has"], r["_val"])
+        for r in parted.mapInPandas(_summary, schema=sum_schema).collect()
+    }
+    # Row objects for struct fill cols -> plain dicts so the Arrow pass
+    # can emit them back as struct values.
+    def _plain(v):
+        return v.asDict(recursive=True) if hasattr(v, "asDict") else v
+
+    boundary = {}
+    cur_g, cur_v = None, None
+    for pid in range(n_part + 1):
+        boundary[pid] = (cur_g, cur_v)
+        s = summaries.get(pid)
+        if s is not None:
+            sg, has, sv = s
+            if sg != cur_g:
+                cur_g, cur_v = sg, (_plain(sv) if has else None)
+            elif has:
+                cur_v = _plain(sv)
+
+    fill_schema = StructType(
+        list(parted.schema.fields) + [StructField(out_col, ftype)]
+    )
+
+    def _fill(batches):
+        first = True
+        carry_g, carry_v = None, None
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = None
+                yield pdf
+                continue
+            if first:
+                carry_g, carry_v = boundary.get(
+                    int(pdf["_pid"].iloc[0]), (None, None)
+                )
+                first = False
+            filled = pdf.groupby(g, sort=False)[fill_col].ffill()
+            if carry_g is not None and carry_v is not None:
+                # sorted by group, so rows matching the carried group
+                # are the leading run; nulls there predate any value
+                mask = filled.isna()
+                for c, v in zip(g, carry_g):
+                    mask &= pdf[c] == v
+                if mask.any():
+                    filled = filled.astype(object)
+                    filled.loc[mask] = pd.Series(
+                        [carry_v] * int(mask.sum()),
+                        index=filled.index[mask],
+                        dtype=object,
+                    )
+            # pandas ffill leaves leading missing entries as float NaN
+            # even in object columns — normalize to None so Arrow can
+            # rebuild struct values
+            filled = filled.where(filled.notna(), None)
+            pdf[out_col] = filled
+            carry_g = tuple(pdf[c].iloc[-1] for c in g)
+            lv = filled.iloc[-1]
+            carry_v = None if lv is None or (lv != lv) else lv
+            yield pdf
+
+    return parted.mapInPandas(_fill, schema=fill_schema).drop("_pid")

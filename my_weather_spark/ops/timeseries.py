@@ -292,7 +292,10 @@ def _floor_div_us(col, divisor_us: int):
 # This is the semantically-correct AVERAGE-interpretation resample the
 # simple point-mean `resample` approximates (SURVEY.md §7 hard-part 1).
 def resample_time_weighted(
-    df: DataFrame, bucket_seconds: int, exact_value_decimals: int | None = None
+    df: DataFrame,
+    bucket_seconds: int,
+    exact_value_decimals: int | None = None,
+    distributed_lead: bool = False,
 ) -> DataFrame:
     """(series_id, bucket_us, twa_value, covered_us).
 
@@ -306,18 +309,42 @@ def resample_time_weighted(
     sum exact integer units instead of doubles — the v*overlap products
     are large (value x microseconds), so a double sum's rounding error
     is order-dependent; integer sums are reproducible across engines.
+
+    ``distributed_lead``: the only window here is the per-series
+    ``lead(t)`` — with FEW series (the hot-key shape) it serializes
+    each series' history through one task. True swaps it for
+    ops.ranking.grouped_lead (range-partitioned contiguous slices, one
+    boundary row per partition): identical output — lead pairing is
+    exact, not a float reorder — everything downstream is already a
+    distributed explode + hash-agg.
     """
     w_us = int(bucket_seconds) * 1_000_000
-    win = _series_window()
-    segs = (
-        df.select(
-            SERIES,
-            F.unix_micros(F.col(TS)).alias("_t"),
-            F.col(VALUE).alias("_v"),
-        )
-        .withColumn("_tn", F.lead("_t").over(W.partitionBy(SERIES).orderBy("_t")))
-        .where(F.col("_tn").isNotNull() & (F.col("_tn") > F.col("_t")))
+    pts = df.select(
+        SERIES,
+        F.unix_micros(F.col(TS)).alias("_t"),
+        F.col(VALUE).alias("_v"),
     )
+    if distributed_lead:
+        from my_weather_spark.ops.ranking import grouped_lead
+
+        # carry a duplicate of _t so the boundary struct has distinct
+        # field names (order col and lead col must not collide)
+        segs = (
+            grouped_lead(
+                pts.withColumn("_tl", F.col("_t")),
+                [SERIES],
+                ["_t"],
+                ["_tl"],
+                suffix="_n",
+            )
+            .withColumnRenamed("_tl_n", "_tn")
+            .drop("_tl")
+        )
+    else:
+        segs = pts.withColumn(
+            "_tn", F.lead("_t").over(W.partitionBy(SERIES).orderBy("_t"))
+        )
+    segs = segs.where(F.col("_tn").isNotNull() & (F.col("_tn") > F.col("_t")))
     exploded = segs.select(
         SERIES,
         "_t",
@@ -416,7 +443,9 @@ def resample_by_interpretation(
 # the lerp of the bracketing points. Spark-native via the same
 # union-tag + forward/backward struct-fill trick as asof_join: one
 # shuffle on series_id, no pandas.
-def interpolate_at(df: DataFrame, grid_dt_seconds: int) -> DataFrame:
+def interpolate_at(
+    df: DataFrame, grid_dt_seconds: int, distributed_fill: bool = False
+) -> DataFrame:
     """(series_id, ts, value): values lerped onto the grid of multiples
     of ``grid_dt_seconds`` covering each series' span. Grid points
     outside [first, last] of a series are not emitted (no
@@ -464,12 +493,35 @@ def interpolate_at(df: DataFrame, grid_dt_seconds: int) -> DataFrame:
         .orderBy(F.desc("_t_us"), F.asc("_is_grid"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    filled = (
-        merged.withColumn("_prev", F.last("_p", ignorenulls=True).over(w_prev))
-        .withColumn("_next", F.last("_p", ignorenulls=True).over(w_next))
-        .where(F.col("_is_grid") == 1)
-        .where(F.col("_prev").isNotNull() & F.col("_next").isNotNull())
-    )
+    if distributed_fill:
+        # both fills are per-series serial scans; the distributed twin
+        # (ops.ranking.grouped_last_fill) runs each direction as a
+        # range-partitioned Arrow ffill with one boundary struct per
+        # partition — the backward fill is the same primitive over the
+        # exact reversed sort (t desc, is_grid asc)
+        from my_weather_spark.ops.ranking import grouped_last_fill
+
+        filled = grouped_last_fill(
+            merged, [SERIES], ["_t_us", "_is_grid"], "_p", out_col="_prev"
+        )
+        filled = grouped_last_fill(
+            filled,
+            [SERIES],
+            ["_t_us", "_is_grid"],
+            "_p",
+            out_col="_next",
+            ascending=[False, True],
+        )
+        filled = filled.where(F.col("_is_grid") == 1).where(
+            F.col("_prev").isNotNull() & F.col("_next").isNotNull()
+        )
+    else:
+        filled = (
+            merged.withColumn("_prev", F.last("_p", ignorenulls=True).over(w_prev))
+            .withColumn("_next", F.last("_p", ignorenulls=True).over(w_next))
+            .where(F.col("_is_grid") == 1)
+            .where(F.col("_prev").isNotNull() & F.col("_next").isNotNull())
+        )
     t, t0, v0, t1, v1 = (
         F.col("_t_us"),
         F.col("_prev.t"),
@@ -654,6 +706,7 @@ def asof_join(
     right: DataFrame,
     tolerance_seconds: int | None = None,
     right_value_col: str = "right_value",
+    distributed_fill: bool = False,
 ) -> DataFrame:
     # The right row forward-fills as ONE struct so (ts, value) always
     # pair from the SAME row — filling them independently would let a
@@ -671,15 +724,25 @@ def asof_join(
     merged = l.unionByName(r)
     # Right rows sort before left rows at equal ts so "at-or-before"
     # includes the simultaneous right point.
-    w = (
-        W.partitionBy(SERIES)
-        .orderBy(TS, "_is_l")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    out = (
-        merged.withColumn("_r_ff", F.last("_r", ignorenulls=True).over(w))
-        .where(F.col("_is_l") == 1)
-    )
+    if distributed_fill:
+        # the per-series fill window is the one serial scan here; the
+        # distributed twin range-partitions (series, ts) and carries
+        # one boundary struct per partition (ops.ranking)
+        from my_weather_spark.ops.ranking import grouped_last_fill
+
+        out = grouped_last_fill(
+            merged, [SERIES], [TS, "_is_l"], "_r", out_col="_r_ff"
+        ).where(F.col("_is_l") == 1)
+    else:
+        w = (
+            W.partitionBy(SERIES)
+            .orderBy(TS, "_is_l")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        out = (
+            merged.withColumn("_r_ff", F.last("_r", ignorenulls=True).over(w))
+            .where(F.col("_is_l") == 1)
+        )
     rv = F.col("_r_ff.rv")
     if tolerance_seconds is not None:
         in_tol = (

@@ -284,3 +284,135 @@ def test_grouped_lead_matches_window(spark):
         assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_resample_time_weighted_distributed_lead_matches_window(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import timeseries as ts
+
+    rng = random.Random(23)
+    # irregular timestamps (segments spanning 0..several buckets),
+    # duplicate-free per series, two hot series = the shape where the
+    # per-series lead window would serialize
+    rows = []
+    for s in ("a", "b"):
+        t = 0
+        for _ in range(800):
+            t += rng.choice([1, 30, 3600, 90000])
+            rows.append((s, t * 1_000_000, round(rng.uniform(-5, 5), 2)))
+    df = spark.createDataFrame(rows, "series_id string, us long, value double").select(
+        "series_id", F.timestamp_micros("us").alias("ts"), "value"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        base = ts.resample_time_weighted(df, 21600, exact_value_decimals=2)
+        dist = ts.resample_time_weighted(
+            df, 21600, exact_value_decimals=2, distributed_lead=True
+        )
+        assert base.subtract(dist).count() == 0 and dist.subtract(base).count() == 0
+        assert base.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_grouped_last_fill_matches_window_both_directions(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    rng = random.Random(7)
+    # struct fill col (the asof/interpolation shape), ~60% missing,
+    # groups spanning partitions, carries across tiny Arrow batches
+    rows = [
+        (
+            i,
+            rng.choice(["a", "b", "c"]),
+            rng.randrange(0, 10000),
+            None if rng.random() < 0.6 else {"t": i, "x": float(i)},
+        )
+        for i in range(901)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, g string, v long, s struct<t:long,x:double>"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = ranking.grouped_last_fill(
+            df, ["g"], ["v", "id"], "s", out_col="ff", num_partitions=5
+        )
+        w = W.partitionBy("g").orderBy("v", "id").rowsBetween(W.unboundedPreceding, 0)
+        want = df.withColumn("ff", F.last("s", ignorenulls=True).over(w))
+        assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+        got2 = ranking.grouped_last_fill(
+            df, ["g"], ["v", "id"], "s", out_col="ff",
+            ascending=[False, False], num_partitions=5,
+        )
+        w2 = (
+            W.partitionBy("g")
+            .orderBy(F.desc("v"), F.desc("id"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        want2 = df.withColumn("ff", F.last("s", ignorenulls=True).over(w2))
+        assert got2.subtract(want2).count() == 0 and want2.subtract(got2).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_grouped_last_fill_all_null_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    schema = "id long, g string, v long, s struct<t:long,x:double>"
+    allnull = spark.createDataFrame([(i, "z", i, None) for i in range(20)], schema)
+    out = ranking.grouped_last_fill(allnull, ["g"], ["v"], "s", num_partitions=3)
+    assert out.where(F.col("s_ff").isNotNull()).count() == 0
+    assert out.count() == 20
+    empty = spark.createDataFrame([], schema)
+    assert ranking.grouped_last_fill(empty, ["g"], ["v"], "s").count() == 0
+
+
+def test_asof_and_interpolate_distributed_fill_match_window(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import timeseries as ts
+
+    rng = random.Random(41)
+    left_rows, right_rows = [], []
+    for s in ("a", "b"):
+        for i in range(300):
+            left_rows.append((s, rng.randrange(0, 500000) * 1_000_000, float(i)))
+            if rng.random() < 0.7:
+                right_rows.append((s, rng.randrange(0, 500000) * 1_000_000, float(i) / 2))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "series_id string, us long, value double"
+    ).select("series_id", F.timestamp_micros("us").alias("ts"), "value")
+    left, right = mk(left_rows), mk(right_rows)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        base = ts.asof_join(left, right, tolerance_seconds=100000)
+        dist = ts.asof_join(left, right, tolerance_seconds=100000, distributed_fill=True)
+        assert base.subtract(dist).count() == 0 and dist.subtract(base).count() == 0
+
+        pts = mk(
+            [
+                (s, t * 1_000_000, round(rng.uniform(-3, 3), 3))
+                for s in ("a", "b")
+                for t in sorted(rng.sample(range(0, 400000), 400))
+            ]
+        )
+        bi = ts.interpolate_at(pts, grid_dt_seconds=3600)
+        di = ts.interpolate_at(pts, grid_dt_seconds=3600, distributed_fill=True)
+        assert bi.subtract(di).count() == 0 and di.subtract(bi).count() == 0
+        assert bi.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
