@@ -2,12 +2,18 @@
 
 Images/audio/video are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched pandas functions over ``mapInPandas``. The actual
-codec step is STUBBED (image/audio libraries are not available in this
-environment): ``decoder='fake'`` produces a deterministic synthetic
-decode so the Spark-side plumbing — schema, partitioning, UDF
-signature, batch shape — is real and tested; ``decoder='real'`` raises
-NotImplementedError at the exact point a Pillow/ffmpeg call belongs.
+as Arrow-batched pandas functions over ``mapInPandas``. Three decoder
+tiers:
+
+- ``decoder='ppm'`` — a REAL codec, dependency-free: binary PPM (P6) /
+  PGM (P5) parsed and re-encoded with numpy (header parse including
+  comments, pixel decode, nearest-neighbor resize). Proves the decode
+  path end to end on an actual image format.
+- ``decoder='fake'`` — deterministic synthetic decode so batch
+  shape/schema/partitioning are exercised on arbitrary payload bytes.
+- ``decoder='real'`` — the Pillow/libjpeg/ffmpeg call site for
+  compressed formats, which are NOT available in this environment:
+  raises NotImplementedError at the exact line the codec call belongs.
 
 Scale notes (100 TB): payloads stay in executor memory only for the
 duration of one Arrow batch (bounded by
@@ -55,6 +61,109 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# PPM/PGM (netpbm binary) codec — pure numpy, no external library.
+# P6 = RGB (3 channels), P5 = grayscale (1 channel), maxval <= 255.
+
+def encode_ppm(arr) -> bytes:
+    """(h, w) uint8 -> P5 bytes; (h, w, 3) uint8 -> P6 bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic = b"P5"
+        h, w = a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+        h, w = a.shape[:2]
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    return magic + b"\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(b: bytes):
+    """P5/P6 bytes -> uint8 array (h, w) or (h, w, 3). Handles
+    whitespace runs and ``#`` comments in the header per the netpbm
+    spec; raises ValueError on anything else (the caller decides
+    whether a corrupt payload fails the batch or is filtered first).
+    """
+    import numpy as np
+
+    b = bytes(b)
+    if b[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    channels = 3 if b[:2] == b"P6" else 1
+    # header = magic + 3 ints (w, h, maxval) separated by whitespace,
+    # with optional '#...' comments; one whitespace byte ends it
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = fields
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = w * h * channels
+    data = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos)
+    if data.size < n:
+        raise ValueError("truncated pixel data")
+    return data.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def _nearest_resize(a, target_w: int, target_h: int):
+    """Nearest-neighbor resize via numpy index arrays (the pixel-center
+    mapping OpenCV/Pillow-NEAREST use: src = floor((i + 0.5) * s/t))."""
+    import numpy as np
+
+    h, w = a.shape[:2]
+    rows = np.minimum(((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64), w - 1)
+    return a[rows][:, cols]
+
+
+def media_ppm_from_documents(docs: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Media table whose payloads are REAL P6 images: each document's
+    utf-8 bytes tiled to exactly width*height*3 pixel bytes under a
+    valid netpbm header — deterministic, decodable by any PPM reader."""
+    out_len = width * height * 3
+    header = f"P6\n{width} {height}\n255\n".encode()
+    # tile the text to >= out_len CHARS (rpad guards empty text), then
+    # truncate the utf-8 BYTES to exactly out_len — chars <= bytes, so
+    # out_len chars always yield enough bytes (substring slices binary)
+    reps = F.greatest(
+        (F.lit(out_len) / F.greatest(F.length("text"), F.lit(1))).cast("int") + 1,
+        F.lit(1),
+    )
+    body = F.substring(
+        F.encode(F.rpad(F.repeat(F.col("text"), reps), out_len, "x"), "utf-8"),
+        1,
+        out_len,
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.lit(header), body).alias("payload"),
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(3).alias("n_channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+            F.lit("image/x-portable-pixmap").alias("codec"),
+        ).alias("meta"),
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a synthetic media table from the documents table: the
     text bytes stand in for an encoded payload (deterministic)."""
@@ -76,14 +185,17 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 def decode_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode payloads -> per-asset image features via mapInPandas.
 
+    ``ppm``: REAL decode (netpbm P5/P6, pure numpy) — mean intensity
+    over actual pixels, width/height read from the payload header.
     ``fake``: deterministic pseudo-decode (sha1 + byte statistics) so
     batch shape/schema are exercised without a codec library.
     ``real``: the Pillow/libjpeg call site — NotImplementedError here.
     """
-    if decoder not in ("fake", "real"):
+    if decoder not in ("ppm", "fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -93,6 +205,28 @@ def decode_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                     "in this environment; plug the codec call here"
                 )
             payloads = pdf["payload"]
+            if decoder == "ppm":
+                decoded = [decode_ppm(b) for b in payloads]
+                out = pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "byte_len": payloads.map(len).astype("int32"),
+                        "sha1": payloads.map(
+                            lambda b: hashlib.sha1(bytes(b)).hexdigest()
+                        ),
+                        "mean_intensity": [
+                            round(float(np.mean(a)), 6) for a in decoded
+                        ],
+                        "width": np.array(
+                            [a.shape[1] for a in decoded], dtype="int32"
+                        ),
+                        "height": np.array(
+                            [a.shape[0] for a in decoded], dtype="int32"
+                        ),
+                    }
+                )
+                yield out
+                continue
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -153,13 +287,16 @@ def resize_images(
     """Resize pass: payload -> resized payload + updated meta, as an
     Arrow-batched narrow map (mapInPandas, no shuffle).
 
+    ``ppm``: REAL resize — decode netpbm, numpy nearest-neighbor
+    remap, re-encode; the output payload is a valid image at the
+    target size.
     ``fake``: deterministic pseudo-resize — the output payload is the
     input bytes tiled/truncated to exactly ``target_w*target_h`` bytes
     (one byte per output pixel), so output size, schema, and
     determinism are all testable without a codec.
     ``real``: the Pillow resample call site — NotImplementedError.
     """
-    if decoder not in ("fake", "real"):
+    if decoder not in ("ppm", "fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
     out_len = int(target_w) * int(target_h)
 
@@ -172,6 +309,23 @@ def resize_images(
                     "real image resize requires Pillow — not available in "
                     "this environment; plug the resample call here"
                 )
+            if decoder == "ppm":
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "payload": [
+                            encode_ppm(
+                                _nearest_resize(
+                                    decode_ppm(b), int(target_w), int(target_h)
+                                )
+                            )
+                            for b in pdf["payload"]
+                        ],
+                        "width": int(target_w),
+                        "height": int(target_h),
+                    }
+                )
+                continue
 
             def _fake_resize(b):
                 # NULL payloads (never-fetched assets) resize to a zero
