@@ -688,3 +688,65 @@ def test_multimodal_ppm_real_decode_through_spark(spark, sf_dir):
         a = mm.decode_ppm(r["payload"])
         assert a.shape == (6, 8, 3)
         assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+
+
+def test_wav_codec_golden_and_resample():
+    import numpy as np
+    import pytest as _pytest
+
+    from my_weather_spark.llm import multimodal as mm
+
+    # mono round-trip
+    x = (np.sin(np.arange(800) / 10.0) * 20000).astype(np.int16)
+    b = mm.encode_wav(x, 8000)
+    rate, back = mm.decode_wav(b)
+    assert rate == 8000 and back.shape == (800, 1) and (back[:, 0] == x).all()
+    # stereo round-trip (interleaving preserved)
+    st = np.stack([x, -x], axis=1)
+    rate2, back2 = mm.decode_wav(mm.encode_wav(st, 44100))
+    assert rate2 == 44100 and back2.shape == (800, 2) and (back2 == st).all()
+    # extra chunk before data is skipped (chunk-walk, not offset 44)
+    import struct
+
+    extra = b[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + b[12:]
+    rate3, back3 = mm.decode_wav(extra)
+    assert rate3 == 8000 and (back3[:, 0] == x).all()
+    # corrupt/unsupported raise
+    with _pytest.raises(ValueError):
+        mm.decode_wav(b"ID3\x03....")
+    # linear resample: a ramp stays a ramp (exact at matching points),
+    # length scales by the rate ratio
+    ramp = np.arange(0, 1000, dtype=np.int16)[:, None]
+    up = mm.resample_pcm(ramp, 1000, 2000)
+    assert up.shape[0] == 2000 and up[0, 0] == 0 and abs(int(up[-1, 0]) - 999) <= 1
+    assert (np.diff(up[:, 0].astype(int)) >= 0).all()
+    down = mm.resample_pcm(ramp, 1000, 500)
+    assert down.shape[0] == 500 and (np.diff(down[:, 0].astype(int)) >= 0).all()
+
+
+def test_multimodal_wav_real_decode_through_spark(spark, sf_dir):
+    import numpy as np
+
+    from my_weather_spark.llm import multimodal as mm
+    from my_weather_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = mm.media_wav_from_documents(docs, sample_rate=1000)
+    feats = mm.decode_audio_features(media, decoder="wav")
+    rows = feats.collect()
+    assert len(rows) == 30
+    by_id = {r["asset_id"]: r for r in rows}
+    meta = {r["asset_id"]: r for r in media.select("asset_id", "meta").collect()}
+    for aid, r in by_id.items():
+        # container-decoded rate/duration agree with the declared meta
+        assert r["sample_rate"] == 1000 and r["n_channels"] == 1
+        assert r["duration_s"] == meta[aid]["meta"]["duration_s"]
+        assert r["rms"] > 0 and 0 < r["peak"] <= 32767
+    # resample halves the sample count (duration preserved)
+    res = mm.resample_audio(media, target_rate=500, decoder="wav")
+    out = res.limit(5).collect()
+    for r in out:
+        rate, a = mm.decode_wav(r["payload"])
+        assert rate == 500
+        assert abs(a.shape[0] - 500 * r["meta"]["duration_s"]) <= 1
+        assert r["meta"]["sample_rate"] == 500
