@@ -750,3 +750,42 @@ def test_multimodal_wav_real_decode_through_spark(spark, sf_dir):
         assert rate == 500
         assert abs(a.shape[0] - 500 * r["meta"]["duration_s"]) <= 1
         assert r["meta"]["sample_rate"] == 500
+
+
+def test_ppm_video_split_and_extract_through_spark(spark, sf_dir):
+    import numpy as np
+
+    from my_weather_spark.llm import multimodal as mm
+    from my_weather_spark.tables import load_table
+
+    # container golden: two concatenated frames round-trip
+    f0 = np.zeros((2, 3, 3), dtype=np.uint8)
+    f1 = np.full((2, 3, 3), 200, dtype=np.uint8)
+    frames = mm.split_ppm_frames(mm.encode_ppm(f0) + mm.encode_ppm(f1))
+    assert len(frames) == 2 and (frames[0] == f0).all() and (frames[1] == f1).all()
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = mm.media_ppm_video_from_documents(docs, width=8, height=8, fps=2)
+    feats = mm.extract_frame_features(media, every_n_seconds=0.5, decoder="ppmv")
+    rows = feats.collect()
+    assert len(rows) > 0
+    one = media.first()
+    arrs = mm.split_ppm_frames(one["payload"])
+    n_frames = len(arrs)
+    assert abs(one["meta"]["duration_s"] - n_frames / 2) < 1e-9
+    mine = sorted(
+        (r for r in rows if r["asset_id"] == one["asset_id"]),
+        key=lambda r: r["frame_idx"],
+    )
+    # every 0.5 s over duration at 2 fps -> one sampled row per frame
+    assert len(mine) == n_frames
+    for r in mine:
+        src = min(int(r["frame_ts_s"] * 2), n_frames - 1)
+        assert r["mean_intensity"] == round(float(np.mean(arrs[src])), 6)
+        assert r["width"] == 8 and r["height"] == 8
+    # frames genuinely differ (per-frame byte offset)
+    if n_frames > 1:
+        assert any(
+            mine[i]["mean_intensity"] != mine[0]["mean_intensity"]
+            for i in range(1, n_frames)
+        )
