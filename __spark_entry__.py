@@ -2296,6 +2296,51 @@ def mm_payload_stats(spark, sf_dir):
 
 
 @_q(
+    "mm_ppm_image_stats",
+    """
+    WITH hx AS (
+      SELECT doc_id,
+             substr(hex(encode(rpad(repeat(text,
+                 CAST(floor(768.0 / greatest(length(text), 1)) AS INT) + 1), 768, 'x'))),
+                 1, 1536) AS h
+      FROM documents),
+    bytes AS (
+      SELECT doc_id, CAST(concat('0x', substr(h, CAST(i*2+1 AS INT), 2)) AS BIGINT) AS v
+      FROM hx, unnest(range(0, CAST(length(h)/2 AS INT))) AS t(i))
+    SELECT doc_id AS asset_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           round(avg(v), 6) AS mean_intensity
+    FROM bytes GROUP BY doc_id
+    """,
+)
+def mm_ppm_image_stats(spark, sf_dir):
+    """REAL image decode end to end: documents -> valid P6 payloads
+    (JVM-side tiling under a netpbm header) -> the pure-numpy PPM
+    decoder -> per-asset pixel statistics. The oracle replays the
+    identical byte math in SQL (repeat/rpad tiling, utf-8 encode, hex
+    pairs -> byte values, avg), so the codec path — header emit +
+    parse + pixel mean — is hash-verified, not just pytest-proven.
+    DuckDB caveats embedded: floor() before the INT cast (DuckDB CAST
+    rounds, Spark truncates) and '0x'||pair casting (no conv())."""
+    from my_weather_spark.llm.multimodal import (
+        decode_image_features,
+        media_ppm_from_documents,
+    )
+
+    media = media_ppm_from_documents(
+        load_table(spark, sf_dir, "documents"), width=16, height=16
+    )
+    feats = decode_image_features(media, decoder="ppm")
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        # JVM round (HALF_UP) matches DuckDB's; Python round is
+        # banker's and flips .xxxxxx5 ties
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+@_q(
     "mm_frame_sample",
     """
     WITH v AS (
@@ -3382,7 +3427,10 @@ _DRIVER_PRIORITY = [
     "text_hashed_bow", "text_fingerprint", "text_repetition_stats",
     "corpus_stats", "pii_redaction", "decontam_flags",
     "sample_stratified_counts", "split_assign_counts",
-    "training_order_head", "mm_payload_stats",
+    # mm_ppm_image_stats supersedes mm_payload_stats in-window (same
+    # media plumbing plus the real codec, hash-verified); payload_stats
+    # stays declared and rotates back in r5
+    "training_order_head", "mm_ppm_image_stats",
     # (c) stale-green: TPC-H remainder
     "q2_min_cost_supplier", "q5_region_revenue", "q10_returned_revenue",
     "q11_important_stock", "q13_order_count_histogram",

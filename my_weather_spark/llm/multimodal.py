@@ -236,9 +236,10 @@ def decode_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                         "sha1": payloads.map(
                             lambda b: hashlib.sha1(bytes(b)).hexdigest()
                         ),
-                        "mean_intensity": [
-                            round(float(np.mean(a)), 6) for a in decoded
-                        ],
+                        # full precision — Python round() is banker's,
+                        # which disagrees with SQL HALF_UP on ties;
+                        # callers round JVM-side (F.round) if needed
+                        "mean_intensity": [float(np.mean(a)) for a in decoded],
                         "width": np.array(
                             [a.shape[1] for a in decoded], dtype="int32"
                         ),

@@ -680,7 +680,7 @@ def test_multimodal_ppm_real_decode_through_spark(spark, sf_dir):
     # cross-check one asset against a local decode of the same payload
     payload = media.where(F.col("asset_id") == rows[0]["asset_id"]).first()["payload"]
     arr = mm.decode_ppm(payload)
-    assert rows[0]["mean_intensity"] == round(float(np.mean(arr)), 6)
+    assert rows[0]["mean_intensity"] == float(np.mean(arr))
 
     resized = mm.resize_images(media, 8, 6, decoder="ppm")
     out = resized.limit(5).collect()
