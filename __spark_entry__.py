@@ -2341,6 +2341,53 @@ def mm_ppm_image_stats(spark, sf_dir):
 
 
 @_q(
+    "mm_wav_audio_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, text, ((n_chars % 5) + 1) * 1000 AS n
+      FROM documents),
+    hx AS (
+      SELECT doc_id, n,
+             substr(hex(encode(repeat(CASE WHEN length(text)=0 THEN 'x' ELSE text END,
+                 CAST(floor(CAST(n AS DOUBLE) / greatest(length(text), 1)) AS INT) + 1))),
+                 1, CAST(n*2 AS INT)) AS h
+      FROM base),
+    samples AS (
+      SELECT doc_id,
+             (CAST(concat('0x', substr(h, CAST(i*2+1 AS INT), 2)) AS BIGINT) - 128) * 256 AS s
+      FROM hx, unnest(range(0, CAST(length(h)/2 AS INT))) AS t(i))
+    SELECT doc_id AS asset_id, CAST(1000 AS INT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           round(sqrt(avg(CAST(s*s AS DOUBLE))), 6) AS rms,
+           CAST(max(abs(s)) AS INT) AS peak
+    FROM samples GROUP BY doc_id
+    """,
+)
+def mm_wav_audio_stats(spark, sf_dir):
+    """REAL audio decode end to end: documents -> valid RIFF PCM16
+    payloads -> the pure-numpy WAV parser -> per-asset sample
+    statistics, with the oracle replaying the identical sample math in
+    SQL (byte b -> (b-128)*256 int16, RMS over exact integer squares —
+    float64-exact below 2^53, so sqrt is bit-reproducible)."""
+    from my_weather_spark.llm.multimodal import (
+        decode_audio_features,
+        media_wav_from_documents,
+    )
+
+    media = media_wav_from_documents(
+        load_table(spark, sf_dir, "documents"), sample_rate=1000
+    )
+    feats = decode_audio_features(media, decoder="wav")
+    return feats.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )
+
+
+@_q(
     "mm_frame_sample",
     """
     WITH v AS (

@@ -590,16 +590,18 @@ def decode_audio_features(df: DataFrame, decoder: str = "wav") -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 rate, a = decode_wav(payload)
                 x = a.astype(np.float64)
+                # full precision (no Python round — banker's rounding
+                # flips ties vs SQL HALF_UP; callers F.round if needed).
+                # x*x sums are integer-exact in float64 (< 2^53), so
+                # rms is bit-reproducible across engines.
                 rows.append(
                     {
                         "asset_id": aid,
                         "sample_rate": rate,
                         "n_samples": a.shape[0],
                         "n_channels": a.shape[1],
-                        "duration_s": round(a.shape[0] / rate, 6),
-                        "rms": round(float(np.sqrt(np.mean(x * x))), 6)
-                        if a.size
-                        else 0.0,
+                        "duration_s": a.shape[0] / rate,
+                        "rms": float(np.sqrt(np.mean(x * x))) if a.size else 0.0,
                         "peak": int(np.max(np.abs(x))) if a.size else 0,
                     }
                 )
