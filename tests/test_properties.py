@@ -75,3 +75,65 @@ def test_parse_accepts_only_valid_schemes(scheme, rest):
         assert not re.fullmatch(r"[a-zA-Z][\w+.-]*", scheme) or any(
             c in rest for c in "\n\r"
         )
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_netpbm_round_trip_property(w, h, rgb, seed):
+    import numpy as np
+
+    from my_weather_spark.llm.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_ppm(encode_ppm(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@given(
+    st.integers(min_value=0, max_value=400),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([1000, 8000, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_round_trip_property(n, ch, rate, seed):
+    import numpy as np
+
+    from my_weather_spark.llm.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    got_rate, out = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    assert out.shape == (n, ch) and (out == arr).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.sampled_from([(1000, 500), (1000, 2000), (8000, 16000), (44100, 8000)]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_resample_pcm_properties(n, rates, seed):
+    import numpy as np
+
+    from my_weather_spark.llm.multimodal import resample_pcm
+
+    src, dst = rates
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-32768, 32768, size=(n, 1), dtype=np.int16)
+    out = resample_pcm(a, src, dst)
+    # length scales by the rate ratio (rounded, min 1)
+    assert out.shape[0] == max(1, int(round(n * dst / src)))
+    # interpolation never exceeds the input range
+    assert out.min() >= a.min() and out.max() <= a.max()
+    # identity when rates match
+    same = resample_pcm(a, src, src)
+    assert (same == a).all()
