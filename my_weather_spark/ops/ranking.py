@@ -188,6 +188,24 @@ def grouped_prefix_sum(
     )
 
 
+def _check_no_timestamp_carry(df, carry_cols):
+    """Lag/lead columns ride through numpy OBJECT arrays in the Arrow
+    shift, where bare datetime64 values round-trip shifted under the
+    session timezone — refuse them loudly; callers carry
+    ``unix_micros`` and rebuild with ``timestamp_micros`` (exact, the
+    convention every engine twin uses)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    for c in carry_cols:
+        if isinstance(df.schema[c].dataType, (TimestampType, TimestampNTZType)):
+            raise TypeError(
+                f"lag/lead column {c!r} is a timestamp: carry "
+                "unix_micros(col) instead and rebuild with "
+                "timestamp_micros (object-array shifts corrupt "
+                "datetime64 values)"
+            )
+
+
 def grouped_lag(
     df: DataFrame,
     group_by: list[str],
@@ -219,6 +237,7 @@ def grouped_lag(
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     g = list(group_by)
+    _check_no_timestamp_carry(df, lag_cols)
     cols = [F.col(c) for c in g + list(order_by)]
     parted = (
         df.repartitionByRange(n_part, *cols)
@@ -318,6 +337,7 @@ def grouped_lead(
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     g = list(group_by)
+    _check_no_timestamp_carry(df, lead_cols)
     cols = [F.col(c) for c in g + list(order_by)]
     parted = (
         df.repartitionByRange(n_part, *cols)

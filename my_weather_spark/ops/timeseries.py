@@ -125,15 +125,41 @@ def interpretation_expand(
     point_fx: str | None = None,
     *,
     point_fx_col: str | None = None,
+    distributed_lead: bool = False,
 ) -> DataFrame:
     if (point_fx is None) == (point_fx_col is None):
         raise ValueError("give exactly one of point_fx / point_fx_col")
+
+    def _with_next(frame: DataFrame) -> DataFrame:
+        # the one window here is the per-series lead(ts); with few hot
+        # series the distributed twin (ops.ranking.grouped_lead) keeps
+        # the expansion parallel — same contract as resample's flag
+        if distributed_lead:
+            from my_weather_spark.ops.ranking import grouped_lead
+
+            # carry MICROS, not the timestamp itself: the Arrow shift
+            # moves lead values through object arrays, where datetime64
+            # round-trips shift under the session timezone; integers
+            # are exact (same convention as resample's twin)
+            return (
+                grouped_lead(
+                    frame.withColumn("_tl", F.unix_micros(F.col(TS))),
+                    [SERIES],
+                    [TS],
+                    ["_tl"],
+                    suffix="_n",
+                )
+                .withColumn("_next_ts", F.timestamp_micros(F.col("_tl_n")))
+                .drop("_tl", "_tl_n")
+            )
+        return frame.withColumn("_next_ts", F.lead(TS).over(_series_window()))
+
     if point_fx is not None:
         if point_fx == POINT_INSTANT_VALUE:
             return df.select(SERIES, TS, VALUE)
         if point_fx != POINT_AVERAGE_VALUE:
             raise ValueError(f"unknown point interpretation {point_fx!r}")
-        with_next = df.withColumn("_next_ts", F.lead(TS).over(_series_window()))
+        with_next = _with_next(df)
         pairs = with_next.select(
             SERIES,
             F.explode(
@@ -152,7 +178,7 @@ def interpretation_expand(
     # interpretations raise at runtime (CaseWhen evaluates raise_error
     # only on rows that fall through both branches).
     fx = F.col(point_fx_col)
-    with_next = df.withColumn("_next_ts", F.lead(TS).over(_series_window()))
+    with_next = _with_next(df)
 
     def _pt(t):
         return F.struct(t.alias(TS), F.col(VALUE).alias(VALUE))

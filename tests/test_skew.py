@@ -416,3 +416,40 @@ def test_asof_and_interpolate_distributed_fill_match_window(spark):
         assert bi.count() > 0
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_interpretation_expand_distributed_lead_matches_window(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.model import POINT_AVERAGE_VALUE, POINT_INSTANT_VALUE
+    from my_weather_spark.ops import timeseries as ts
+
+    rng = random.Random(61)
+    rows = []
+    for s in ("a", "b", "c"):
+        t = 0
+        for _ in range(400):
+            t += rng.choice([1, 60, 3600])
+            rows.append((s, t * 1_000_000, round(rng.uniform(-2, 2), 3)))
+    df = spark.createDataFrame(rows, "series_id string, us long, value double").select(
+        "series_id", F.timestamp_micros("us").alias("ts"), "value"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        base = ts.interpretation_expand(df, POINT_AVERAGE_VALUE)
+        dist = ts.interpretation_expand(df, POINT_AVERAGE_VALUE, distributed_lead=True)
+        assert base.subtract(dist).count() == 0 and dist.subtract(base).count() == 0
+        # dispatch-by-column arm too
+        tagged = df.withColumn(
+            "fx",
+            F.when(F.col("series_id") == "a", POINT_INSTANT_VALUE).otherwise(
+                POINT_AVERAGE_VALUE
+            ),
+        )
+        b2 = ts.interpretation_expand(tagged, point_fx_col="fx")
+        d2 = ts.interpretation_expand(tagged, point_fx_col="fx", distributed_lead=True)
+        assert b2.subtract(d2).count() == 0 and d2.subtract(b2).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
