@@ -425,6 +425,7 @@ def resample_by_interpretation(
     point_fx_col: str,
     bucket_seconds: int,
     exact_value_decimals: int | None = None,
+    distributed_lead: bool = False,
 ) -> DataFrame:
     """(series_id, point_fx, bucket_us, value, covered_us); covered_us
     is NULL on INSTANT series (a point mean covers no time span).
@@ -453,7 +454,9 @@ def resample_by_interpretation(
     avg_in = checked.where(F.col(point_fx_col) == POINT_AVERAGE_VALUE).select(
         SERIES, TS, VALUE
     )
-    twa = resample_time_weighted(avg_in, bucket_seconds, exact_value_decimals)
+    twa = resample_time_weighted(
+        avg_in, bucket_seconds, exact_value_decimals, distributed_lead=distributed_lead
+    )
     avg_arm = twa.select(
         SERIES,
         F.lit(POINT_AVERAGE_VALUE).alias(point_fx_col),
