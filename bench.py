@@ -12,6 +12,7 @@ not collect serialization.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -53,6 +54,13 @@ def main() -> None:
     # so timed reps measure the steady-state serving path.
     for wfn in qs.values():
         wfn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        # Release this query's py4j plan refs before the next one:
+        # localCheckpoint blocks stay pinned until the Python-side
+        # DataFrame is collected, and the deferred finalizers let
+        # storage/GC pressure accumulate over a 100-query session
+        # (measured 3-4x inflation on late-running queries). The
+        # collect runs OUTSIDE every timed window.
+        gc.collect()
 
     # 3 reps per query: this container shows 2-4x run-to-run timing
     # noise on identical plans (see BASELINE.md). The headline stays
@@ -65,6 +73,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps[name].append(round(time.perf_counter() - t0, 3))
+            gc.collect()  # see warmup note — outside the timed window
 
     timings = {name: min(ts) for name, ts in reps.items()}
     medians = {name: sorted(ts)[len(ts) // 2] for name, ts in reps.items()}

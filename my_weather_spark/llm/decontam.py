@@ -30,8 +30,16 @@ from pyspark.sql import functions as F
 
 def _ngram_hashes(text_col: str, n: int) -> Column:
     """Distinct 60-bit hashes of all word ``n``-grams of a text column,
-    built in-row: split -> sliding slice -> md5 -> long."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    built in-row: split -> sliding slice -> md5 -> long.
+
+    PERF CONTRACT: the word array MUST be bound to a real column before
+    the sliding transform — a lambda that references a derived
+    expression re-evaluates it per element, turning the gram pass
+    quadratic in document length (measured 7x on 54-word docs; a
+    100k-token doc would re-split 100k times). Callers go through
+    :func:`_with_ngram_hashes`, which binds first.
+    """
+    words = F.col(_WORDS_COL)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
         lambda p: F.conv(
@@ -47,13 +55,27 @@ def _ngram_hashes(text_col: str, n: int) -> Column:
     ).otherwise(F.array().cast("array<long>"))
 
 
+_WORDS_COL = "_decontam_words"
+
+
+def _with_ngram_hashes(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
+    """``df`` plus an ``out`` column of distinct hashed n-grams, with
+    the word array materialized as a column first (see _ngram_hashes'
+    perf contract)."""
+    bound = df.withColumn(
+        _WORDS_COL, F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    )
+    return bound.withColumn(out, _ngram_hashes(text_col, n)).drop(_WORDS_COL)
+
+
 def benchmark_ngrams(
     benchmark: DataFrame, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
     """The distinct hashed n-gram set of the benchmark corpus
     (one column ``gram_h``). Small by construction — broadcast it."""
     return (
-        benchmark.select(F.explode(_ngram_hashes(text_col, n)).alias("gram_h"))
+        _with_ngram_hashes(benchmark, text_col, n, "_g")
+        .select(F.explode("_g").alias("gram_h"))
         .distinct()
     )
 
@@ -76,9 +98,7 @@ def contamination_flags(
     bench = F.broadcast(
         benchmark_ngrams(benchmark, n, text_col).withColumn("_hit", F.lit(1))
     )
-    grams = docs.select(
-        F.col(id_col), _ngram_hashes(text_col, n).alias("_g")
-    ).select(
+    grams = _with_ngram_hashes(docs, text_col, n, "_g").select(
         id_col, F.size("_g").alias("n_grams"), F.explode_outer("_g").alias("gram_h")
     )
     return (

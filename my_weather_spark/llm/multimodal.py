@@ -227,25 +227,36 @@ def decode_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                     "in this environment; plug the codec call here"
                 )
             payloads = pdf["payload"]
+            # NULL payloads (never-fetched assets) yield NULL-feature
+            # rows instead of crashing the whole Arrow batch — the same
+            # contract in every tier (see resize_images' fake tier).
             if decoder == "ppm":
-                decoded = [decode_ppm(b) for b in payloads]
+                decoded = [None if b is None else decode_ppm(b) for b in payloads]
                 out = pd.DataFrame(
                     {
                         "asset_id": pdf["asset_id"],
-                        "byte_len": payloads.map(len).astype("int32"),
-                        "sha1": payloads.map(
-                            lambda b: hashlib.sha1(bytes(b)).hexdigest()
-                        ),
+                        "byte_len": [
+                            None if b is None else len(b) for b in payloads
+                        ],
+                        "sha1": [
+                            None
+                            if b is None
+                            else hashlib.sha1(bytes(b)).hexdigest()
+                            for b in payloads
+                        ],
                         # full precision — Python round() is banker's,
                         # which disagrees with SQL HALF_UP on ties;
                         # callers round JVM-side (F.round) if needed
-                        "mean_intensity": [float(np.mean(a)) for a in decoded],
-                        "width": np.array(
-                            [a.shape[1] for a in decoded], dtype="int32"
-                        ),
-                        "height": np.array(
-                            [a.shape[0] for a in decoded], dtype="int32"
-                        ),
+                        "mean_intensity": [
+                            None if a is None else float(np.mean(a))
+                            for a in decoded
+                        ],
+                        "width": [
+                            None if a is None else a.shape[1] for a in decoded
+                        ],
+                        "height": [
+                            None if a is None else a.shape[0] for a in decoded
+                        ],
                     }
                 )
                 yield out
@@ -253,12 +264,18 @@ def decode_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "byte_len": payloads.map(len).astype("int32"),
-                    "sha1": payloads.map(lambda b: hashlib.sha1(bytes(b)).hexdigest()),
+                    "byte_len": [None if b is None else len(b) for b in payloads],
+                    "sha1": [
+                        None if b is None else hashlib.sha1(bytes(b)).hexdigest()
+                        for b in payloads
+                    ],
                     # fake "mean pixel": mean byte value of the payload
-                    "mean_intensity": payloads.map(
-                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
-                    ),
+                    "mean_intensity": [
+                        None
+                        if b is None
+                        else (round(sum(b) / len(b), 6) if len(b) else 0.0)
+                        for b in payloads
+                    ],
                     "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
                     "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
                 }
@@ -333,19 +350,30 @@ def resize_images(
                     "this environment; plug the resample call here"
                 )
             if decoder == "ppm":
+                # NULL payloads stay NULL (a real resize of nothing is
+                # nothing); size fields NULL alongside so consumers can
+                # distinguish "resized to WxH" from "never fetched".
                 yield pd.DataFrame(
                     {
                         "asset_id": pdf["asset_id"],
                         "payload": [
-                            encode_ppm(
+                            None
+                            if b is None
+                            else encode_ppm(
                                 _nearest_resize(
                                     decode_ppm(b), int(target_w), int(target_h)
                                 )
                             )
                             for b in pdf["payload"]
                         ],
-                        "width": int(target_w),
-                        "height": int(target_h),
+                        "width": [
+                            None if b is None else int(target_w)
+                            for b in pdf["payload"]
+                        ],
+                        "height": [
+                            None if b is None else int(target_h)
+                            for b in pdf["payload"]
+                        ],
                     }
                 )
                 continue
@@ -588,6 +616,22 @@ def decode_audio_features(df: DataFrame, decoder: str = "wav") -> DataFrame:
                 )
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    # never-fetched asset: NULL-feature row, not a
+                    # batch-wide TypeError (same contract as the
+                    # image tiers)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "sample_rate": None,
+                            "n_samples": None,
+                            "n_channels": None,
+                            "duration_s": None,
+                            "rms": None,
+                            "peak": None,
+                        }
+                    )
+                    continue
                 rate, a = decode_wav(payload)
                 x = a.astype(np.float64)
                 # full precision (no Python round — banker's rounding
@@ -632,6 +676,10 @@ def resample_audio(
                 )
             payloads = []
             for b in pdf["payload"]:
+                if b is None:
+                    # NULL payload resamples to NULL (see decode tiers)
+                    payloads.append(None)
+                    continue
                 rate, a = decode_wav(b)
                 payloads.append(
                     encode_wav(resample_pcm(a, rate, target_rate), target_rate)
@@ -766,6 +814,22 @@ def extract_frame_features(
             for aid, payload, fps, frames in zip(
                 pdf["asset_id"], pdf["payload"], pdf["_fps"], pdf["_frames"]
             ):
+                if payload is None:
+                    # never-fetched asset: one NULL-feature row per
+                    # sampled frame keeps the manifest contract (one
+                    # row per planned frame) without crashing the batch
+                    for fr in frames:
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "frame_idx": int(fr["frame_idx"]),
+                                "frame_ts_s": float(fr["frame_ts_s"]),
+                                "width": None,
+                                "height": None,
+                                "mean_intensity": None,
+                            }
+                        )
+                    continue
                 arrs = split_ppm_frames(payload)
                 for fr in frames:
                     # sampled timestamp -> source frame at the

@@ -177,9 +177,12 @@ def repetition_stats(
     dup_word_ratio = 1 - distinct/total words; top_bigram_ratio =
     occurrences of the most frequent word bigram / total bigrams.
     Entirely in-row (array HOFs over the word array — one narrow map
-    pass, no explode/shuffle): per doc the bigram count is
-    O(distinct-bigrams x bigrams), fine at document sizes and
-    embarrassingly parallel at corpus scale.
+    pass, no explode/shuffle): the top-bigram count sorts the bigram
+    array once (native JVM sort) and run-length-scans it in ONE
+    ``aggregate`` pass — O(n log n) per doc, so a 100k-token document
+    costs ~2M comparisons, not the ~10^9 of the naive
+    distinct x total counting loop (a straggler-maker at corpus
+    scale).
     """
     # Bind the derived arrays to columns BEFORE the nested HOFs: a
     # lambda that references a derived expression re-evaluates it per
@@ -202,11 +205,27 @@ def repetition_stats(
     )
     n = F.size("_w")
     n_distinct = F.size(F.array_distinct("_w"))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct("_bg"),
-            lambda b: F.size(F.filter("_bg", lambda x: x == b)),
-        )
+    # Max run length over the SORTED bigram array == count of the most
+    # frequent bigram (equal bigrams are adjacent after sorting).
+    # Bigrams are never "" (words are non-empty), so "" is a safe
+    # below-any-run sentinel for prev.
+    is_run = lambda acc, x: x == acc["prev"]  # noqa: E731
+    top_count = F.aggregate(
+        F.array_sort("_bg"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(is_run(acc, x), acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(is_run(acc, x), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return b_df.select(
         id_col,

@@ -189,19 +189,30 @@ def grouped_prefix_sum(
 
 
 def _check_no_timestamp_carry(df, carry_cols):
-    """Lag/lead columns ride through numpy OBJECT arrays in the Arrow
-    shift, where bare datetime64 values round-trip shifted under the
-    session timezone — refuse them loudly; callers carry
-    ``unix_micros`` and rebuild with ``timestamp_micros`` (exact, the
-    convention every engine twin uses)."""
-    from pyspark.sql.types import TimestampNTZType, TimestampType
+    """Lag/lead/fill columns ride through numpy OBJECT arrays in the
+    Arrow shift (and through the driver-collected boundary rows), where
+    bare datetime64 values round-trip shifted under the session
+    timezone — refuse them loudly; callers carry ``unix_micros`` and
+    rebuild with ``timestamp_micros`` (exact, the convention every
+    engine twin uses). Recurses into struct fields: a timestamp INSIDE
+    a carried struct takes the same object-array path and would
+    otherwise bypass the guard (the asof-join fill struct carries
+    ``rts_us`` for exactly this reason)."""
+    from pyspark.sql.types import StructType, TimestampNTZType, TimestampType
+
+    def _contains_timestamp(dt) -> bool:
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            return True
+        if isinstance(dt, StructType):
+            return any(_contains_timestamp(f.dataType) for f in dt.fields)
+        return False
 
     for c in carry_cols:
-        if isinstance(df.schema[c].dataType, (TimestampType, TimestampNTZType)):
+        if _contains_timestamp(df.schema[c].dataType):
             raise TypeError(
-                f"lag/lead column {c!r} is a timestamp: carry "
-                "unix_micros(col) instead and rebuild with "
-                "timestamp_micros (object-array shifts corrupt "
+                f"lag/lead/fill column {c!r} is or contains a "
+                "timestamp: carry unix_micros(col) instead and rebuild "
+                "with timestamp_micros (object-array shifts corrupt "
                 "datetime64 values)"
             )
 
@@ -582,6 +593,7 @@ def grouped_last_fill(
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     g = list(group_by)
+    _check_no_timestamp_carry(df, [fill_col])
     asc = ascending or [True] * len(order_by)
     sort_exprs = [F.col(c) for c in g] + [
         F.col(c).asc() if a else F.col(c).desc()

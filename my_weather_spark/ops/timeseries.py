@@ -741,14 +741,22 @@ def asof_join(
     # pair from the SAME row — filling them independently would let a
     # NULL-valued right point contribute its timestamp while an older
     # point contributes its value, and the tolerance check would then
-    # validate the wrong timestamp.
+    # validate the wrong timestamp. The right ts is carried as
+    # unix_micros, not a timestamp: the distributed fill path moves the
+    # struct through an Arrow object-array boundary carry, and the
+    # engine convention is "carry unix_micros, never timestamps"
+    # (grouped_lag/grouped_lead RAISE on timestamp carry cols; a struct
+    # field would bypass that guard). The tolerance check below already
+    # compares micros, so nothing rebuilds a timestamp.
     l = left.select(
         SERIES, TS, VALUE, F.lit(1).alias("_is_l"),
-        F.lit(None).cast("struct<rts:timestamp,rv:double>").alias("_r"),
+        F.lit(None).cast("struct<rts_us:bigint,rv:double>").alias("_r"),
     )
     r = right.select(
         SERIES, TS, F.lit(None).cast("double").alias(VALUE), F.lit(0).alias("_is_l"),
-        F.struct(F.col(TS).alias("rts"), F.col(VALUE).alias("rv")).alias("_r"),
+        F.struct(
+            F.unix_micros(F.col(TS)).alias("rts_us"), F.col(VALUE).alias("rv")
+        ).alias("_r"),
     )
     merged = l.unionByName(r)
     # Right rows sort before left rows at equal ts so "at-or-before"
@@ -775,7 +783,7 @@ def asof_join(
     rv = F.col("_r_ff.rv")
     if tolerance_seconds is not None:
         in_tol = (
-            F.unix_micros(TS) - F.unix_micros(F.col("_r_ff.rts"))
+            F.unix_micros(TS) - F.col("_r_ff.rts_us")
         ) <= int(tolerance_seconds) * 1_000_000
         rv = F.when(in_tol, rv)
     return out.select(SERIES, TS, VALUE, rv.alias(right_value_col))

@@ -1,0 +1,113 @@
+"""Time selected queries Spark-vs-DuckDB in ONE sitting — the
+per-query ratio tool for performance work (bench.py times everything;
+this times a shortlist with its oracles so the 2x-gate ratio is
+measured apples-to-apples in the same container window).
+
+Usage: python scripts/perf_probe.py q1 q2 ... [--sf DIR] [--reps N]
+       python scripts/perf_probe.py --all        (every oracle-matched query)
+
+Prints per-query: spark best-of-N, oracle best-of-N, ratio.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from my_weather_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = 3
+    names: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--sf":
+            sf_dir = argv[i + 1]
+            i += 2
+        elif a == "--reps":
+            reps = int(argv[i + 1])
+            i += 2
+        elif a == "--all":
+            names = ["--all"]
+            i += 1
+        else:
+            names.append(a)
+            i += 1
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if names == ["--all"]:
+        names = [n for n in qs if n in oracles and n != "near_dup_components"]
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark(
+        app_name="perf_probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    # full warmup pass (JIT/codegen; see bench.py rationale)
+    import gc as _gc
+
+    for n in names:
+        qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _gc.collect()
+        if n in oracles:
+            con.execute(oracles[n]).fetchall()
+
+    import gc
+
+    rows = []
+    for n in names:
+        st = []
+        ot = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            st.append(time.perf_counter() - t0)
+            # Drop the py4j refs of this rep's plan NOW: localCheckpoint
+            # blocks stay pinned until the Python DataFrame is GC'd, and
+            # deferred finalizers let storage/GC pressure build across a
+            # 100-query session (measured 3-4x inflation on late
+            # queries). Steady-state hygiene, not a timing exclusion —
+            # the collect runs outside the timed window of the NEXT rep.
+            gc.collect()
+            if n in oracles:
+                t0 = time.perf_counter()
+                con.execute(oracles[n]).fetchall()
+                ot.append(time.perf_counter() - t0)
+        s, o = min(st), (min(ot) if ot else float("nan"))
+        rows.append((n, s, o))
+        print("%-32s spark %6.2f  oracle %6.2f  ratio %5.2fx"
+              % (n, s, o, s / o if o == o and o > 0 else float("nan")),
+              flush=True)
+
+    ts = sum(r[1] for r in rows)
+    to = sum(r[2] for r in rows if r[2] == r[2])
+    print("\nTOTAL spark %.2f s   oracle %.2f s   ratio %.2fx  (%d queries, best-of-%d, %s)"
+          % (ts, to, ts / to if to else float("nan"), len(rows), reps, sf_dir))
+
+
+if __name__ == "__main__":
+    main()
