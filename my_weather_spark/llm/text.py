@@ -150,13 +150,25 @@ def fingerprint(
     """(id, fingerprint): concat of the k smallest md5(shingle) hex
     values over all rolling ``shingle_len``-char shingles."""
     # Shuffle-free: the rolling-shingle hash set is built in-row with
-    # array HOFs (one narrow map pass; no explode->groupBy). substring
-    # with a column-valued position goes through expr.
-    hashes = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {shingle_len} + 1, 1)), "
-        f"p -> md5(substring({text_col}, p, {shingle_len})))"
+    # array HOFs (one narrow map pass; no explode->groupBy). The text
+    # is split into a BOUND char array first and shingles are sliced
+    # from it: substring(text, p, len) with a column-valued position is
+    # O(p) per call (UTF8String walks from the start to find the char
+    # boundary), which made the rolling pass quadratic in document
+    # length — measured 60x per 10x doc-length step before the change
+    # (scripts/scale_probe_doclen.py); array slice is offset-indexed,
+    # O(shingle_len). Same shingle strings, so the SQL oracle
+    # (char-based substr) is unchanged.
+    b = _fan_out(df).select(
+        F.col(id_col), F.split(F.col(text_col), "").alias("_ch")
     )
-    return _fan_out(df).select(
+    hashes = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("_ch") - (shingle_len - 1), F.lit(1))
+        ),
+        lambda p: F.md5(F.concat_ws("", F.slice("_ch", p, shingle_len))),
+    )
+    return b.select(
         id_col,
         F.array_join(
             F.slice(F.array_sort(F.array_distinct(hashes)), 1, k), ","
