@@ -2341,6 +2341,49 @@ def mm_ppm_image_stats(spark, sf_dir):
 
 
 @_q(
+    "mm_jpeg_image_stats",
+    """
+    WITH v AS (
+      SELECT doc_id, (n_chars * 7 + doc_id * 13) % 256 AS v
+      FROM documents),
+    q AS (
+      SELECT doc_id, v, floor((8.0 * (v - 128)) / 16 + 0.5) AS qdc
+      FROM v)
+    SELECT doc_id AS asset_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(least(255, greatest(0, floor(qdc * 16 / 8.0 + 0.5) + 128))
+                AS DOUBLE) AS mean_intensity
+    FROM q
+    """,
+)
+def mm_jpeg_image_stats(spark, sf_dir):
+    """REAL compressed-codec decode end to end: documents -> uniform
+    grayscale baseline JPEGs (full encoder: FDCT, quantize, canonical
+    Huffman, byte stuffing) -> the pure-numpy baseline JPEG decoder
+    (marker parse, Huffman decode, dequant, IDCT) -> per-asset pixel
+    stats. The oracle replays the uniform-block quantization identity
+    (llm/jpeg.py rounding contract: Q = floor(8(v-128)/q00 + 0.5),
+    pixel = clamp(floor(Q*q00/8 + 0.5) + 128), q00 = 16 at quality
+    50), so the Huffman+IDCT path is hash-verified against analytically
+    known pixel values — not just pytest-proven."""
+    from my_weather_spark.llm.multimodal import (
+        decode_image_features,
+        media_jpeg_from_documents,
+    )
+
+    media = media_jpeg_from_documents(
+        load_table(spark, sf_dir, "documents"), width=16, height=16, quality=50
+    )
+    feats = decode_image_features(media, decoder="jpeg")
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+@_q(
     "mm_wav_audio_stats",
     """
     WITH base AS (
@@ -3474,6 +3517,8 @@ _DRIVER_PRIORITY = [
     # (b) round-5 perf-pass kernels — re-prove post-change
     "text_repetition_stats", "decontam_flags",
     "line_boilerplate_clean", "simhash_hamming_pairs",
+    # (b) new this round: the real-JPEG codec query
+    "mm_jpeg_image_stats",
     # (c) oldest driver row (r2)
     "mm_payload_stats",
     # (d) r3-green rotation: period/projection/guards
@@ -3493,7 +3538,7 @@ _DRIVER_PRIORITY = [
     "pivot_daily_event_values", "cube_events", "rollup_order_priority",
     "f1_camel_to_snake", "f5_monthly_orders", "mm_frame_sample",
     # (d) r3-green rotation: TPC-H canaries (lineitem/orders date math)
-    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+    "q1_pricing_summary", "q3_shipping_priority",
 ]
 
 

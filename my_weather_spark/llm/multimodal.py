@@ -9,11 +9,17 @@ tiers:
   PGM (P5) parsed and re-encoded with numpy (header parse including
   comments, pixel decode, nearest-neighbor resize). Proves the decode
   path end to end on an actual image format.
+- ``decoder='jpeg'`` — a REAL compressed codec, dependency-free:
+  baseline JPEG (SOF0, canonical Huffman, dequant + IDCT, YCbCr)
+  implemented in pure numpy (my_weather_spark.llm.jpeg). Grayscale and
+  4:4:4 color; progressive/subsampled files raise NotImplementedError
+  naming the feature.
 - ``decoder='fake'`` — deterministic synthetic decode so batch
   shape/schema/partitioning are exercised on arbitrary payload bytes.
-- ``decoder='real'`` — the Pillow/libjpeg/ffmpeg call site for
-  compressed formats, which are NOT available in this environment:
-  raises NotImplementedError at the exact line the codec call belongs.
+- ``decoder='real'`` — the Pillow/ffmpeg call site for the remaining
+  compressed formats (mp3/h264), which are NOT available in this
+  environment: raises NotImplementedError at the exact line the codec
+  call belongs.
 
 Scale notes (100 TB): payloads stay in executor memory only for the
 duration of one Arrow batch (bounded by
@@ -186,6 +192,53 @@ def media_ppm_from_documents(docs: DataFrame, width: int = 16, height: int = 16)
     )
 
 
+def media_jpeg_from_documents(
+    docs: DataFrame, width: int = 16, height: int = 16, quality: int = 50
+) -> DataFrame:
+    """Media table whose payloads are REAL baseline JPEGs: one uniform
+    grayscale image per document, gray value (n_chars*7 + doc_id*13)
+    % 256 — deterministic, decodable by any JPEG reader, and (because
+    the image is uniform and quality 50 puts q00 = 16, a multiple
+    of 8) the decoded intensity is exactly floor(Q*16/8 + 0.5) + 128
+    with Q = floor(8*(v-128)/16 + 0.5), clamped — an identity a SQL
+    oracle replays without running Huffman or the IDCT (see
+    my_weather_spark.llm.jpeg's rounding contract)."""
+
+    def _jpegify(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from my_weather_spark.llm.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(
+                    np.full((height, width), int(v), dtype=np.uint8), quality
+                )
+                for v in pdf["_v"]
+            ]
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    base = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        ((F.col("n_chars") * 7 + F.col("doc_id") * 13) % 256).alias("_v"),
+    )
+    enc = base.mapInPandas(_jpegify, schema="asset_id long, payload binary")
+    return enc.select(
+        "asset_id",
+        F.lit("image").alias("media_type"),
+        "payload",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(1).alias("n_channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+            F.lit("image/jpeg").alias("codec"),
+        ).alias("meta"),
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a synthetic media table from the documents table: the
     text bytes stand in for an encoded payload (deterministic)."""
@@ -209,11 +262,13 @@ def decode_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
     ``ppm``: REAL decode (netpbm P5/P6, pure numpy) — mean intensity
     over actual pixels, width/height read from the payload header.
+    ``jpeg``: REAL decode of baseline JPEG (full entropy + IDCT path,
+    my_weather_spark.llm.jpeg) — same feature columns.
     ``fake``: deterministic pseudo-decode (sha1 + byte statistics) so
     batch shape/schema are exercised without a codec library.
     ``real``: the Pillow/libjpeg call site — NotImplementedError here.
     """
-    if decoder not in ("ppm", "fake", "real"):
+    if decoder not in ("ppm", "jpeg", "fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -230,8 +285,12 @@ def decode_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             # NULL payloads (never-fetched assets) yield NULL-feature
             # rows instead of crashing the whole Arrow batch — the same
             # contract in every tier (see resize_images' fake tier).
-            if decoder == "ppm":
-                decoded = [None if b is None else decode_ppm(b) for b in payloads]
+            if decoder in ("ppm", "jpeg"):
+                if decoder == "jpeg":
+                    from my_weather_spark.llm.jpeg import decode_jpeg as _dec
+                else:
+                    _dec = decode_ppm
+                decoded = [None if b is None else _dec(b) for b in payloads]
                 out = pd.DataFrame(
                     {
                         "asset_id": pdf["asset_id"],
@@ -330,13 +389,16 @@ def resize_images(
     ``ppm``: REAL resize — decode netpbm, numpy nearest-neighbor
     remap, re-encode; the output payload is a valid image at the
     target size.
+    ``jpeg``: REAL resize through the baseline JPEG codec — decode,
+    nearest-neighbor remap, re-encode (quality 50); lossy like any
+    real JPEG round trip.
     ``fake``: deterministic pseudo-resize — the output payload is the
     input bytes tiled/truncated to exactly ``target_w*target_h`` bytes
     (one byte per output pixel), so output size, schema, and
     determinism are all testable without a codec.
     ``real``: the Pillow resample call site — NotImplementedError.
     """
-    if decoder not in ("ppm", "fake", "real"):
+    if decoder not in ("ppm", "jpeg", "fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
     out_len = int(target_w) * int(target_h)
 
@@ -349,7 +411,14 @@ def resize_images(
                     "real image resize requires Pillow — not available in "
                     "this environment; plug the resample call here"
                 )
-            if decoder == "ppm":
+            if decoder in ("ppm", "jpeg"):
+                if decoder == "jpeg":
+                    from my_weather_spark.llm.jpeg import (
+                        decode_jpeg as _dec,
+                        encode_jpeg as _enc,
+                    )
+                else:
+                    _dec, _enc = decode_ppm, encode_ppm
                 # NULL payloads stay NULL (a real resize of nothing is
                 # nothing); size fields NULL alongside so consumers can
                 # distinguish "resized to WxH" from "never fetched".
@@ -359,9 +428,9 @@ def resize_images(
                         "payload": [
                             None
                             if b is None
-                            else encode_ppm(
+                            else _enc(
                                 _nearest_resize(
-                                    decode_ppm(b), int(target_w), int(target_h)
+                                    _dec(b), int(target_w), int(target_h)
                                 )
                             )
                             for b in pdf["payload"]

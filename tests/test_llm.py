@@ -789,3 +789,83 @@ def test_ppm_video_split_and_extract_through_spark(spark, sf_dir):
             mine[i]["mean_intensity"] != mine[0]["mean_intensity"]
             for i in range(1, n_frames)
         )
+
+
+def test_jpeg_codec_goldens_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from my_weather_spark.llm import jpeg as J
+
+    # valid JFIF container shape: SOI..EOI, parseable marker walk
+    img = np.full((16, 16), 200, dtype=np.uint8)
+    b = J.encode_jpeg(img, quality=50)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    # gradient content survives a quality-75 round trip exactly
+    # (step-4 ramp lands on representable DCT levels)
+    gx = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))
+    assert (J.decode_jpeg(J.encode_jpeg(gx, quality=75)) == gx).all()
+    # noise round-trip: bounded error, exact shape incl. non-multiple
+    # of 8 dims (edge-replication pad + crop)
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (24, 33), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(noisy, quality=90))
+    assert out.shape == noisy.shape
+    assert np.abs(out.astype(int) - noisy.astype(int)).max() <= 40
+    # color: YCbCr transform both ways, bounded error on smooth input
+    yy, xx = np.mgrid[0:24, 0:40]
+    smooth = np.clip(
+        np.stack(
+            [128 + 90 * np.sin(xx / 9), 128 + 70 * np.cos(yy / 7), xx * 3],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    outc = J.decode_jpeg(J.encode_jpeg(smooth, quality=85))
+    assert outc.shape == smooth.shape
+    assert np.abs(outc.astype(int) - smooth.astype(int)).mean() < 4
+    # honest failure modes name the unsupported feature
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(b"\x00\x00\x00")
+    prog = bytearray(b)
+    prog[prog.index(b"\xff\xc0")+1] = 0xC2  # flip SOF0 -> SOF2
+    with _pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(prog))
+
+
+def test_multimodal_jpeg_real_decode_through_spark(spark, sf_dir):
+    import numpy as np
+
+    from my_weather_spark.llm import jpeg as J
+    from my_weather_spark.llm import multimodal as mm
+    from my_weather_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = mm.media_jpeg_from_documents(docs, width=16, height=16, quality=50)
+    feats = mm.decode_image_features(media, decoder="jpeg")
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["width"] == 16 and r["height"] == 16 for r in rows)
+    # cross-check one asset against a local decode of the same payload
+    one = media.first()
+    arr = J.decode_jpeg(one["payload"])
+    mine = [r for r in rows if r["asset_id"] == one["asset_id"]][0]
+    assert mine["mean_intensity"] == float(np.mean(arr))
+    # NULL payload -> NULL-feature row, batch survives
+    from pyspark.sql import functions as F
+
+    nulled = media.withColumn(
+        "payload",
+        F.when(F.col("asset_id") % 2 == 0, F.col("payload")),
+    )
+    nrows = mm.decode_image_features(nulled, decoder="jpeg").collect()
+    assert len(nrows) == 30
+    assert any(r["mean_intensity"] is None for r in nrows)
+    assert any(r["mean_intensity"] is not None for r in nrows)
+    # resize through the codec: output payloads are valid JPEGs at the
+    # target size
+    resized = mm.resize_images(media, 8, 8, decoder="jpeg")
+    for r in resized.limit(3).collect():
+        a = J.decode_jpeg(r["payload"])
+        assert a.shape == (8, 8)

@@ -137,3 +137,56 @@ def test_resample_pcm_properties(n, rates, seed):
     # identity when rates match
     same = resample_pcm(a, src, src)
     assert (same == a).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.booleans(),
+    st.sampled_from([50, 75, 90]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_round_trip_property(w, h, rgb, quality, seed):
+    """Baseline JPEG is lossy: assert structure (shape/dtype) always,
+    and bounded reconstruction error on SMOOTH content (uniform image
+    + small additive ramp), where DCT quantization error is small by
+    construction. Pure-noise content is exercised in test_llm's
+    codec goldens with a looser bound."""
+    import numpy as np
+
+    from my_weather_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    base = int(rng.integers(30, 226))
+    yy, xx = np.mgrid[0:h, 0:w]
+    plane = np.clip(base + (xx + yy) % 5, 0, 255).astype(np.uint8)
+    arr = np.stack([plane] * 3, axis=2) if rgb else plane
+    out = decode_jpeg(encode_jpeg(arr, quality))
+    assert out.shape == arr.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.max() <= 16, err.max()
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_uniform_identity_property(v, bw, bh):
+    """The SQL-replayable uniform-block identity (llm/jpeg.py rounding
+    contract) holds for every gray value and block-multiple size at
+    quality 50 (q00 = 16): decoded pixel =
+    clamp(floor(Q*16/8 + 0.5) + 128) with Q = floor(8(v-128)/16 + .5).
+    This is the exact math mm_jpeg_image_stats' DuckDB oracle runs."""
+    import numpy as np
+
+    from my_weather_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8 * bh, 8 * bw), v, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=50))
+    q = np.floor(8.0 * (v - 128) / 16 + 0.5)
+    exp = int(np.clip(np.floor(q * 16 / 8 + 0.5) + 128, 0, 255))
+    assert out.shape == img.shape
+    assert (out == exp).all()
