@@ -171,7 +171,18 @@ def _huff_encode_table(bits, vals):
 
 
 def _huff_decode_table(bits, vals):
-    """(length, code) -> symbol map for bit-serial decode."""
+    """(length, code) -> symbol map for bit-serial decode. Memoized on
+    the raw table bytes — real decoders precompute per-table state
+    once, and a stream of small same-table files (the usual corpus
+    shape) would otherwise rebuild four tables per payload."""
+    return _huff_decode_table_cached(bytes(bits), bytes(vals))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _huff_decode_table_cached(bits: bytes, vals: bytes):
     table = {}
     code = 0
     k = 0

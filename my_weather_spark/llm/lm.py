@@ -1,0 +1,133 @@
+"""N-gram language-model perplexity scoring — the CCNet/KenLM-style
+quality signal: score each document by how well a reference corpus's
+bigram model predicts it; far-from-reference documents (boilerplate,
+gibberish, wrong register) score high-perplexity and get filtered or
+bucketed. (Public method: CCNet [Wenzek et al. 2020] scores Common
+Crawl against a Wikipedia KenLM; this is the same shape with an
+add-alpha bigram model instead of modified-Kneser-Ney, which keeps the
+math exactly replayable in a SQL oracle.)
+
+Model: P(w2 | w1) = (c(w1 w2) + alpha) / (c1(w1) + alpha * V), where
+c(w1 w2) = bigram count in the reference, c1(w1) = count of w1 as a
+bigram PREFIX (so the smoothed distribution normalizes over the
+vocabulary), V = reference vocabulary size + 1 (the +1 is the UNK
+mass: unseen prefixes fall back to 1/V). Scores are mean log-prob per
+bigram (natural log) and perplexity exp(-mean).
+
+Scale shape (corpus ~100 TB, reference ~MBs — same asymmetry as
+decontamination): the model tables are reference-derived and SMALL by
+construction — both are broadcast; the corpus side explodes its
+bigrams into the broadcast probe and collapses back with one map-side
+combined aggregation. One narrow corpus pass, no corpus shuffle except
+the per-doc aggregate. V is a driver scalar (one count over the
+reference vocabulary — bounded).
+
+Float determinism: the per-doc sum of log-probs is order-dependent at
+~1e-15 relative; outputs round to 6 decimals (engine convention), far
+above the reorder noise, so Spark and the SQL oracle hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_col(text_col: str):
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram occurrence, words bound to a
+    column before the sliding transform (the quadratic-HOF gotcha, see
+    llm/decontam._ngram_hashes' perf contract)."""
+    b = df.select(F.col(id_col), _word_col(text_col).alias("_w"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda p: F.struct(
+            F.element_at("_w", p).alias("w1"),
+            F.element_at("_w", p + 1).alias("w2"),
+        ),
+    )
+    # sequence(1, k) DESCENDS for k < 1 — docs under 2 words have none
+    return b.select(
+        id_col,
+        F.explode(
+            F.when(F.size("_w") >= 2, pairs).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+
+def train_bigram_counts(
+    ref: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """(prefix_counts (w1, c1), bigram_counts (w1, w2, c12), V) from
+    the reference corpus. c1 counts w1 as bigram prefix so the
+    smoothed conditional normalizes; V = |vocab| + 1 (UNK)."""
+    bg = _doc_bigrams(ref, text_col, id_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    prefixes = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        ref.select(F.explode(_word_col(text_col)).alias("w")).distinct().count()
+    )
+    return prefixes, bigrams, int(vocab) + 1
+
+
+def perplexity_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, avg_logp, ppl) per document.
+
+    avg_logp = mean natural-log bigram probability under the
+    reference add-alpha model (rounded 6); ppl = exp(-avg_logp)
+    (rounded 4). Documents with fewer than 2 words keep NULL scores.
+    Both model tables broadcast; the corpus never shuffles except the
+    per-document aggregate.
+    """
+    prefixes, bigrams, V = train_bigram_counts(ref, text_col, id_col)
+    bg = _doc_bigrams(docs, text_col, id_col)
+    scored = (
+        bg.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(prefixes), "w1", "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * V)
+            ).alias("_lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("avg_logp"),
+    )
+    # left join keeps <2-word docs (no bigram rows) as NULL scores
+    ids = docs.select(id_col)
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        "avg_logp",
+        F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    ref: DataFrame,
+    max_ppl: float,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents whose reference-model perplexity is at most
+    ``max_ppl`` (scoreless short docs are dropped — no evidence either
+    way, and CCNet buckets them separately)."""
+    scores = perplexity_scores(docs, ref, alpha, text_col, id_col)
+    keep = scores.where(F.col("ppl") <= max_ppl).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

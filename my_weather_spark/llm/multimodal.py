@@ -210,14 +210,26 @@ def media_jpeg_from_documents(
 
         from my_weather_spark.llm.jpeg import encode_jpeg
 
-        for pdf in batches:
-            payloads = [
-                encode_jpeg(
-                    np.full((height, width), int(v), dtype=np.uint8), quality
+        # synthesis-side memo: only 256 distinct gray values exist, so
+        # encode each once per task. This caches test-data CONSTRUCTION
+        # only — the decode under test still runs per row.
+        memo: dict[int, bytes] = {}
+
+        def enc(v: int) -> bytes:
+            b = memo.get(v)
+            if b is None:
+                b = memo[v] = encode_jpeg(
+                    np.full((height, width), v, dtype=np.uint8), quality
                 )
-                for v in pdf["_v"]
-            ]
-            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+            return b
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": [enc(int(v)) for v in pdf["_v"]],
+                }
+            )
 
     base = docs.select(
         F.col("doc_id").alias("asset_id"),

@@ -869,3 +869,37 @@ def test_multimodal_jpeg_real_decode_through_spark(spark, sf_dir):
     for r in resized.limit(3).collect():
         a = J.decode_jpeg(r["payload"])
         assert a.shape == (8, 8)
+
+
+def test_lm_perplexity_scores_and_filter(spark):
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.llm import lm
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),          # in-model
+            (2, "zqx glorp wibble frobnicate zzz"), # out-of-model
+            (3, "one"),                             # < 2 words: no score
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in lm.perplexity_scores(docs, ref).collect()}
+    assert rows[1]["n_bigrams"] == 5 and rows[2]["n_bigrams"] == 4
+    # reference-like text must beat gibberish decisively
+    assert rows[1]["avg_logp"] > rows[2]["avg_logp"]
+    assert rows[1]["ppl"] < rows[2]["ppl"]
+    # scoreless short docs keep NULLs and count 0
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["avg_logp"] is None
+    # ppl = exp(-avg_logp) on the rounded column
+    import math
+
+    assert abs(rows[1]["ppl"] - round(math.exp(-rows[1]["avg_logp"]), 4)) < 1e-9
+    # filter keeps the in-model doc, drops gibberish + scoreless
+    kept = [r["doc_id"] for r in
+            lm.perplexity_filter(docs, ref, max_ppl=rows[1]["ppl"] + 1).collect()]
+    assert kept == [1]
