@@ -2757,6 +2757,39 @@ def line_boilerplate_clean(spark, sf_dir):
 
 
 @_q(
+    "dup_span_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(ws[p:p+9], ' ')), 1, 15))::BIGINT AS h
+      FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 9, 0) + 1)) AS p)),
+    f AS (SELECT h, count(*) AS nd FROM g GROUP BY h),
+    per AS (
+      SELECT g.doc_id, count(*) AS n_spans,
+             count(*) FILTER (WHERE f.nd >= 2) AS n_dup_spans
+      FROM g JOIN f USING (h) GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN coalesce(p.n_spans, 0) > 0
+                THEN round(p.n_dup_spans / CAST(p.n_spans AS DOUBLE), 6)
+           END AS dup_span_ratio
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def dup_span_stats(spark, sf_dir):
+    """Exact duplicate-span detection (Lee et al. 2022 style): fraction
+    of each doc's distinct 10-word spans that recur in >= 2 documents —
+    templated passages that document-level near-dup misses. One
+    exchange-reused shuffle on the 60-bit span hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_stats(docs, n=10)
+
+
+@_q(
     "lm_perplexity_scores",
     r"""
     WITH ref AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
@@ -3582,7 +3615,7 @@ _DRIVER_PRIORITY = [
     "heartbeat_series", "json_props_extract", "distinct_users_per_type",
     # (d) r3-green rotation: grouping sets + calendar + scalars + media
     "pivot_daily_event_values", "cube_events", "rollup_order_priority",
-    "f1_camel_to_snake", "lm_perplexity_scores", "mm_frame_sample",
+    "dup_span_stats", "lm_perplexity_scores", "mm_frame_sample",
     # (d) r3-green rotation: TPC-H canaries (lineitem/orders date math)
     "q1_pricing_summary", "q3_shipping_priority",
 ]

@@ -304,6 +304,79 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+# ----------------------------------------------------------------------
+# Exact duplicate-span detection (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): flag exact n-word
+# spans that recur across documents — templated/mirrored passages that
+# document-level near-dup misses when the surrounding text differs.
+def duplicate_span_stats(
+    df: DataFrame,
+    n: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_spans, n_dup_spans, dup_span_ratio) per document.
+
+    A span is an n-word shingle (distinct per doc, 60-bit hashed); it
+    is "duplicated" when it occurs in at least ``min_docs`` distinct
+    documents. dup_span_ratio is the fraction of a doc's distinct
+    spans that are duplicated — the per-doc removal signal (Lee et al.
+    cut the spans; doc-level pipelines threshold the ratio, see
+    :func:`drop_span_duplicates`).
+
+    Scale shape: the (doc, span) frame is built once (in-row gram
+    hashing, one narrow pass) and feeds BOTH the span-frequency
+    aggregate and the probe join on the same 8-byte shuffle key —
+    identical subtrees, so Catalyst reuses one exchange; the span
+    table is corpus-sized, hence a shuffle join (NOT broadcast — this
+    is the canonical distributed exact-substring-dedup shape; the
+    suffix-array formulation is single-node). Hash collisions
+    (~2^-60) can only over-flag, the conservative direction.
+    """
+    from my_weather_spark.llm.decontam import _with_ngram_hashes
+
+    spans = _with_ngram_hashes(_fan_out(df), text_col, n, "_g").select(
+        id_col, F.explode_outer("_g").alias("span_h")
+    )
+    freq = spans.where(F.col("span_h").isNotNull()).groupBy("span_h").agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    flagged = spans.join(freq, "span_h", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count("span_h").cast("long").alias("n_spans"),
+        F.count(F.when(F.col("_nd") >= min_docs, F.lit(1)))
+        .cast("long")
+        .alias("n_dup_spans"),
+    ).select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        F.when(
+            F.col("n_spans") > 0,
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        ).alias("dup_span_ratio"),
+    )
+
+
+def drop_span_duplicates(
+    df: DataFrame,
+    n: int = 20,
+    max_dup_ratio: float = 0.5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents whose duplicated-span fraction stays under
+    ``max_dup_ratio`` (docs with no spans are kept — no evidence)."""
+    stats = duplicate_span_stats(df, n, min_docs, text_col, id_col)
+    keep = stats.where(
+        F.col("dup_span_ratio").isNull()
+        | (F.col("dup_span_ratio") <= max_dup_ratio)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def jaccard_for_candidates(
     df: DataFrame,
     candidates: DataFrame,

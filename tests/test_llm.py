@@ -903,3 +903,36 @@ def test_lm_perplexity_scores_and_filter(spark):
     kept = [r["doc_id"] for r in
             lm.perplexity_filter(docs, ref, max_ppl=rows[1]["ppl"] + 1).collect()]
     assert kept == [1]
+
+
+def test_duplicate_span_stats_and_drop(spark):
+    from my_weather_spark.llm import dedup
+
+    shared = "alpha beta gamma delta epsilon"  # 5-word span shared verbatim
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail words here"),
+            (2, shared + " other trailing content entirely"),
+            (3, "completely different text with no repeats at all"),
+            (4, "tiny"),  # under n words: no spans
+        ],
+        ["doc_id", "text"],
+    )
+    stats = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_span_stats(docs, n=5).collect()
+    }
+    # docs 1 and 2 share exactly the one leading 5-word span
+    assert stats[1]["n_dup_spans"] == 1 and stats[2]["n_dup_spans"] == 1
+    assert stats[3]["n_dup_spans"] == 0 and stats[3]["dup_span_ratio"] == 0.0
+    assert stats[4]["n_spans"] == 0 and stats[4]["dup_span_ratio"] is None
+    # doc 1 has 6 distinct 5-word spans (10 words), ratio 1/6
+    assert stats[1]["n_spans"] == 6
+    assert abs(stats[1]["dup_span_ratio"] - round(1 / 6, 6)) < 1e-9
+    # threshold drop: cutting at 0.1 removes the two span-sharers,
+    # keeps the clean doc and the spanless doc
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.drop_span_duplicates(docs, n=5, max_dup_ratio=0.1).collect()
+    )
+    assert kept == [3, 4]
