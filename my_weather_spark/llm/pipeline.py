@@ -4,7 +4,9 @@ The standard large-corpus preparation flow, assembled from the engine's
 operators exactly the way a 100 TB run would chain them:
 
     [line-level boilerplate removal (optional)]
-        -> quality filter -> exact dedup -> MinHash-LSH candidates
+        -> quality filter -> exact dedup
+        -> [exact duplicate-span drop (optional)]
+        -> MinHash-LSH candidates
         -> Jaccard verify -> drop near-dups (keep smallest id)
         -> attach analysis columns (tokens, language, fingerprint)
 
@@ -24,7 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from my_weather_spark.llm import decontam, dedup, packing, sampling, text as text_ops
+from my_weather_spark.llm import decontam, dedup, lm, packing, sampling, text as text_ops
 
 
 @dataclass
@@ -34,6 +36,8 @@ class CleanReport:
     n_after_exact: int
     n_after_near: int
     n_near_dup_pairs: int
+    # None when the optional span-dedup stage is off
+    n_after_span: int | None = None
 
 
 def clean_corpus(
@@ -44,6 +48,8 @@ def clean_corpus(
     num_hashes: int = 16,
     band_size: int = 4,
     line_dedup_min_df: int | None = None,
+    span_dedup_max_ratio: float | None = None,
+    span_dedup_n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, CleanReport]:
@@ -85,6 +91,18 @@ def clean_corpus(
     exact = dedup.drop_exact_duplicates(q, text_col, id_col).localCheckpoint()
     n_exact = exact.count()
 
+    # 2b. optional exact duplicate-span drop (Lee et al. style): runs
+    # AFTER exact dedup (identical docs would trivially duplicate
+    # every span) and BEFORE LSH (shrinks the expensive stage's input;
+    # heavy span-sharers are usually the near-dups anyway)
+    n_span = None
+    if span_dedup_max_ratio is not None:
+        exact = dedup.drop_span_duplicates(
+            exact, n=span_dedup_n, max_dup_ratio=span_dedup_max_ratio,
+            text_col=text_col, id_col=id_col,
+        ).localCheckpoint()
+        n_span = exact.count()
+
     # 3. LSH candidates -> exact Jaccard scored ON THE CANDIDATES ONLY
     # (never the quadratic word-level self-join over the full corpus)
     cand = dedup.minhash_lsh_pairs(
@@ -120,7 +138,7 @@ def clean_corpus(
         .join(lang, id_col)
         .join(fp, id_col)
     )
-    return out, CleanReport(n_input, n_quality, n_exact, n_near, n_pairs)
+    return out, CleanReport(n_input, n_quality, n_exact, n_near, n_pairs, n_span)
 
 
 @dataclass
@@ -132,6 +150,8 @@ class CurateReport:
     n_val: int
     n_test: int
     n_chunks: int
+    # None when the optional LM-perplexity stage is off
+    n_after_ppl: int | None = None
 
 
 def curate_corpus(
@@ -142,6 +162,9 @@ def curate_corpus(
     split_weights: tuple[float, ...] = (0.98, 0.01, 0.01),
     chunk_capacity: int = 2048,
     decontam_ngram: int = 5,
+    quality_ref: DataFrame | None = None,
+    max_ppl: float | None = None,
+    ppl_alpha: float = 0.5,
     strata_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -152,6 +175,7 @@ def curate_corpus(
 
         clean_corpus (quality -> exact dedup -> LSH near-dup)
           -> benchmark decontamination (broadcast n-gram anti-join)
+          -> [LM-perplexity quality gate vs quality_ref (optional)]
           -> data mixing (per-source deterministic hash rates)
           -> train/val/test split assignment (hash buckets)
           -> sequence packing of the train split (concat-and-chunk)
@@ -181,6 +205,21 @@ def curate_corpus(
             clean, benchmark, n=decontam_ngram, text_col=text_col, id_col=id_col
         ).localCheckpoint()
     n_decontam = clean.count()
+
+    # optional CCNet-style LM quality gate: score against the quality
+    # reference's bigram model AFTER dedup/decontam (scores the text
+    # that will actually train) and BEFORE mixing (so rates apply to
+    # the quality-passing pool). quality_ref is a curated reference
+    # corpus (e.g. wiki-like), NOT the eval benchmark.
+    n_ppl = None
+    if max_ppl is not None:
+        if quality_ref is None:
+            raise ValueError("max_ppl requires quality_ref")
+        clean = lm.perplexity_filter(
+            clean, quality_ref, max_ppl=max_ppl, alpha=ppl_alpha,
+            text_col=text_col, id_col=id_col,
+        ).localCheckpoint()
+        n_ppl = clean.count()
 
     if mixing_rates:
         clean = sampling.stratified_sample(
@@ -220,5 +259,6 @@ def curate_corpus(
         n_val=split_counts.get("val", 0),
         n_test=split_counts.get("test", 0),
         n_chunks=int(n_chunks),
+        n_after_ppl=n_ppl,
     )
     return out, report

@@ -342,3 +342,57 @@ def test_clean_corpus_line_dedup_stage(spark):
     assert set(got) == {1, 2, 3}          # 4 fails quality once stripped
     assert rep.n_after_quality == 3
     assert all(banner not in r["text"] for r in got.values())
+
+
+def test_clean_corpus_span_dedup_stage(spark):
+    from my_weather_spark.llm.pipeline import clean_corpus
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # two docs sharing the 10-word template span verbatim but with
+        # different tails: exact dedup keeps both, span stage drops both
+        (0, shared + " unique tail one with extra words", "web"),
+        (1, shared + " other ending entirely different here", "web"),
+        (2, "a clean document with its own ten distinct words inside", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out_plain, rep_plain = clean_corpus(docs, min_words=5, jaccard_threshold=0.99)
+    assert rep_plain.n_after_span is None
+    assert {r["doc_id"] for r in out_plain.collect()} == {0, 1, 2}
+    # docs 0/1 have 16/15 words -> 7/6 distinct 10-word spans, exactly
+    # one of which (the leading template) is shared: ratios 1/7 and
+    # 1/6, so a 0.1 cut drops both and keeps the clean doc (ratio 0)
+    out, rep = clean_corpus(
+        docs, min_words=5, jaccard_threshold=0.99,
+        span_dedup_max_ratio=0.1, span_dedup_n=10,
+    )
+    assert rep.n_after_span == 1
+    assert {r["doc_id"] for r in out.collect()} == {2}
+
+
+def test_curate_corpus_perplexity_stage(spark):
+    from my_weather_spark.llm.pipeline import curate_corpus
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog sat on the rug today") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = [
+        (0, "the cat sat on the mat and the dog ran home", "web"),
+        (1, "zq glorp wibble frobnicate snork blarg quux zomp trill vex", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # threshold between the in-model doc's ppl and the gibberish doc's
+    from my_weather_spark.llm import lm
+
+    ppls = {r["doc_id"]: r["ppl"] for r in lm.perplexity_scores(docs, ref).collect()}
+    assert ppls[0] < ppls[1]
+    cut = (ppls[0] + ppls[1]) / 2
+    out, rep = curate_corpus(
+        docs, quality_ref=ref, max_ppl=cut,
+        split_weights=(1.0,), min_words=5,
+    )
+    assert rep.n_after_ppl == 1
+    assert {r["doc_id"] for r in out.collect()} == {0}
+    with pytest.raises(ValueError):
+        curate_corpus(docs, max_ppl=10.0, split_weights=(1.0,), min_words=5)
