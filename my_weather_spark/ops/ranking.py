@@ -703,3 +703,242 @@ def grouped_last_fill(
             yield pdf
 
     return parted.mapInPandas(_fill, schema=fill_schema).drop("_pid")
+
+
+def grouped_bidi_fill(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[str],
+    fill_col: str,
+    fwd_col: str,
+    bwd_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + BOTH fills from ONE range partitioning: ``fwd_col`` = last
+    non-NULL ``fill_col`` at-or-before each row in (group, order)
+    order, ``bwd_col`` = first non-NULL at-or-after (the exact
+    mirror — ties resolve in reverse natural order). Two
+    :func:`grouped_last_fill` calls shuffle and materialize the corpus
+    twice (the reverse-direction call re-range-partitions the already
+    filled frame); this computes both directions over one partitioned
+    sort — at scale that is one corpus shuffle instead of two.
+
+    NOTE the tie contract: a window `last(...) OVER (ORDER BY t DESC,
+    tie ASC)` sees same-t rows in a DIFFERENT order than this mirror
+    does. Callers whose tie semantics matter (interpolation's
+    grid-on-data-point rule) must reconcile at the call site —
+    interpolate_at patches the single divergent case (see its
+    distributed path).
+
+    Streaming: forward fill carries one value per batch; the backward
+    fill holds back only rows whose next value hasn't arrived yet (the
+    current null-run — for grid interpolation that is the gap between
+    two data points, never the partition). Rows may be emitted out of
+    batch order; row order of the result is unspecified, like any
+    shuffle output.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    g = list(group_by)
+    _check_no_timestamp_carry(df, [fill_col])
+    sort_exprs = [F.col(c) for c in g + list(order_by)]
+    parted = (
+        df.repartitionByRange(n_part, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ftype = parted.schema[fill_col].dataType
+    sum_schema = StructType(
+        [StructField("_pid", IntegerType())]
+        # trailing group + its last non-null (forward boundary seed)
+        + [StructField("_t" + c, parted.schema[c].dataType) for c in g]
+        + [StructField("_thas", BooleanType()), StructField("_tval", ftype)]
+        # leading group + its first non-null (backward boundary seed)
+        + [StructField("_l" + c, parted.schema[c].dataType) for c in g]
+        + [StructField("_lhas", BooleanType()), StructField("_lval", ftype)]
+    )
+
+    def _summary(batches):
+        import pandas as pd
+
+        pid = None
+        lead_g, lead_has, lead_val, lead_open = None, False, None, True
+        trail_g, trail_has, trail_val = None, False, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+                lead_g = tuple(pdf[c].iloc[0] for c in g)
+            # leading group's FIRST non-null: only while the leading
+            # group run is still open and unresolved
+            if lead_open and not lead_has:
+                mask = pd.Series(True, index=pdf.index)
+                for c, v in zip(g, lead_g):
+                    mask &= pdf[c] == v
+                if not mask.all():
+                    lead_open = False
+                nn = pdf.loc[mask, fill_col]
+                nn = nn[nn.notna()]
+                if len(nn):
+                    lead_has, lead_val = True, nn.iloc[0]
+            # trailing group's LAST non-null (same logic as
+            # grouped_last_fill's summary)
+            bg = tuple(pdf[c].iloc[-1] for c in g)
+            if bg != trail_g:
+                trail_g, trail_has, trail_val = bg, False, None
+            mask = pd.Series(True, index=pdf.index)
+            for c, v in zip(g, bg):
+                mask &= pdf[c] == v
+            nn = pdf.loc[mask, fill_col]
+            nn = nn[nn.notna()]
+            if len(nn):
+                trail_val, trail_has = nn.iloc[-1], True
+        if pid is not None:
+            row = {"_pid": pid, "_thas": trail_has, "_tval": trail_val,
+                   "_lhas": lead_has, "_lval": lead_val}
+            for c, v in zip(g, trail_g):
+                row["_t" + c] = v
+            for c, v in zip(g, lead_g):
+                row["_l" + c] = v
+            yield pd.DataFrame([row], columns=[f.name for f in sum_schema.fields])
+
+    rows = parted.mapInPandas(_summary, schema=sum_schema).collect()
+    summaries = {
+        r["_pid"]: (
+            tuple(r["_t" + c] for c in g), r["_thas"], r["_tval"],
+            tuple(r["_l" + c] for c in g), r["_lhas"], r["_lval"],
+        )
+        for r in rows
+    }
+
+    def _plain(v):
+        return v.asDict(recursive=True) if hasattr(v, "asDict") else v
+
+    fwd_boundary = {}
+    cur_g, cur_v = None, None
+    for pid in range(n_part + 1):
+        fwd_boundary[pid] = (cur_g, cur_v)
+        s = summaries.get(pid)
+        if s is not None:
+            tg, thas, tval = s[0], s[1], s[2]
+            if tg != cur_g:
+                cur_g, cur_v = tg, (_plain(tval) if thas else None)
+            elif thas:
+                cur_v = _plain(tval)
+    bwd_boundary = {}
+    cur_g, cur_v = None, None
+    for pid in range(n_part - 1, -2, -1):
+        bwd_boundary[pid] = (cur_g, cur_v)
+        s = summaries.get(pid)
+        if s is not None:
+            lg, lhas, lval = s[3], s[4], s[5]
+            if lg != cur_g:
+                cur_g, cur_v = lg, (_plain(lval) if lhas else None)
+            elif lhas:
+                # this partition's first non-null PRECEDES anything in
+                # later partitions — it wins for earlier rows
+                cur_v = _plain(lval)
+
+    fill_schema = StructType(
+        list(parted.schema.fields)
+        + [StructField(fwd_col, ftype), StructField(bwd_col, ftype)]
+    )
+
+    def _fill(batches):
+        import pandas as pd
+
+        first = True
+        carry_g, carry_v = None, None  # forward carry
+        pid = None
+        pending = None  # rows awaiting a backward value (one group)
+        pending_g = None
+
+        def resolve(pend, value):
+            pend = pend.copy()
+            col = pend[bwd_col].astype(object)
+            col.loc[:] = pd.Series([value] * len(pend), index=pend.index,
+                                   dtype=object)
+            pend[bwd_col] = col
+            return pend
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            if first:
+                pid = int(pdf["_pid"].iloc[0])
+                carry_g, carry_v = fwd_boundary.get(pid, (None, None))
+                first = False
+            # ---- forward fill (same as grouped_last_fill) ----
+            filled = pdf.groupby(g, sort=False)[fill_col].ffill()
+            if carry_g is not None and carry_v is not None:
+                mask = filled.isna()
+                for c, v in zip(g, carry_g):
+                    mask &= pdf[c] == v
+                if mask.any():
+                    filled = filled.astype(object)
+                    filled.loc[mask] = pd.Series(
+                        [carry_v] * int(mask.sum()),
+                        index=filled.index[mask], dtype=object,
+                    )
+            filled = filled.where(filled.notna(), None)
+            pdf[fwd_col] = filled
+            carry_g = tuple(pdf[c].iloc[-1] for c in g)
+            lv = filled.iloc[-1]
+            carry_v = None if lv is None or (lv != lv) else lv
+            # ---- backward fill within batch ----
+            bwd = pdf.groupby(g, sort=False)[fill_col].bfill()
+            bwd = bwd.where(bwd.notna(), None)
+            pdf[bwd_col] = bwd
+            # resolve pending rows against this batch
+            if pending is not None:
+                bmask = pd.Series(True, index=pdf.index)
+                for c, v in zip(g, pending_g):
+                    bmask &= pdf[c] == v
+                grows = pdf.loc[bmask, fill_col]
+                nn = grows[grows.notna()]
+                if len(nn):
+                    yield resolve(pending, _plain(nn.iloc[0]))
+                    pending, pending_g = None, None
+                elif not bmask.all():
+                    # the pending group ended inside the partition with
+                    # no later value — backward fill is NULL
+                    yield resolve(pending, None)
+                    pending, pending_g = None, None
+                # else: group spans this whole batch with no value —
+                # keep pending (null-run continues)
+            # rows whose backward value is still unknown: the trailing
+            # null-run of the batch's last group
+            unres = pdf[bwd_col].isna() if pdf[bwd_col].isna().any() else None
+            if unres is not None:
+                last_g = tuple(pdf[c].iloc[-1] for c in g)
+                tmask = pd.Series(True, index=pdf.index)
+                for c, v in zip(g, last_g):
+                    tmask &= pdf[c] == v
+                hold = pdf[bwd_col].isna() & tmask
+                # null bwd rows of EARLIER groups within this batch are
+                # final NULLs (their group ended in-batch)
+                emit = pdf.loc[~hold]
+                if len(emit):
+                    yield emit
+                held = pdf.loc[hold]
+                if len(held):
+                    if pending is None:
+                        pending, pending_g = held, last_g
+                    else:
+                        pending = pd.concat([pending, held])
+                continue
+            yield pdf
+        # partition end: pending rows resolve from the next partitions'
+        # boundary seed
+        if pending is not None:
+            bg_g, bg_v = bwd_boundary.get(pid, (None, None))
+            yield resolve(pending, bg_v if bg_g == pending_g else None)
+
+    return parted.mapInPandas(_fill, schema=fill_schema).drop("_pid")

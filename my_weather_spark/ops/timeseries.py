@@ -524,22 +524,29 @@ def interpolate_at(
     )
     if distributed_fill:
         # both fills are per-series serial scans; the distributed twin
-        # (ops.ranking.grouped_last_fill) runs each direction as a
-        # range-partitioned Arrow ffill with one boundary struct per
-        # partition — the backward fill is the same primitive over the
-        # exact reversed sort (t desc, is_grid asc)
-        from my_weather_spark.ops.ranking import grouped_last_fill
+        # (ops.ranking.grouped_bidi_fill) computes BOTH directions from
+        # ONE range-partitioned sort — one corpus shuffle instead of
+        # the two that back-to-back grouped_last_fill calls cost (the
+        # reverse-direction call re-partitions the already-filled
+        # frame). The bidi mirror's backward tie order differs from
+        # w_next's (t desc, is_grid asc) ONLY when a grid point lands
+        # exactly on a data point; there the forward fill already holds
+        # that data point (t0 == t), so the lerp degenerates to v0
+        # whatever _next is — except when no strictly-later point
+        # exists and the mirror leaves _next NULL, which the coalesce
+        # patch below resolves to the equal-t _prev (bit-equal to the
+        # window path; pinned in test_skew).
+        from my_weather_spark.ops.ranking import grouped_bidi_fill
 
-        filled = grouped_last_fill(
-            merged, [SERIES], ["_t_us", "_is_grid"], "_p", out_col="_prev"
+        filled = grouped_bidi_fill(
+            merged, [SERIES], ["_t_us", "_is_grid"], "_p", "_prev", "_next"
         )
-        filled = grouped_last_fill(
-            filled,
-            [SERIES],
-            ["_t_us", "_is_grid"],
-            "_p",
-            out_col="_next",
-            ascending=[False, True],
+        filled = filled.withColumn(
+            "_next",
+            F.coalesce(
+                F.col("_next"),
+                F.when(F.col("_prev.t") == F.col("_t_us"), F.col("_prev")),
+            ),
         )
         filled = filled.where(F.col("_is_grid") == 1).where(
             F.col("_prev").isNotNull() & F.col("_next").isNotNull()

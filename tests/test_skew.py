@@ -453,3 +453,63 @@ def test_interpretation_expand_distributed_lead_matches_window(spark):
         assert b2.subtract(d2).count() == 0 and d2.subtract(b2).count() == 0
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_grouped_bidi_fill_matches_two_windows(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    rng = random.Random(11)
+    # unique (g, v, id) keys; ~70% missing so null-runs cross the tiny
+    # Arrow batches (exercises the backward hold-back/pending path) and
+    # partition boundaries (exercises both boundary seed directions)
+    rows = [
+        (
+            i,
+            rng.choice(["a", "b", "c", "d"]),
+            i,  # strictly increasing order key: ties impossible
+            None if rng.random() < 0.7 else {"t": i, "x": float(i)},
+        )
+        for i in range(903)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, g string, v long, s struct<t:long,x:double>"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = ranking.grouped_bidi_fill(
+            df, ["g"], ["v", "id"], "s", "fwd", "bwd", num_partitions=5
+        )
+        wf = W.partitionBy("g").orderBy("v", "id").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        wb = W.partitionBy("g").orderBy(F.desc("v"), F.desc("id")).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        want = df.withColumn(
+            "fwd", F.last("s", ignorenulls=True).over(wf)
+        ).withColumn("bwd", F.last("s", ignorenulls=True).over(wb))
+        assert got.count() == 903
+        assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+        # all-null and empty degenerate cases
+        schema = "id long, g string, v long, s struct<t:long,x:double>"
+        allnull = spark.createDataFrame(
+            [(i, "z", i, None) for i in range(20)], schema
+        )
+        out = ranking.grouped_bidi_fill(
+            allnull, ["g"], ["v"], "s", "fwd", "bwd", num_partitions=3
+        )
+        assert out.count() == 20
+        assert out.where(
+            F.col("fwd").isNotNull() | F.col("bwd").isNotNull()
+        ).count() == 0
+        empty = spark.createDataFrame([], schema)
+        assert ranking.grouped_bidi_fill(
+            empty, ["g"], ["v"], "s", "fwd", "bwd"
+        ).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
