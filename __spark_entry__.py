@@ -3596,6 +3596,7 @@ _DRIVER_PRIORITY = [
     # (b) round-5 perf-pass kernels — re-prove post-change
     "text_repetition_stats", "decontam_flags",
     "line_boilerplate_clean", "simhash_hamming_pairs",
+    "text_fingerprint", "q21_lone_returned_supplier",
     # (b) new this round: the real-JPEG codec query
     "mm_jpeg_image_stats",
     # (c) oldest driver row (r2)
@@ -3613,8 +3614,9 @@ _DRIVER_PRIORITY = [
     # (d) r3-green rotation: set/union/order/source ops
     "u1_extend_union", "u2_merge_dedup", "order_restore",
     "heartbeat_series", "json_props_extract", "distinct_users_per_type",
-    # (d) r3-green rotation: grouping sets + calendar + scalars + media
-    "pivot_daily_event_values", "cube_events", "rollup_order_priority",
+    # (d) r3-green rotation: grouping sets + scalars + media (cube/
+    # rollup rotate back in r6 — bumped for the two changed kernels)
+    "pivot_daily_event_values",
     "dup_span_stats", "lm_perplexity_scores", "mm_frame_sample",
     # (d) r3-green rotation: TPC-H canaries (lineitem/orders date math)
     "q1_pricing_summary", "q3_shipping_priority",

@@ -242,6 +242,11 @@ class _BitReader:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+        # truncate to the live bits: without this the accumulator is an
+        # ever-growing bignum and every shift is O(bytes-read-so-far) —
+        # decode goes quadratic in payload size (measured 13x per 4x
+        # pixels before the mask)
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:

@@ -32,9 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from my_weather_spark.llm.text import _words
+
 
 def _word_col(text_col: str):
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # shared tokenization (text._words) — the oracle-visible contract;
+    # a diverging copy would silently fork Spark-vs-oracle tokens
+    return _words(F.col(text_col))
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

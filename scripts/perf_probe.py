@@ -11,6 +11,7 @@ Prints per-query: spark best-of-N, oracle best-of-N, ratio.
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -68,15 +69,11 @@ def main() -> None:
     )
 
     # full warmup pass (JIT/codegen; see bench.py rationale)
-    import gc as _gc
-
     for n in names:
         qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        _gc.collect()
+        gc.collect()
         if n in oracles:
             con.execute(oracles[n]).fetchall()
-
-    import gc
 
     rows = []
     for n in names:
