@@ -163,6 +163,7 @@ class TsStore:
             merge_dedup(incoming).write.partitionBy(*PARTITION_COLS).mode(
                 "overwrite"
             ).parquet(self.path)
+            self._update_catalog(incoming, replace=False)
             return
 
         if overwrite_on_write:
@@ -180,6 +181,7 @@ class TsStore:
             out.write.partitionBy(*PARTITION_COLS).option(
                 "partitionOverwriteMode", "static"
             ).mode("overwrite").parquet(self.path)
+            self._update_catalog(incoming, replace=True)
             return
         else:
             # Merge path: only read partitions the incoming batch touches.
@@ -198,6 +200,92 @@ class TsStore:
         out.write.partitionBy(*PARTITION_COLS).option(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(self.path)
+        self._update_catalog(incoming, replace=False)
+
+    # -- catalog sidecar ---------------------------------------------------
+    # One row per (series_id, source): data_period_start/end, created,
+    # modified. Maintained at store() time with MONOTONE merges
+    # (min/min/max/max), which are idempotent under re-ingest and
+    # retries, so find(fast=True) answers the reference's TsInfo fields
+    # in O(n_series) instead of scanning the data (at 100 TB a find()
+    # scan reads every partition). The sidecar lives BESIDE the data
+    # root, not inside it: the whole-series replace path writes the
+    # dataset with a STATIC overwrite, which truncates everything under
+    # the root — a nested sidecar would be wiped mid-update. The
+    # sidecar is derived state: a torn write is repaired by
+    # rebuild_catalog(), never by trusting it blindly.
+    @property
+    def _catalog_path(self) -> str:
+        return self.path.rstrip("/") + "_catalog"
+
+    def _catalog_exists(self) -> bool:
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(self._catalog_path)
+        return p.getFileSystem(conf).exists(p)
+
+    @staticmethod
+    def _summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("series_id", "source").agg(
+            F.min("ts").alias("data_period_start"),
+            F.max("ts").alias("data_period_end"),
+            F.min("ingest_time").alias("created"),
+            F.max("ingest_time").alias("modified"),
+        )
+
+    def _catalog_schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("series_id", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("data_period_start", T.TimestampType()),
+                T.StructField("data_period_end", T.TimestampType()),
+                T.StructField("created", T.TimestampType()),
+                T.StructField("modified", T.TimestampType()),
+            ]
+        )
+
+    def _update_catalog(self, incoming: DataFrame, replace: bool) -> None:
+        batch = self._summarize(incoming)
+        if self._catalog_exists():
+            old = self.spark.read.schema(self._catalog_schema()).parquet(
+                self._catalog_path
+            )
+            if replace:
+                # whole-series replace: the old rows of the incoming
+                # series are dropped, not merged (their min/max vouch
+                # for data that no longer exists)
+                old = old.join(
+                    F.broadcast(batch.select("series_id").distinct()),
+                    "series_id",
+                    "left_anti",
+                )
+                merged = old.unionByName(batch)
+            else:
+                merged = self._summarize_catalog(old.unionByName(batch))
+        else:
+            merged = batch
+        # the overwrite reads the files being replaced — cut lineage
+        merged = merged.localCheckpoint(eager=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(self._catalog_path)
+
+    @staticmethod
+    def _summarize_catalog(cat: DataFrame) -> DataFrame:
+        return cat.groupBy("series_id", "source").agg(
+            F.min("data_period_start").alias("data_period_start"),
+            F.max("data_period_end").alias("data_period_end"),
+            F.min("created").alias("created"),
+            F.max("modified").alias("modified"),
+        )
+
+    def rebuild_catalog(self) -> None:
+        """Recompute the catalog sidecar from the data — the recovery
+        path for torn sidecar writes and the migration path for stores
+        created before the sidecar existed."""
+        fresh = self._summarize(self._read_all()).localCheckpoint(eager=True)
+        fresh.coalesce(1).write.mode("overwrite").parquet(self._catalog_path)
 
     # -- compaction --------------------------------------------------------
     @staticmethod
@@ -307,38 +395,76 @@ class TsStore:
         pattern: str | None = None,
         source: str | None = None,
         catalog: DataFrame | None = None,
+        fast: bool = False,
     ) -> DataFrame:
         """Full per-series TsInfo derived from the store, matching the
         reference's field set (repository.py:293-301): name, point_fx,
         delta_t, olson_tz_id, data_period_start/end, created, modified
         — plus n_points as an engine extra.
 
-        delta_t is the per-series mode of point spacing (dt_mode —
-        the store knows the actual cadence, where the reference puts
-        NaN). point_fx and olson_tz_id come from ``catalog``
-        (Domain.measurements, keyed by store_id), broadcast-joined;
-        NULL when no catalog is given. Both aggregates hash-partition
-        by series, so the join plans without an extra exchange.
+        ``fast=True`` answers from the catalog sidecar maintained at
+        store() time — O(n_series), no data scan; exactly the
+        reference's repository-metadata semantics (its data_period and
+        created/modified also come from tracked metadata, not a scan).
+        The two engine extras the sidecar doesn't track come back NULL
+        on the fast path: delta_t (the reference puts NaN here too)
+        and n_points. The default exact path scans the data.
+
+        delta_t (exact path) is the per-series mode of point spacing
+        (dt_mode — the store knows the actual cadence). point_fx and
+        olson_tz_id come from ``catalog`` (Domain.measurements, keyed
+        by store_id), broadcast-joined; NULL when no catalog is given.
+        Both aggregates hash-partition by series, so the join plans
+        without an extra exchange.
         """
         from my_weather_spark.ops.timeseries import dt_mode
 
-        df = self._read_all()
-        if source is not None:
-            df = df.where(F.col("source") == source)
-        if pattern is not None:
-            df = df.where(F.col("series_id").rlike(pattern))
-        base = df.groupBy(F.col("series_id").alias("name")).agg(
-            F.min("ts").alias("data_period_start"),
-            F.max("ts").alias("data_period_end"),
-            F.count("value").alias("n_points"),
-            F.min("ingest_time").alias("created"),
-            F.max("ingest_time").alias("modified"),
-        )
-        deltas = dt_mode(df).select(
-            F.col("series_id").alias("name"),
-            F.col("dt_mode_seconds").alias("delta_t"),
-        )
-        info = base.join(deltas, "name", "left")
+        if fast:
+            if not self._catalog_exists():
+                # pre-sidecar store: one-time migration scan
+                self.rebuild_catalog()
+            cat_df = self.spark.read.schema(self._catalog_schema()).parquet(
+                self._catalog_path
+            )
+            if source is not None:
+                cat_df = cat_df.where(F.col("source") == source)
+            if pattern is not None:
+                cat_df = cat_df.where(F.col("series_id").rlike(pattern))
+            # aggregate by series only (a series stored under several
+            # sources merges, exactly like the exact path's groupBy)
+            info = cat_df.groupBy(F.col("series_id").alias("name")).agg(
+                F.min("data_period_start").alias("data_period_start"),
+                F.max("data_period_end").alias("data_period_end"),
+                F.min("created").alias("created"),
+                F.max("modified").alias("modified"),
+            ).select(
+                "name",
+                "data_period_start",
+                "data_period_end",
+                "created",
+                "modified",
+                F.lit(None).cast("long").alias("n_points"),
+                # exact-path delta_t is dt_mode_seconds (double)
+                F.lit(None).cast("double").alias("delta_t"),
+            )
+        else:
+            df = self._read_all()
+            if source is not None:
+                df = df.where(F.col("source") == source)
+            if pattern is not None:
+                df = df.where(F.col("series_id").rlike(pattern))
+            base = df.groupBy(F.col("series_id").alias("name")).agg(
+                F.min("ts").alias("data_period_start"),
+                F.max("ts").alias("data_period_end"),
+                F.count("value").alias("n_points"),
+                F.min("ingest_time").alias("created"),
+                F.max("ingest_time").alias("modified"),
+            )
+            deltas = dt_mode(df).select(
+                F.col("series_id").alias("name"),
+                F.col("dt_mode_seconds").alias("delta_t"),
+            )
+            info = base.join(deltas, "name", "left")
         if catalog is not None:
             cat = catalog.select(
                 F.col("store_id").alias("name"),

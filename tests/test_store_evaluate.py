@@ -352,3 +352,59 @@ def test_bucketed_serving_layout_avoids_shuffle(engine, spark):
         assert got == want and len(got) == 30
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_serving")
+
+
+def test_find_fast_catalog_sidecar(spark, tmp_path):
+    store = TsStore(spark, str(tmp_path / "cat_store"))
+    sid_a, sid_b = "shyft://s/a/m/t", "shyft://s/b/m/t"
+    df1 = spark.createDataFrame(
+        [(sid_a, _dt(0), 1.0), (sid_a, _dt(60), 2.0), (sid_b, _dt(30), 5.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    store.store(df1, source="src1", ingest_time=_dt(1000))
+    # second merge batch extends series a both directions
+    df2 = spark.createDataFrame(
+        [(sid_a, _dt(-60), 0.5), (sid_a, _dt(120), 3.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    store.store(df2, source="src1", ingest_time=_dt(2000))
+
+    exact = {r["name"]: r for r in store.find().collect()}
+    fast = {r["name"]: r for r in store.find(fast=True).collect()}
+    assert set(fast) == set(exact) == {sid_a, sid_b}
+    # the sidecar answers the reference TsInfo fields without a scan,
+    # and the monotone merge tracked both extensions + both ingests
+    for sid in (sid_a, sid_b):
+        for f in ("data_period_start", "data_period_end", "created", "modified"):
+            assert fast[sid][f] == exact[sid][f], (sid, f)
+    assert fast[sid_a]["created"] == _dt(1000).replace(tzinfo=None)
+    assert fast[sid_a]["modified"] == _dt(2000).replace(tzinfo=None)
+    # fast path leaves the scan-derived extras NULL
+    assert fast[sid_a]["n_points"] is None and fast[sid_a]["delta_t"] is None
+    assert exact[sid_a]["n_points"] == 4
+
+    # re-ingesting the same batch is a no-op on the sidecar (idempotent)
+    store.store(df2, source="src1", ingest_time=_dt(2000))
+    fast2 = {r["name"]: r for r in store.find(fast=True).collect()}
+    assert fast2[sid_a].asDict() == fast[sid_a].asDict()
+
+    # whole-series replace resets the replaced series' catalog row and
+    # leaves the other series untouched
+    df3 = spark.createDataFrame(
+        [(sid_a, _dt(500), 9.0)], "series_id string, ts timestamp, value double"
+    )
+    store.store(df3, source="src1", overwrite_on_write=True, ingest_time=_dt(3000))
+    fast3 = {r["name"]: r for r in store.find(fast=True).collect()}
+    assert fast3[sid_a]["data_period_start"] == _dt(500).replace(tzinfo=None)
+    assert fast3[sid_a]["created"] == _dt(3000).replace(tzinfo=None)
+    assert fast3[sid_b].asDict() == fast[sid_b].asDict()
+
+    # pattern/source filters + rebuild-from-data recovery
+    assert store.find(pattern="//s/a/", fast=True).count() == 1
+    store.rebuild_catalog()
+    fast4 = {r["name"]: r for r in store.find(fast=True).collect()}
+    assert fast4[sid_a]["data_period_start"] == _dt(500).replace(tzinfo=None)
+    # NOTE: rebuild derives created/modified from ingest_time (data),
+    # which equals the tracked values in this engine (store() stamps
+    # every row) — asserted so the recovery path stays equivalent
+    assert fast4[sid_b]["created"] == fast[sid_b]["created"]
