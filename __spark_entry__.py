@@ -658,7 +658,14 @@ def q21_lone_returned_supplier(spark, sf_dir):
     aggregate instead of two countDistincts in one agg: multi-distinct
     plans an Expand (3x the shuffled rows, no map-side combine),
     while the two-step is map-side combined at both levels — measured
-    1.4x faster here and strictly less shuffle at scale."""
+    1.4x faster here and strictly less shuffle at scale. This shape is
+    the floor: lineitem shuffles exactly once (map-side-combined
+    per-supp aggregate); per_order and orders broadcast onto the
+    narrow l1 scan. A round-6 attempt to fuse l1 into the aggregate
+    behind one repartition(l_orderkey) backfired — per_order gets
+    broadcast, which splits the shared subtree into two full lineitem
+    exchanges (no ReusedExchange across a BroadcastExchange boundary);
+    measured 1.23 -> 1.63 s at sf0.1 and reverted."""
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
@@ -959,13 +966,17 @@ def q11_important_stock(spark, sf_dir):
 def q16_supplier_part_counts(spark, sf_dir):
     """TPC-H Q16 shape: distinct supplier counts per (brand, type,
     size), excluding flagged suppliers (negative balance stands in for
-    the complaints predicate). The part-supplier relation is the
-    distinct (partkey, suppkey) projection of lineitem; the exclusion
-    is a broadcast anti join BEFORE the distinct-count aggregate."""
+    the complaints predicate). The oracle's DISTINCT (partkey, suppkey)
+    pre-projection is deliberately NOT materialized as its own
+    shuffle: the countDistinct aggregate dedups on (brand, type, size,
+    suppkey) anyway, and its partial (map-side) phase already
+    collapses per-partition duplicates — so lineitem shuffles once
+    (pre-deduped partials), not twice. The exclusion is a broadcast
+    anti join BEFORE the aggregate."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
-    rel = l.select("l_partkey", "l_suppkey").distinct()
+    rel = l.select("l_partkey", "l_suppkey")
     bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
     pf = p.where(
         (F.col("p_brand") != "Brand#1")
