@@ -163,7 +163,11 @@ class TsStore:
             merge_dedup(incoming).write.partitionBy(*PARTITION_COLS).mode(
                 "overwrite"
             ).parquet(self.path)
-            self._update_catalog(incoming, replace=False)
+            # fresh=True: a sidecar found beside a store that does NOT
+            # exist is necessarily stale (the store was deleted out of
+            # band) — overwrite it with just this batch instead of
+            # merging ghost series into a brand-new store's catalog.
+            self._update_catalog(incoming, replace=False, fresh=True, source=source)
             return
 
         if overwrite_on_write:
@@ -181,7 +185,7 @@ class TsStore:
             out.write.partitionBy(*PARTITION_COLS).option(
                 "partitionOverwriteMode", "static"
             ).mode("overwrite").parquet(self.path)
-            self._update_catalog(incoming, replace=True)
+            self._update_catalog(incoming, replace=True, source=source)
             return
         else:
             # Merge path: only read partitions the incoming batch touches.
@@ -200,7 +204,7 @@ class TsStore:
         out.write.partitionBy(*PARTITION_COLS).option(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(self.path)
-        self._update_catalog(incoming, replace=False)
+        self._update_catalog(incoming, replace=False, source=source)
 
     # -- catalog sidecar ---------------------------------------------------
     # One row per (series_id, source): data_period_start/end, created,
@@ -208,12 +212,20 @@ class TsStore:
     # (min/min/max/max), which are idempotent under re-ingest and
     # retries, so find(fast=True) answers the reference's TsInfo fields
     # in O(n_series) instead of scanning the data (at 100 TB a find()
-    # scan reads every partition). The sidecar lives BESIDE the data
-    # root, not inside it: the whole-series replace path writes the
-    # dataset with a STATIC overwrite, which truncates everything under
-    # the root — a nested sidecar would be wiped mid-update. The
-    # sidecar is derived state: a torn write is repaired by
-    # rebuild_catalog(), never by trusting it blindly.
+    # scan reads every partition). The sidecar is hive-partitioned by
+    # ``source``, and the hot path — the merge-mode store() that a
+    # micro-batch cadence hits every cycle — rewrites ONLY the touched
+    # source's partition (dynamic partition overwrite): per-cycle
+    # catalog work is O(series in that source), not O(all series in
+    # the store). The rare whole-catalog rewrites (whole-series
+    # replace, fresh store, legacy flat-layout migration) use a static
+    # overwrite, which also clears pre-partitioning flat files. The
+    # sidecar lives BESIDE the data root, not inside it: the
+    # whole-series replace path writes the dataset with a STATIC
+    # overwrite, which truncates everything under the root — a nested
+    # sidecar would be wiped mid-update. The sidecar is derived state:
+    # a torn write is repaired by rebuild_catalog(), never by trusting
+    # it blindly.
     @property
     def _catalog_path(self) -> str:
         return self.path.rstrip("/") + "_catalog"
@@ -247,29 +259,86 @@ class TsStore:
             ]
         )
 
-    def _update_catalog(self, incoming: DataFrame, replace: bool) -> None:
-        batch = self._summarize(incoming)
-        if self._catalog_exists():
-            old = self.spark.read.schema(self._catalog_schema()).parquet(
-                self._catalog_path
+    def _catalog_is_partitioned(self) -> bool:
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(self._catalog_path)
+        fs = p.getFileSystem(conf)
+        for st in fs.listStatus(p):
+            if st.getPath().getName().startswith("source="):
+                return True
+        return False
+
+    def _write_catalog(self, df: DataFrame, dynamic: bool) -> None:
+        # the overwrite reads the files being replaced — cut lineage.
+        # repartition by source -> one task (one file) per source
+        # partition; a partition holds at most one row per series.
+        df = df.localCheckpoint(eager=True)
+        mode = "dynamic" if dynamic else "static"
+        df.repartition("source").write.partitionBy("source").option(
+            "partitionOverwriteMode", mode
+        ).mode("overwrite").parquet(self._catalog_path)
+
+    def _update_catalog(
+        self,
+        incoming: DataFrame,
+        replace: bool,
+        fresh: bool = False,
+        source: str | None = None,
+    ) -> None:
+        # Summarize what actually LANDS, not the raw batch: intra-batch
+        # duplicate (series_id, ts) rows with distinct ingest_times are
+        # collapsed by merge_dedup before the data write, so the losing
+        # row's ingest_time must not leak into created/modified (it
+        # would make find(fast=True) disagree with the exact scan).
+        # Cross-batch the monotone min/max merge keeps idempotence.
+        batch = self._summarize(merge_dedup(incoming))
+        if fresh or not self._catalog_exists():
+            # fresh store: any pre-existing sidecar describes data that
+            # was deleted out of band — replace it wholesale.
+            self._write_catalog(batch, dynamic=False)
+            return
+        legacy = not self._catalog_is_partitioned()
+        old = self.spark.read.schema(self._catalog_schema()).parquet(
+            self._catalog_path
+        )
+        if replace:
+            # whole-series replace: the old rows of the incoming
+            # series are dropped, not merged (their min/max vouch
+            # for data that no longer exists). Series may exist under
+            # OTHER sources too, so this path rewrites the whole
+            # catalog (static) — it mirrors the data path, which is
+            # itself a full static overwrite on replace.
+            old = old.join(
+                F.broadcast(batch.select("series_id").distinct()),
+                "series_id",
+                "left_anti",
             )
-            if replace:
-                # whole-series replace: the old rows of the incoming
-                # series are dropped, not merged (their min/max vouch
-                # for data that no longer exists)
-                old = old.join(
-                    F.broadcast(batch.select("series_id").distinct()),
-                    "series_id",
-                    "left_anti",
-                )
-                merged = old.unionByName(batch)
-            else:
-                merged = self._summarize_catalog(old.unionByName(batch))
+            self._write_catalog(old.unionByName(batch), dynamic=False)
+            return
+        if legacy:
+            # one-time migration: merge everything and static-overwrite
+            # so the flat pre-partitioning files are cleared.
+            self._write_catalog(
+                self._summarize_catalog(old.unionByName(batch)), dynamic=False
+            )
+            return
+        # merge path (the micro-batch hot path): only the touched
+        # source's partition is read (partition-pruned by the filter —
+        # a store() batch carries exactly one literal source, passed
+        # through as a string so no job runs to discover it) and only
+        # it is rewritten (dynamic overwrite) — every other source's
+        # sidecar file stays byte-identical on disk.
+        if source is not None:
+            touched = [source]
         else:
-            merged = batch
-        # the overwrite reads the files being replaced — cut lineage
-        merged = merged.localCheckpoint(eager=True)
-        merged.coalesce(1).write.mode("overwrite").parquet(self._catalog_path)
+            touched = [
+                r["source"] for r in incoming.select("source").distinct().collect()
+            ]
+        old_touched = old.where(F.col("source").isin(touched))
+        self._write_catalog(
+            self._summarize_catalog(old_touched.unionByName(batch)), dynamic=True
+        )
 
     @staticmethod
     def _summarize_catalog(cat: DataFrame) -> DataFrame:
@@ -284,8 +353,8 @@ class TsStore:
         """Recompute the catalog sidecar from the data — the recovery
         path for torn sidecar writes and the migration path for stores
         created before the sidecar existed."""
-        fresh = self._summarize(self._read_all()).localCheckpoint(eager=True)
-        fresh.coalesce(1).write.mode("overwrite").parquet(self._catalog_path)
+        fresh = self._summarize(self._read_all())
+        self._write_catalog(fresh, dynamic=False)
 
     # -- compaction --------------------------------------------------------
     @staticmethod

@@ -408,3 +408,116 @@ def test_find_fast_catalog_sidecar(spark, tmp_path):
     # which equals the tracked values in this engine (store() stamps
     # every row) — asserted so the recovery path stays equivalent
     assert fast4[sid_b]["created"] == fast[sid_b]["created"]
+
+
+def test_catalog_sidecar_partitioned_by_source(spark, tmp_path):
+    """The sidecar is hive-partitioned by source and a merge-mode
+    store() rewrites ONLY the touched source's partition — an
+    untouched source's sidecar file stays byte-identical on disk
+    (the O(touched-source) catalog-maintenance contract)."""
+    import hashlib
+    from pathlib import Path
+
+    store = TsStore(spark, str(tmp_path / "part_store"))
+    df_a = spark.createDataFrame(
+        [("s/a", _dt(0), 1.0)], "series_id string, ts timestamp, value double"
+    )
+    df_b = spark.createDataFrame(
+        [("s/b", _dt(0), 2.0)], "series_id string, ts timestamp, value double"
+    )
+    store.store(df_a, source="src1", ingest_time=_dt(1000))
+    store.store(df_b, source="src2", ingest_time=_dt(1000))
+
+    cat_root = Path(store._catalog_path)
+    src1_dir = cat_root / "source=src1"
+    assert src1_dir.is_dir() and (cat_root / "source=src2").is_dir()
+
+    def digest(d):
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(d.glob("*.parquet"))
+        }
+
+    before = digest(src1_dir)
+    assert before  # src1 partition holds data files
+    # unrelated store() into src2 must not touch src1's files
+    df_b2 = spark.createDataFrame(
+        [("s/b", _dt(60), 3.0)], "series_id string, ts timestamp, value double"
+    )
+    store.store(df_b2, source="src2", ingest_time=_dt(2000))
+    assert digest(src1_dir) == before
+    # and the catalog still answers for both sources
+    fast = {r["name"]: r for r in store.find(fast=True).collect()}
+    assert fast["s/b"]["modified"] == _dt(2000).replace(tzinfo=None)
+    assert fast["s/a"]["created"] == _dt(1000).replace(tzinfo=None)
+
+
+def test_catalog_fresh_store_discards_stale_sidecar(spark, tmp_path):
+    """A store deleted out of band leaves its sidecar behind; the next
+    fresh-store write must overwrite it instead of merging ghost
+    series into the new store's catalog."""
+    import shutil
+
+    root = tmp_path / "ghost_store"
+    store = TsStore(spark, str(root))
+    df_old = spark.createDataFrame(
+        [("ghost", _dt(0), 1.0)], "series_id string, ts timestamp, value double"
+    )
+    store.store(df_old, source="src1", ingest_time=_dt(1000))
+    shutil.rmtree(root)  # out-of-band delete: sidecar survives
+    assert store._catalog_exists() and not store._exists()
+
+    df_new = spark.createDataFrame(
+        [("real", _dt(0), 2.0)], "series_id string, ts timestamp, value double"
+    )
+    store.store(df_new, source="src1", ingest_time=_dt(2000))
+    names = {r["name"] for r in store.find(fast=True).collect()}
+    assert names == {"real"}  # no ghost series
+
+
+def test_catalog_intra_batch_duplicate_matches_exact(spark, tmp_path):
+    """Intra-batch duplicate (series, ts) rows with distinct
+    ingest_times: only the merge_dedup survivor lands, and the catalog
+    must summarize the SURVIVOR, keeping find(fast) == find(exact)."""
+    store = TsStore(spark, str(tmp_path / "dup_store"))
+    df = spark.createDataFrame(
+        [
+            ("s/x", _dt(0), 1.0, _dt(1000)),
+            ("s/x", _dt(0), 2.0, _dt(2000)),  # same point, newer ingest wins
+        ],
+        "series_id string, ts timestamp, value double, ingest_time timestamp",
+    )
+    store.store(df, source="src1")
+    exact = store.find().collect()[0]
+    fast = store.find(fast=True).collect()[0]
+    assert exact["created"] == _dt(2000).replace(tzinfo=None)
+    assert fast["created"] == exact["created"]
+    assert fast["modified"] == exact["modified"]
+
+
+def test_catalog_legacy_flat_layout_migrates(spark, tmp_path):
+    """A pre-partitioning sidecar (flat parquet with source as a data
+    column) is read correctly and migrated to the partitioned layout on
+    the next store()."""
+    from pathlib import Path
+
+    store = TsStore(spark, str(tmp_path / "legacy_store"))
+    df = spark.createDataFrame(
+        [("s/a", _dt(0), 1.0)], "series_id string, ts timestamp, value double"
+    )
+    store.store(df, source="src1", ingest_time=_dt(1000))
+    # rewrite the sidecar in the legacy flat layout
+    cat = spark.read.schema(store._catalog_schema()).parquet(store._catalog_path)
+    flat = cat.localCheckpoint(eager=True)
+    flat.coalesce(1).write.mode("overwrite").parquet(store._catalog_path)
+    assert not store._catalog_is_partitioned()
+
+    df2 = spark.createDataFrame(
+        [("s/a", _dt(60), 2.0)], "series_id string, ts timestamp, value double"
+    )
+    store.store(df2, source="src1", ingest_time=_dt(2000))
+    assert store._catalog_is_partitioned()
+    assert not list(Path(store._catalog_path).glob("*.parquet"))  # flat files gone
+    fast = store.find(fast=True).collect()[0]
+    assert fast["created"] == _dt(1000).replace(tzinfo=None)
+    assert fast["modified"] == _dt(2000).replace(tzinfo=None)
