@@ -3224,12 +3224,15 @@ def instant_interpolation(spark, sf_dir):
 
 @_q("instant_interpolation_scaled", _INTERP_SQL)
 def instant_interpolation_scaled(spark, sf_dir):
-    """The SAME linear interpolation the 100 TB way: the two
-    per-series fill windows (bracketing point before/after each grid
-    time) become two ops/ranking.grouped_last_fill passes — the
-    backward fill is the same primitive over the exact reversed sort
-    (t desc, is_grid asc). The lerp arithmetic is unchanged, so it
-    shares instant_interpolation's oracle bit-for-bit."""
+    """The SAME linear interpolation the 100 TB way: both per-series
+    fill windows (bracketing point before/after each grid time) come
+    from ONE ops/ranking.grouped_bidi_fill pass over a single
+    range-partitioned sort — the backward fill streams with a
+    hold-back buffer, and interpolate_at patches the one tie case
+    where a grid point lands exactly on a data point (NULL _next at
+    the last data point -> equal-t _prev, where the lerp degenerates
+    to v0). The arithmetic is unchanged, so it shares
+    instant_interpolation's oracle bit-for-bit."""
     e = _events_series(spark, sf_dir).select("series_id", "ts", "value")
     out = ts_ops.interpolate_at(e, grid_dt_seconds=3600, distributed_fill=True)
     return out.select("series_id", F.unix_micros("ts").alias("t_us"), "value")

@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import gc
 from functools import reduce
 from operator import add
 
@@ -541,6 +542,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        # release the superseded label checkpoint's executor blocks
+        # (see connected_components_star for the retention rationale)
+        del new_labels
+        gc.collect()
     else:
         if strict:
             raise RuntimeError(
@@ -641,7 +646,21 @@ def connected_components_star(
         if small_sum == e_sum and small.subtract(e).limit(1).count() == 0:
             e = small
             break
+        # Release the superseded round's checkpoint blocks NOW: the
+        # Python wrapper is the only reference keeping the JVM-side
+        # RDD (and its executor storage) alive, and py4j finalizers
+        # only run at gc — without this, every round's edge set stays
+        # pinned until the driver happens to collect, so peak storage
+        # grows O(rounds x edges) instead of O(2 x edges). (Skipping
+        # the per-round checkpoint instead — "checkpoint every k
+        # rounds" — was evaluated and rejected: the summary probe is
+        # an action every round, and the next round references the
+        # un-materialized edge set four times, so a skipped
+        # checkpoint re-derives the round's two-join plan ~4x. The
+        # churn is the block RETENTION, not the write.)
         e, e_sum = small, small_sum
+        del small
+        gc.collect()
     else:
         if strict:
             raise RuntimeError(

@@ -229,8 +229,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG (entropy data)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG (entropy data)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -265,7 +269,12 @@ class _BitReader:
 
     def skip_restart(self) -> None:
         """Consume an RSTn marker at the current byte position."""
-        assert self.data[self.pos] == 0xFF
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
         self.pos += 2
 
 
@@ -451,15 +460,29 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     while True:
+        # a marker is one-or-more 0xFF fill bytes followed by the
+        # marker id (T.81 B.1.1.2 allows optional fill) — and arbitrary
+        # input can truncate anywhere, so every read is bounds-checked
+        # to fail as ValueError, never bare IndexError/struct.error.
+        if pos >= len(data):
+            raise ValueError("truncated JPEG (no SOS)")
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
-        marker = data[pos + 1]
-        pos += 2
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1
+        if pos >= len(data):
+            raise ValueError("truncated JPEG (fill bytes at end)")
+        marker = data[pos]
+        pos += 1
         if marker == 0xD9:  # EOI
             raise ValueError("no scan data before EOI")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (segment length)")
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG (segment body)")
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -468,6 +491,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 p += 1
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables unsupported")
+                if p + 64 > len(seg):
+                    raise ValueError("truncated JPEG (DQT)")
                 zz = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
                 nat = np.zeros(64, dtype=np.int64)
                 nat[ZIGZAG] = zz
@@ -476,14 +501,22 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG (DHT)")
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError("truncated JPEG (DHT values)")
                 vals = list(seg[p + 17 : p + 17 + n])
                 (ac_tabs if tc else dc_tabs)[th] = _huff_decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG (SOF0)")
             precision, h, w, n_comp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if len(seg) < 6 + 3 * n_comp:
+                raise ValueError("truncated JPEG (SOF0 components)")
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             comps = []
@@ -501,11 +534,17 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 f"SOF marker 0xFF{marker:02X}: only baseline SOF0 supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG (DRI)")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            if len(seg) < 1:
+                raise ValueError("truncated JPEG (SOS)")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG (SOS components)")
             scan_sel = []
             for ci in range(ns):
                 cs, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]

@@ -936,3 +936,69 @@ def test_duplicate_span_stats_and_drop(spark):
         for r in dedup.drop_span_duplicates(docs, n=5, max_dup_ratio=0.1).collect()
     )
     assert kept == [3, 4]
+
+
+def test_jpeg_restart_interval_and_malformed_inputs():
+    """DRI/RSTn decode path (the encoder never emits restarts, so the
+    fixture is hand-spliced) + marker-loop robustness: fill bytes are
+    legal, truncations raise ValueError — never bare IndexError."""
+    import numpy as np
+    import pytest
+    import struct as _struct
+
+    from my_weather_spark.llm import jpeg as J
+
+    def _split(b):
+        # header through end of SOS segment | entropy data (sans EOI)
+        pos = 2
+        while True:
+            assert b[pos] == 0xFF
+            marker = b[pos + 1]
+            pos += 2
+            seglen = _struct.unpack(">H", b[pos : pos + 2])[0]
+            pos += seglen
+            if marker == 0xDA:
+                return b[:pos], b[pos:-2]
+
+    left = np.full((8, 8), 100, np.uint8)
+    right = np.full((8, 8), 200, np.uint8)
+    wide = np.hstack([left, right])  # 8x16 -> two MCUs
+
+    hdr_wide, _ = _split(J.encode_jpeg(wide, quality=50))
+    _, ent_left = _split(J.encode_jpeg(left, quality=50))
+    _, ent_right = _split(J.encode_jpeg(right, quality=50))
+    # restart semantics: each interval is byte-aligned with DC
+    # prediction reset — i.e. exactly a standalone one-block scan
+    sos_at = hdr_wide.rfind(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x01"  # DRI, interval = 1 MCU
+    fixture = (
+        hdr_wide[:sos_at]
+        + dri
+        + hdr_wide[sos_at:]
+        + ent_left
+        + b"\xff\xd0"  # RST0
+        + ent_right
+        + b"\xff\xd9"
+    )
+    out = J.decode_jpeg(fixture)
+    assert (out == J.decode_jpeg(J.encode_jpeg(wide, quality=50))).all()
+    # uniform blocks at quality 50 survive the codec exactly
+    assert (out == wide).all()
+
+    # fill bytes before a marker are legal (T.81 B.1.1.2)
+    filled = fixture[:2] + b"\xff\xff" + fixture[2:]
+    assert (J.decode_jpeg(filled) == out).all()
+
+    # truncations anywhere raise ValueError, never IndexError/struct.error
+    for cut in (3, 5, 12, len(fixture) // 2, len(fixture) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            J.decode_jpeg(fixture[:cut])
+    # trailing fill bytes with nothing after them
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xff")
+    # segment length lying past the end of the data
+    bad = bytearray(fixture)
+    dqt = bytes(bad).find(b"\xff\xdb") + 2
+    bad[dqt : dqt + 2] = _struct.pack(">H", 60000)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(bad))
