@@ -3588,52 +3588,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's oracle check covers only the FIRST 50 registry entries
-# per round (queries() iterates insertion order). Round-5 window: (a)
-# the 10 queries that have NEVER had a driver row (the 8 distributed
-# `_scaled` window twins, the star-CC components query, the WAV codec
-# query — all locally verified green in round 4, but only driver rows
-# count); (b) the 4 queries whose kernels changed in the round-5
-# performance pass (same semantics + same oracles, but the code moved,
-# so the driver must re-prove the hashes); (c) mm_payload_stats, whose
-# latest driver row is round 2; (d) rotation of the round-3-green
-# time-math / window / events set (their green predates the current
-# round by two windows). The round-4 window (scalar fns, LLM dedup,
-# TPC-H remainder) is all r4-green and rotates out; the TPC-H r3 set
-# comes back in round 6.
+# per round (queries() iterates insertion order). Round-6 window: (a)
+# the 4 queries whose kernels changed this round (fused simhash
+# banding kernel, span-dedup probe-side filter, Q16 distinct removal,
+# the CC block-release loop behind near_dup_components — same
+# semantics + same oracles, but the code changed, so the driver must
+# re-prove the hashes); (b) the whole round-3-green set, now three
+# windows stale — the TPC-H remainder, semi/anti joins, grouping
+# sets, and two scalar fns; (c) 31 of the 41 round-4-green queries
+# (all but 9 deferred). The 50-slot budget can't hold all 56 stale
+# greens; the 9 deferred r4 queries (simhash_docs,
+# minhash_signatures, knn_bruteforce, cosine_threshold_pairs,
+# jaccard_pairs_by_source, text_hashed_bow, corpus_stats,
+# sample_stratified_counts, split_assign_counts — all unchanged since
+# their r4 green and pytest-pinned) lead the round-7 window. The
+# entire r5-green set (50 queries) rotates out.
 _DRIVER_PRIORITY = [
-    # (a) never driver-checked — distributed window twins + CC + WAV
-    "w1_lag_delta_scaled", "w2_end_extension_scaled",
-    "w5_sliding_count_scaled", "running_total_scaled",
-    "value_deciles_scaled", "asof_join_views_scaled",
-    "resample_time_weighted_scaled", "instant_interpolation_scaled",
-    "near_dup_components", "mm_wav_audio_stats",
-    # (b) round-5 perf-pass kernels — re-prove post-change
-    "text_repetition_stats", "decontam_flags",
-    "line_boilerplate_clean", "simhash_hamming_pairs",
-    "text_fingerprint", "q21_lone_returned_supplier",
-    # (b) new this round: the real-JPEG codec query
-    "mm_jpeg_image_stats",
-    # (c) oldest driver row (r2)
-    "mm_payload_stats",
-    # (d) r3-green rotation: period/projection/guards
-    "p1_period_filter", "p2_measurement_projection", "p5_empty_guard",
-    # (d) r3-green rotation: time-series aggregates + windows
-    "a1_series_stats", "a4_dt_mode", "w1_lag_delta", "w2_end_extension",
-    "w3_staircase", "mixed_interpretation_expand",
-    "mixed_interpretation_resample", "resample_hourly",
-    "resample_time_weighted", "instant_interpolation",
-    "asof_join_views", "range_join_error_window", "w5_sliding_count",
-    "running_total", "value_deciles", "topk_orders_per_segment",
-    "above_customer_avg_orders",
-    # (d) r3-green rotation: set/union/order/source ops
-    "u1_extend_union", "u2_merge_dedup", "order_restore",
-    "heartbeat_series", "json_props_extract", "distinct_users_per_type",
-    # (d) r3-green rotation: grouping sets + scalars + media (cube/
-    # rollup rotate back in r6 — bumped for the two changed kernels)
-    "pivot_daily_event_values",
-    "dup_span_stats", "lm_perplexity_scores", "mm_frame_sample",
-    # (d) r3-green rotation: TPC-H canaries (lineitem/orders date math)
-    "q1_pricing_summary", "q3_shipping_priority",
+    # (a) changed-this-round kernels — re-prove post-change
+    "simhash_hamming_pairs", "dup_span_stats",
+    "q16_supplier_part_counts", "near_dup_components",
+    # (b) r3-green rotation: TPC-H remainder
+    "q4_late_shipment_priority", "q6_forecast_revenue",
+    "q7_nation_trade", "q8_market_share", "q9_profit_by_nation_year",
+    "q12_ship_delay_priority", "q14_promo_share", "q15_top_supplier",
+    "q20_promo_part_suppliers",
+    # (b) r3-green rotation: join/grouping/scalar set
+    "anti_join_customers", "semi_join_suppliers", "cube_events",
+    "rollup_order_priority", "f1_camel_to_snake", "f5_monthly_orders",
+    # (c) r4-green rotation: TPC-H
+    "q2_min_cost_supplier", "q5_region_revenue", "q10_returned_revenue",
+    "q11_important_stock", "q13_order_count_histogram",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_bracket_revenue", "q22_idle_customer_balance",
+    # (c) r4-green rotation: scalar fns + routing + bins
+    "a6_bool_aggregates", "f2_ascii_clean", "f4_url_roundtrip",
+    "f7_format_tiles", "f8_threshold_bins", "j4_fuzzy_match",
+    "p4_scheme_routing", "part_size_bins",
+    # (c) r4-green rotation: LLM dedup / text / curation
+    "dedup_exact_groups", "lsh_jaccard_near_dup", "minhash_lsh_pairs",
+    "pii_redaction", "text_language_id", "text_quality_stats",
+    "text_token_stats", "pack_chunks_by_source", "training_order_head",
+    "stream_curated_front", "sessionize_users",
+    # (c) r4-green rotation: set ops + media
+    "set_intersect_nations", "set_except_nations", "mm_ppm_image_stats",
 ]
 
 
