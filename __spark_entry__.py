@@ -804,13 +804,29 @@ def q2_min_cost_supplier(spark, sf_dir):
     relation is derived from lineitem (min observed unit price per
     (part, supplier), in integer cents). The correlated MIN subquery
     decorrelates to a window min over l_partkey AFTER the region
-    restriction; region/nation/supplier dims broadcast."""
+    restriction; region/nation/supplier dims broadcast.
+
+    The part predicate is pushed BELOW the big (part, supplier)
+    aggregate as a semi join on partkey: the correlated subquery
+    restricts only by region (never by part attributes), so the
+    per-part min is unchanged by dropping parts that cannot appear in
+    the output — and the lineitem shuffle shrinks by the part filter's
+    selectivity (4.9% here; measured 1.15 -> 0.44 s at sf0.1). At a
+    scale where the filtered part list outgrows the broadcast
+    threshold this becomes a shuffle semi join and the pre-agg filter
+    still pays for itself."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+    pf = p.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+    lf = l.join(
+        F.broadcast(pf.select("p_partkey")),
+        l.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = lf.groupBy("l_partkey", "l_suppkey").agg(
         F.min(
             F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
         ).alias("cost_u")
@@ -824,7 +840,6 @@ def q2_min_cost_supplier(spark, sf_dir):
     best = eligible.withColumn(
         "_min_cost", F.min("cost_u").over(W.partitionBy("l_partkey"))
     ).where(F.col("cost_u") == F.col("_min_cost"))
-    pf = p.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
     return best.join(F.broadcast(pf), best.l_partkey == pf.p_partkey).select(
         "s_acctbal",
         "s_name",
