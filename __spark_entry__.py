@@ -2291,6 +2291,47 @@ def text_quality_stats(spark, sf_dir):
 
 
 @_q(
+    "bm25_relevance_scores",
+    r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    tf AS (
+      SELECT doc_id, len(ws) AS dl,
+             len(list_filter(ws, x -> x = 'join')) AS tf0,
+             len(list_filter(ws, x -> x = 'window')) AS tf1,
+             len(list_filter(ws, x -> x = 'spark')) AS tf2,
+             len(list_filter(ws, x -> x = 'outlier')) AS tf3
+      FROM w),
+    g AS (
+      SELECT count(*) AS n, sum(dl) AS sum_dl,
+             count(*) FILTER (WHERE tf0 > 0) AS df0,
+             count(*) FILTER (WHERE tf1 > 0) AS df1,
+             count(*) FILTER (WHERE tf2 > 0) AS df2,
+             count(*) FILTER (WHERE tf3 > 0) AS df3
+      FROM tf)
+    SELECT tf.doc_id, CAST(tf.dl AS BIGINT) AS dl,
+           round(
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+           + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+           + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+           + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+           , 6) AS score
+    FROM tf, g
+    """,
+)
+def bm25_relevance_scores(spark, sf_dir):
+    """Okapi BM25 of every document against a 4-term topic query (the
+    relevance-filter primitive for corpus curation; 'outlier' has zero
+    document frequency on purpose — it exercises the df=0 idf branch).
+    Per-term tfs count in-row over the bound word array (no corpus
+    explode or shuffle); N/Σdl/per-term dfs reduce to one 1-row
+    aggregate broadcast-crossjoined back (scalar-subquery pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bm25_scores(docs, ["join", "window", "spark", "outlier"])
+
+
+@_q(
     "text_fingerprint",
     """
     WITH sh AS (
@@ -3610,14 +3651,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # semantics + same oracles, but the code changed, so the driver must
 # re-prove the hashes); (b) the whole round-3-green set, now three
 # windows stale — the TPC-H remainder, semi/anti joins, grouping
-# sets, and two scalar fns; (c) 31 of the 41 round-4-green queries
-# (all but 9 deferred). The 50-slot budget can't hold all 56 stale
-# greens; the 9 deferred r4 queries (simhash_docs,
+# sets, and two scalar fns; (c) 30 of the 41 round-4-green queries,
+# plus the query added this round (bm25_relevance_scores — new code
+# must earn a driver row immediately). The 50-slot budget can't hold
+# all 56 stale greens; the 10 deferred r4 queries (simhash_docs,
 # minhash_signatures, knn_bruteforce, cosine_threshold_pairs,
 # jaccard_pairs_by_source, text_hashed_bow, corpus_stats,
-# sample_stratified_counts, split_assign_counts — all unchanged since
-# their r4 green and pytest-pinned) lead the round-7 window. The
-# entire r5-green set (50 queries) rotates out.
+# sample_stratified_counts, split_assign_counts, training_order_head
+# — all unchanged since their r4 green and pytest-pinned) lead the
+# round-7 window. The entire r5-green set (50 queries) rotates out.
 _DRIVER_PRIORITY = [
     # (a) changed-this-round kernels — re-prove post-change
     "simhash_hamming_pairs", "dup_span_stats",
@@ -3642,7 +3684,7 @@ _DRIVER_PRIORITY = [
     # (c) r4-green rotation: LLM dedup / text / curation
     "dedup_exact_groups", "lsh_jaccard_near_dup", "minhash_lsh_pairs",
     "pii_redaction", "text_language_id", "text_quality_stats",
-    "text_token_stats", "pack_chunks_by_source", "training_order_head",
+    "text_token_stats", "pack_chunks_by_source", "bm25_relevance_scores",
     "stream_curated_front", "sessionize_users",
     # (c) r4-green rotation: set ops + media
     "set_intersect_nations", "set_except_nations", "mm_ppm_image_stats",

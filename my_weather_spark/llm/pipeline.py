@@ -152,6 +152,8 @@ class CurateReport:
     n_chunks: int
     # None when the optional LM-perplexity stage is off
     n_after_ppl: int | None = None
+    # None when the optional BM25 topic-relevance stage is off
+    n_after_bm25: int | None = None
 
 
 def curate_corpus(
@@ -165,6 +167,8 @@ def curate_corpus(
     quality_ref: DataFrame | None = None,
     max_ppl: float | None = None,
     ppl_alpha: float = 0.5,
+    relevance_query: list[str] | None = None,
+    min_bm25: float | None = None,
     strata_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -176,6 +180,7 @@ def curate_corpus(
         clean_corpus (quality -> exact dedup -> LSH near-dup)
           -> benchmark decontamination (broadcast n-gram anti-join)
           -> [LM-perplexity quality gate vs quality_ref (optional)]
+          -> [BM25 topic-relevance gate vs relevance_query (optional)]
           -> data mixing (per-source deterministic hash rates)
           -> train/val/test split assignment (hash buckets)
           -> sequence packing of the train split (concat-and-chunk)
@@ -221,6 +226,22 @@ def curate_corpus(
         ).localCheckpoint()
         n_ppl = clean.count()
 
+    # optional BM25 topic-relevance gate (targeted-corpus curation:
+    # keep documents that score against a topic seed query). Runs with
+    # the same placement rationale as the ppl gate: after dedup/
+    # decontam, before mixing. The scoring pass is narrow (in-row tfs
+    # + one broadcast 1-row stats join), so the gate adds no shuffle.
+    n_bm25 = None
+    if min_bm25 is not None:
+        if not relevance_query:
+            raise ValueError("min_bm25 requires relevance_query")
+        scores = text_ops.bm25_scores(
+            clean, relevance_query, text_col=text_col, id_col=id_col
+        )
+        keep = scores.where(F.col("score") >= min_bm25).select(id_col)
+        clean = clean.join(keep, id_col, "left_semi").localCheckpoint()
+        n_bm25 = clean.count()
+
     if mixing_rates:
         clean = sampling.stratified_sample(
             clean, mixing_rates, strata_col=strata_col,
@@ -260,5 +281,6 @@ def curate_corpus(
         n_test=split_counts.get("test", 0),
         n_chunks=int(n_chunks),
         n_after_ppl=n_ppl,
+        n_after_bm25=n_bm25,
     )
     return out, report

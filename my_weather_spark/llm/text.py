@@ -357,6 +357,80 @@ def redact_pii(
 
 
 # ----------------------------------------------------------------------
+# BM25 relevance scoring: rank documents against a small term query —
+# the retrieval/relevance-filter primitive of a curation pipeline
+# (e.g. "keep documents that score against a topic seed query").
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, dl, score) — Okapi BM25 of each document for ``query_terms``
+    (Lucene idf variant: ln(1 + (N - df + 0.5)/(df + 0.5))); ``dl`` is
+    the document word count, score rounds to 6.
+
+    Scale shape: per-term tfs are counted IN-ROW over the bound word
+    array (one narrow projection; no corpus explode, no shuffle at
+    all for the tf side — queries are a handful of terms, so the k
+    HOF passes per doc are bounded and the word array is bound to a
+    real column first per the _ngram_hashes PERF CONTRACT). The
+    corpus-global stats (N, Σdl, per-term df) reduce to ONE 1-row
+    aggregate that broadcast-crossjoins back onto the tf rows — the
+    scalar-subquery pattern, zero data movement of the corpus. Term
+    list order does not affect the result (summation order is fixed
+    by the deduped term list, and each addend is computed per-row).
+    """
+    # dedupe, preserving first occurrence: a repeated term must not
+    # double-count, and the fixed order keeps float summation
+    # deterministic across calls.
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    bound = df.withColumn("_bm25_ws", _words(F.col(text_col)))
+    ws = F.col("_bm25_ws")
+    def _tf(term: str) -> Column:
+        # closure via parameter, NOT a lambda default arg: a second
+        # lambda parameter makes PySpark pass the (element, index)
+        # form and the index column leaks into the comparison.
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)]
+    tfs = bound.select(
+        F.col(id_col), F.size(ws).cast("long").alias("dl"), *tf_cols
+    )
+    stats = tfs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_sum_dl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, F.lit(1))).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("_sum_dl") / F.col("_n")
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        tf = F.col(f"_tf{i}")
+        part = (
+            idf
+            * tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+        )
+        # wordless docs: dl = 0 and tf = 0 -> 0/«k1·(1-b)» = 0, no NaN
+        score = part if score is None else score + part
+    return tfs.join(F.broadcast(stats)).select(
+        id_col, "dl", F.round(score, 6).alias("score")
+    )
+
+
+# ----------------------------------------------------------------------
 # Feature hashing: fixed-dim bag-of-words embedding (the "hashing
 # trick"). Deterministic (md5-based), so reproducible across engines.
 def hashed_bow(

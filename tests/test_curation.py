@@ -396,3 +396,26 @@ def test_curate_corpus_perplexity_stage(spark):
     assert {r["doc_id"] for r in out.collect()} == {0}
     with pytest.raises(ValueError):
         curate_corpus(docs, max_ppl=10.0, split_weights=(1.0,), min_words=5)
+
+
+def test_curate_corpus_bm25_relevance_stage(spark):
+    from my_weather_spark.llm.pipeline import curate_corpus
+
+    rows = [
+        (0, "spark shuffle join broadcast join shuffle spark plan", "web"),
+        (1, "gardening soil tomato compost watering sunlight mulch pruning", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from my_weather_spark.llm import text as text_ops
+
+    q = ["spark", "join", "shuffle"]
+    scores = {r["doc_id"]: r["score"] for r in text_ops.bm25_scores(docs, q).collect()}
+    assert scores[0] > scores[1]
+    cut = (scores[0] + scores[1]) / 2
+    out, rep = curate_corpus(
+        docs, relevance_query=q, min_bm25=cut, split_weights=(1.0,), min_words=5
+    )
+    assert rep.n_after_bm25 == 1
+    assert {r["doc_id"] for r in out.collect()} == {0}
+    with pytest.raises(ValueError):
+        curate_corpus(docs, min_bm25=1.0, split_weights=(1.0,), min_words=5)

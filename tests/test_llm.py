@@ -1002,3 +1002,37 @@ def test_jpeg_restart_interval_and_malformed_inputs():
     bad[dqt : dqt + 2] = _struct.pack(">H", 60000)
     with pytest.raises(ValueError):
         J.decode_jpeg(bytes(bad))
+
+
+def test_bm25_scores_golden_and_edges(spark):
+    """Hand-computed BM25 (Lucene idf) on a 3-doc corpus + edge cases:
+    zero-df query term, wordless doc, duplicate query terms dedup."""
+    import math
+
+    rows = [
+        (0, "spark spark join"),      # dl=3
+        (1, "join filter"),           # dl=2
+        (2, "   "),                   # dl=0 (wordless)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in text_ops.bm25_scores(
+            docs, ["spark", "join", "spark", "ghost"]
+        ).collect()
+    }
+    n, k1, b = 3, 1.2, 0.75
+    avgdl = (3 + 2 + 0) / 3
+    def idf(df_):
+        return math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+    def part(tf, dl, df_):
+        return idf(df_) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    exp0 = part(2, 3, 1) + part(1, 3, 2)  # spark(df=1), join(df=2)
+    exp1 = part(0, 2, 1) + part(1, 2, 2)
+    assert got[0]["dl"] == 3 and got[1]["dl"] == 2 and got[2]["dl"] == 0
+    assert abs(got[0]["score"] - round(exp0, 6)) < 1e-6
+    assert abs(got[1]["score"] - round(exp1, 6)) < 1e-6
+    # wordless doc scores 0 (not NaN/NULL), zero-df term contributes 0
+    assert got[2]["score"] == 0.0
+    with pytest.raises(ValueError):
+        text_ops.bm25_scores(docs, [])
