@@ -19,8 +19,10 @@ decontamination): the model tables are reference-derived and SMALL by
 construction — both are broadcast; the corpus side explodes its
 bigrams into the broadcast probe and collapses back with one map-side
 combined aggregation. One narrow corpus pass, no corpus shuffle except
-the per-doc aggregate. V is a driver scalar (one count over the
-reference vocabulary — bounded).
+the per-doc aggregate. V (reference vocabulary size) stays IN-PLAN as
+a one-row broadcast crossjoin — no driver action blocks the plan —
+and the prefix-count table derives from the bigram table (c1 = Σ_w2
+c12 by definition), so the reference corpus explodes once, not twice.
 
 Float determinism: the per-doc sum of log-probs is order-dependent at
 ~1e-15 relative; outputs round to 6 decimals (engine convention), far
@@ -72,11 +74,29 @@ def train_bigram_counts(
     smoothed conditional normalizes; V = |vocab| + 1 (UNK)."""
     bg = _doc_bigrams(ref, text_col, id_col)
     bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    prefixes = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    prefixes = _prefixes_from_bigrams(bigrams)
     vocab = (
         ref.select(F.explode(_word_col(text_col)).alias("w")).distinct().count()
     )
     return prefixes, bigrams, int(vocab) + 1
+
+
+def _prefixes_from_bigrams(bigrams: DataFrame) -> DataFrame:
+    # c1(w1) = count of w1 as bigram prefix = Σ_w2 c12 BY DEFINITION —
+    # derived from the (small) bigram table instead of re-aggregating
+    # the reference corpus, so the reference's bigram explode runs
+    # once per broadcast, not twice.
+    return bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+
+
+def _vocab_row(ref: DataFrame, text_col: str) -> DataFrame:
+    # V = |reference vocab| + 1 (UNK) as a ONE-ROW frame, kept in-plan
+    # (broadcast crossjoin) instead of a blocking driver count():
+    # one fewer action, and the scoring plan stays a single job.
+    return (
+        ref.select(F.explode(_word_col(text_col)).alias("w"))
+        .agg((F.count_distinct("w") + 1).alias("_V"))
+    )
 
 
 def perplexity_scores(
@@ -91,19 +111,25 @@ def perplexity_scores(
     avg_logp = mean natural-log bigram probability under the
     reference add-alpha model (rounded 6); ppl = exp(-avg_logp)
     (rounded 4). Documents with fewer than 2 words keep NULL scores.
-    Both model tables broadcast; the corpus never shuffles except the
-    per-document aggregate.
+    Both model tables broadcast; V rides as a 1-row broadcast
+    crossjoin (scalar-subquery pattern) so no driver action blocks
+    the plan; the corpus never shuffles except the per-document
+    aggregate.
     """
-    prefixes, bigrams, V = train_bigram_counts(ref, text_col, id_col)
+    bg_ref = _doc_bigrams(ref, text_col, id_col)
+    bigrams = bg_ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    prefixes = _prefixes_from_bigrams(bigrams)
+    vocab = _vocab_row(ref, text_col)
     bg = _doc_bigrams(docs, text_col, id_col)
     scored = (
         bg.join(F.broadcast(bigrams), ["w1", "w2"], "left")
         .join(F.broadcast(prefixes), "w1", "left")
+        .join(F.broadcast(vocab))
         .select(
             id_col,
             F.log(
                 (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * V)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("_V"))
             ).alias("_lp"),
         )
     )

@@ -1036,3 +1036,25 @@ def test_bm25_scores_golden_and_edges(spark):
     assert got[2]["score"] == 0.0
     with pytest.raises(ValueError):
         text_ops.bm25_scores(docs, [])
+
+
+def test_simhash_kernel_bucket_boundary_carry(spark):
+    """The fused banding kernel scans sorted partitions in Arrow
+    batches; a bucket spanning a batch boundary (or ending exactly ON
+    one) must be stitched, not split. Force 7-row batches and compare
+    against the result under default batching."""
+    rows = [(i, f"doc number {i} with shared words alpha beta gamma delta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        map(tuple, dedup.simhash_hamming_pairs(df, max_hamming=3, bits=60).collect())
+    )
+    assert want  # the shared vocabulary guarantees some close pairs
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = sorted(
+            map(tuple, dedup.simhash_hamming_pairs(df, max_hamming=3, bits=60).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want
