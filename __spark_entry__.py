@@ -3651,19 +3651,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # semantics + same oracles, but the code changed, so the driver must
 # re-prove the hashes); (b) the whole round-3-green set, now three
 # windows stale — the TPC-H remainder, semi/anti joins, grouping
-# sets, and two scalar fns; (c) 30 of the 41 round-4-green queries,
+# sets, and two scalar fns; (c) 29 of the 41 round-4-green queries,
 # plus the query added this round (bm25_relevance_scores — new code
 # must earn a driver row immediately). The 50-slot budget can't hold
-# all 56 stale greens; the 10 deferred r4 queries (simhash_docs,
+# all 56 stale greens; the 11 deferred r4 queries (simhash_docs,
 # minhash_signatures, knn_bruteforce, cosine_threshold_pairs,
 # jaccard_pairs_by_source, text_hashed_bow, corpus_stats,
-# sample_stratified_counts, split_assign_counts, training_order_head
-# — all unchanged since their r4 green and pytest-pinned) lead the
-# round-7 window. The entire r5-green set (50 queries) rotates out.
+# sample_stratified_counts, split_assign_counts, training_order_head,
+# set_except_nations — all unchanged since their r4 green and
+# pytest-pinned) lead the round-7 window. The entire r5-green set
+# (49 remaining) rotates out except lm_perplexity_scores, which
+# changed this round and re-proves in slot (a).
 _DRIVER_PRIORITY = [
     # (a) changed-this-round kernels — re-prove post-change
     "simhash_hamming_pairs", "dup_span_stats",
     "q16_supplier_part_counts", "near_dup_components",
+    "lm_perplexity_scores",
     # (b) r3-green rotation: TPC-H remainder
     "q4_late_shipment_priority", "q6_forecast_revenue",
     "q7_nation_trade", "q8_market_share", "q9_profit_by_nation_year",
@@ -3686,8 +3689,10 @@ _DRIVER_PRIORITY = [
     "pii_redaction", "text_language_id", "text_quality_stats",
     "text_token_stats", "pack_chunks_by_source", "bm25_relevance_scores",
     "stream_curated_front", "sessionize_users",
-    # (c) r4-green rotation: set ops + media
-    "set_intersect_nations", "set_except_nations", "mm_ppm_image_stats",
+    # (c) r4-green rotation: set ops + media (set_except_nations — a
+    # 0-row EXCEPT, the lowest-information stale green — deferred to
+    # r7 to make room for the changed lm_perplexity_scores)
+    "set_intersect_nations", "mm_ppm_image_stats",
 ]
 
 
