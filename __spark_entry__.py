@@ -2234,6 +2234,50 @@ def text_hashed_bow(spark, sf_dir):
     return text_ops.hashed_bow(docs, dim=64)
 
 
+@_q(
+    "semdedup_kept",
+    """
+    WITH t AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5('semdedup' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS ticket
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS seed_id, embedding AS sv, ticket,
+             row_number() OVER (ORDER BY ticket, vec_id) AS sidx
+      FROM t
+      QUALIFY sidx <= 16),
+    assigned AS (
+      SELECT vec_id, embedding, cluster_id FROM (
+        SELECT t.vec_id, t.embedding, s.seed_id AS cluster_id,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY list_cosine_similarity(t.embedding::DOUBLE[], s.sv::DOUBLE[]) DESC,
+                          s.ticket, s.seed_id) AS rn
+        FROM t, seeds s)
+      WHERE rn = 1),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+            >= 0.35)
+    SELECT a.vec_id, a.cluster_id, d.vec_id IS NULL AS kept
+    FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    """,
+)
+def semdedup_kept(spark, sf_dir):
+    """SemDeDup-style cluster-bounded semantic dedup over the embedding
+    column: deterministic ticket-sampled anchors -> max-cosine
+    assignment (one narrow BLAS pass) -> per-cluster blocked
+    upper-triangle near-dup drop. Hash-verified END TO END — anchor
+    choice, cluster assignment, and every keep/drop decision replay in
+    the SQL oracle (the k-means IVF variant is recall-pinned instead).
+    The oracle's corpus x seeds cross join is the one-row-side
+    broadcast pattern (k=16 anchors); Spark never joins at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, n_clusters=16, threshold=0.35)
+
+
 @_q("srp_cosine_near_dup", None)
 def srp_cosine_near_dup(spark, sf_dir):
     """Corpus-x-corpus embedding near-dup via signed-random-projection
@@ -3689,10 +3733,15 @@ _DRIVER_PRIORITY = [
     "pii_redaction", "text_language_id", "text_quality_stats",
     "text_token_stats", "pack_chunks_by_source", "bm25_relevance_scores",
     "stream_curated_front", "sessionize_users",
-    # (c) r4-green rotation: set ops + media (set_except_nations — a
-    # 0-row EXCEPT, the lowest-information stale green — deferred to
-    # r7 to make room for the changed lm_perplexity_scores)
-    "set_intersect_nations", "mm_ppm_image_stats",
+    # (c) r4-green rotation: media. The two set-op queries
+    # (set_except_nations — a 0-row EXCEPT — and set_intersect_nations)
+    # are deferred to r7 as the lowest-information stale greens
+    # (built-in INTERSECT/EXCEPT machinery, pytest-covered), making
+    # room for the changed lm_perplexity_scores and the new
+    # semdedup_kept.
+    "mm_ppm_image_stats",
+    # (d) new this round — needs its first driver row
+    "semdedup_kept",
 ]
 
 

@@ -8,6 +8,7 @@ operators exactly the way a 100 TB run would chain them:
         -> [exact duplicate-span drop (optional)]
         -> MinHash-LSH candidates
         -> Jaccard verify -> drop near-dups (keep smallest id)
+        -> [semantic dedup over doc embeddings (optional, SemDeDup)]
         -> attach analysis columns (tokens, language, fingerprint)
 
 Every stage is a DataFrame transformation; the only materialization
@@ -26,7 +27,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from my_weather_spark.llm import decontam, dedup, lm, packing, sampling, text as text_ops
+from my_weather_spark.llm import (
+    decontam,
+    dedup,
+    lm,
+    packing,
+    sampling,
+    similarity,
+    text as text_ops,
+)
 
 
 @dataclass
@@ -38,6 +47,8 @@ class CleanReport:
     n_near_dup_pairs: int
     # None when the optional span-dedup stage is off
     n_after_span: int | None = None
+    # None when the optional semantic-dedup stage is off
+    n_after_semdedup: int | None = None
 
 
 def clean_corpus(
@@ -50,6 +61,11 @@ def clean_corpus(
     line_dedup_min_df: int | None = None,
     span_dedup_max_ratio: float | None = None,
     span_dedup_n: int = 20,
+    embeddings: DataFrame | None = None,
+    semdedup_threshold: float | None = None,
+    semdedup_clusters: int = 16,
+    embedding_id_col: str = "vec_id",
+    embedding_vec_col: str = "embedding",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, CleanReport]:
@@ -129,6 +145,30 @@ def clean_corpus(
     survivors = exact.join(losers, id_col, "left_anti").localCheckpoint()
     n_near = survivors.count()
 
+    # 4b. optional semantic dedup (SemDeDup): embedding-space near-dups
+    # the lexical stages can't see. Runs LAST of the dedup stages over
+    # the embeddings of the SURVIVING docs only (so a drop decision is
+    # never justified by a doc that earlier stages already removed).
+    # ``embeddings`` must share the document id space (one vector per
+    # doc, ``embedding_id_col`` == the doc's ``id_col`` value); docs
+    # without an embedding pass through — no vector, no dedup signal.
+    n_semdedup = None
+    if embeddings is not None and semdedup_threshold is not None:
+        live = embeddings.join(
+            survivors.select(F.col(id_col).alias(embedding_id_col)),
+            embedding_id_col,
+            "left_semi",
+        )
+        flags = similarity.semantic_dedup(
+            live, n_clusters=semdedup_clusters, threshold=semdedup_threshold,
+            id_col=embedding_id_col, vec_col=embedding_vec_col,
+        )
+        sem_losers = flags.where(~F.col("kept")).select(
+            F.col(embedding_id_col).alias(id_col)
+        )
+        survivors = survivors.join(sem_losers, id_col, "left_anti").localCheckpoint()
+        n_semdedup = survivors.count()
+
     # 5. analysis columns for the surviving corpus
     stats = text_ops.token_stats(survivors, text_col, id_col)
     lang = text_ops.language_id(survivors, text_col, id_col)
@@ -138,7 +178,9 @@ def clean_corpus(
         .join(lang, id_col)
         .join(fp, id_col)
     )
-    return out, CleanReport(n_input, n_quality, n_exact, n_near, n_pairs, n_span)
+    return out, CleanReport(
+        n_input, n_quality, n_exact, n_near, n_pairs, n_span, n_semdedup
+    )
 
 
 @dataclass

@@ -408,6 +408,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     _cmat=None,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (by cosine).
 
@@ -416,6 +417,10 @@ def ivf_assign(
     shuffle-free narrow pass, no join, no window. ``_cmat`` lets a
     caller that already collected the centroid matrix pass it in
     (ivf_topk needs it twice — once here, once for probe selection).
+    ``fan_out=False`` skips the small-input repartition — right when
+    the very next op is itself a shuffle that supplies the
+    parallelism (semantic_dedup's cluster groupBy), since the assign
+    is O(k x dim) per row, cheap relative to what follows.
     """
     import numpy as np
 
@@ -442,7 +447,10 @@ def ivf_assign(
     id_type = corpus.schema[id_col].dataType.simpleString()
     vec_type = corpus.schema[vec_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, {vec_col} {vec_type}, {centroid_id_col} long"
-    return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(_assign, schema)
+    narrow = corpus.select(id_col, vec_col)
+    if fan_out:
+        narrow = _fan_out(narrow)
+    return narrow.mapInPandas(_assign, schema)
 
 
 def ivf_topk(
@@ -800,4 +808,104 @@ def srp_lsh_pairs(
     return (
         parted.mapInPandas(_verify, schema=f"id_a {id_type}, id_b {id_type}, cos double")
         .distinct()
+    )
+
+
+# ----------------------------------------------------------------------
+# SemDeDup: cluster-bounded exact-cosine semantic dedup.
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "semdedup",
+    block: int = 2048,
+) -> DataFrame:
+    """Semantic (embedding-space) near-dup removal, SemDeDup-style
+    (Abbas et al. 2023, arXiv:2303.09540): partition the corpus into
+    ``n_clusters`` embedding clusters, then within each cluster drop
+    every vector that has a higher-priority near-duplicate
+    (rounded cosine >= ``threshold``). Output one row per input vector:
+    ``(id, cluster_id, kept)``.
+
+    Cluster anchors are the ``n_clusters`` corpus vectors with the
+    lowest md5 tickets (the shared sampling ticket formula —
+    deterministic, content-keyed, engine-reproducible); every vector
+    goes to its max-cosine anchor (ties: lowest-ticket anchor). Using
+    anchor vectors instead of Lloyd-iterated centroids keeps the whole
+    operator closed-form — the same clustering is expressible in the
+    SQL oracle, so the dedup decisions are hash-verifiable end to end
+    (the k-means variant of the same shape is ivf_centroids/ivf_assign,
+    pinned by recall tests instead).
+
+    Keep rule: within a cluster, a vector is dropped iff SOME
+    lower-id vector in the cluster is within ``threshold`` — a
+    single vectorized pass, deterministic, and the survivors of a
+    cluster are pairwise BELOW threshold (so a re-run under the SAME
+    anchors drops nothing; a fresh run re-derives anchors from the
+    kept subset and may re-cluster). This is the scalable one-pass
+    variant of SemDeDup's per-group survivor choice; it can
+    over-drop a chain tail vs the sequential greedy (A~B, B~C, A!~C
+    drops both B and C) — the documented trade for not iterating.
+
+    Scale shape (100 TB): anchor matrix broadcasts (k x dim); the
+    assign pass is narrow (one BLAS argmax per Arrow batch, no join —
+    ivf_assign); then ONE shuffle on cluster_id and a per-cluster
+    blocked upper-triangle BLAS (block x m tiles, memory-bounded).
+    Work is the inherent sum of m_c^2 within-cluster comparisons —
+    ``n_clusters`` is the lever and must scale with the corpus
+    (k ~ N / target_cluster_size) to bound both skew and quadratic
+    cost, exactly the published SemDeDup deployment shape. No
+    counterpart in the reference repo (no embedding path there).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from my_weather_spark.llm.sampling import _ticket
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cluster_id long, kept boolean"
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_tk", _ticket(id_col, seed))
+        .orderBy("_tk", id_col)
+        .limit(n_clusters)
+        .collect()
+    )  # k rows — bounded driver metadata, same pattern as ivf_centroids
+    if not seeds:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    seed_ids = np.array([r[id_col] for r in seeds], dtype=np.int64)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, norms, out=mat, where=norms > 0)
+
+    assigned = ivf_assign(
+        corpus, None, id_col, vec_col,
+        centroid_id_col="cluster_id", _cmat=(seed_ids, mat),
+        fan_out=False,  # the cluster groupBy right after is the fan-out
+    )
+
+    def _dedup_cluster(key, pdf):
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        A = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+        m = len(ids)
+        dropped = np.zeros(m, dtype=bool)
+        for s in range(0, m, block):
+            gi = np.arange(s, min(s + block, m))
+            S = np.round(A[gi] @ A.T, 6)
+            hit = S >= threshold  # NaN (zero-norm vec) never passes
+            # rows are id-sorted: column j is dropped when some row i
+            # with a strictly lower id (i < j) is within threshold.
+            mask = np.arange(m)[None, :] > gi[:, None]
+            dropped |= (hit & mask).any(axis=0)
+        return pd.DataFrame(
+            {id_col: ids, "cluster_id": key[0], "kept": ~dropped}
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        _dedup_cluster, schema=out_schema
     )

@@ -419,3 +419,36 @@ def test_curate_corpus_bm25_relevance_stage(spark):
     assert {r["doc_id"] for r in out.collect()} == {0}
     with pytest.raises(ValueError):
         curate_corpus(docs, min_bm25=1.0, split_weights=(1.0,), min_words=5)
+
+
+def test_clean_corpus_semantic_dedup_stage(spark):
+    from my_weather_spark.llm.pipeline import clean_corpus
+
+    rows = [
+        (0, "a first document about weather stations in the far north", "web"),
+        (1, "something else entirely concerning music and dance halls", "web"),
+        (2, "paraphrased weather station coverage for northern regions", "web"),
+        (3, "a doc with no embedding at all must pass straight through", "web"),
+        (4, "too short", "web"),  # quality-dropped before semdedup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),  # semantic dup of 0 (lexically distinct)
+            # doc 4 shares doc 2's direction but is quality-dropped first:
+            # it must NOT be the reason doc 2 is removed — doc 0 is
+            (4, [1.0, 0.002, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out_plain, rep_plain = clean_corpus(docs, min_words=5, jaccard_threshold=0.99)
+    assert rep_plain.n_after_semdedup is None
+    assert {r["doc_id"] for r in out_plain.collect()} == {0, 1, 2, 3}
+    out, rep = clean_corpus(
+        docs, min_words=5, jaccard_threshold=0.99,
+        embeddings=emb, semdedup_threshold=0.9, semdedup_clusters=2,
+    )
+    assert rep.n_after_semdedup == 3
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 3}

@@ -1058,3 +1058,108 @@ def test_simhash_kernel_bucket_boundary_carry(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic dedup.
+def _semdedup_reference(ids, vecs, n_clusters, threshold, seed="semdedup"):
+    """Pure-python/numpy replay of semantic_dedup's contract."""
+    import hashlib
+
+    import numpy as np
+
+    def ticket(i):
+        h = hashlib.md5(f"{seed}{i}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    order = sorted(range(len(ids)), key=lambda k: (ticket(ids[k]), ids[k]))
+    seeds = order[: n_clusters]
+    smat = np.asarray([vecs[k] for k in seeds], dtype=np.float64)
+    smat /= np.linalg.norm(smat, axis=1, keepdims=True)
+    A = np.asarray(vecs, dtype=np.float64)
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+    cluster = {ids[k]: ids[seeds[np.argmax(A[k] @ smat.T)]] for k in range(len(ids))}
+    out = {}
+    for k in range(len(ids)):
+        kept = True
+        for j in range(len(ids)):
+            if ids[j] < ids[k] and cluster[ids[j]] == cluster[ids[k]]:
+                if np.round(float(A[j] @ A[k]), 6) >= threshold:
+                    kept = False
+                    break
+        out[ids[k]] = (cluster[ids[k]], kept)
+    return out
+
+
+def test_semantic_dedup_matches_bruteforce_reference(spark, sf_dir):
+    from my_weather_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in similarity.semantic_dedup(emb, n_clusters=8, threshold=0.3).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [list(r["embedding"]) for r in rows]
+    want = _semdedup_reference(ids, vecs, n_clusters=8, threshold=0.3)
+    assert got == want
+    assert any(not kept for _, kept in got.values())  # threshold does real work
+
+
+def test_semantic_dedup_idempotent_and_partition_invariant(spark, sf_dir):
+    from my_weather_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = similarity.semantic_dedup(emb, n_clusters=8, threshold=0.3)
+    base = {(r["vec_id"], r["cluster_id"], r["kept"]) for r in first.collect()}
+    shuffled = {
+        (r["vec_id"], r["cluster_id"], r["kept"])
+        for r in similarity.semantic_dedup(
+            emb.repartition(13), n_clusters=8, threshold=0.3
+        ).collect()
+    }
+    assert shuffled == base
+    # the survivor invariant: within a cluster, kept vectors are
+    # pairwise BELOW threshold (so under the same anchors a second
+    # pass would drop nothing; fresh anchors may re-cluster)
+    import numpy as np
+
+    vec = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.select("vec_id", "embedding").collect()}
+    by_cluster = {}
+    for v, c, k in base:
+        if k:
+            by_cluster.setdefault(c, []).append(v)
+    checked = 0
+    for members in by_cluster.values():
+        for i, a in enumerate(members):
+            va = vec[a] / np.linalg.norm(vec[a])
+            for b in members[i + 1:]:
+                vb = vec[b] / np.linalg.norm(vec[b])
+                assert np.round(float(va @ vb), 6) < 0.3
+                checked += 1
+    assert checked > 0
+
+
+def test_semantic_dedup_edges(spark):
+    import numpy as np
+
+    # empty corpus -> empty result with the right schema
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(empty, n_clusters=4, threshold=0.5)
+    assert out.columns == ["vec_id", "cluster_id", "kept"] and out.count() == 0
+    # n_clusters > n rows; exact duplicate vectors dedup to the lowest id;
+    # a zero-norm vector (NaN cosine) never drops nor is dropped
+    rows = [
+        (10, [1.0, 0.0]),
+        (11, [1.0, 0.0]),        # exact dup of 10
+        (12, [0.0, 1.0]),        # orthogonal — kept
+        (13, [0.0, 0.0]),        # zero-norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semantic_dedup(df, n_clusters=16, threshold=0.9).collect()
+    }
+    assert got == {10: True, 11: False, 12: True, 13: True}
