@@ -3696,16 +3696,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-prove the hashes); (b) the whole round-3-green set, now three
 # windows stale — the TPC-H remainder, semi/anti joins, grouping
 # sets, and two scalar fns; (c) 29 of the 41 round-4-green queries,
-# plus the query added this round (bm25_relevance_scores — new code
-# must earn a driver row immediately). The 50-slot budget can't hold
-# all 56 stale greens; the 11 deferred r4 queries (simhash_docs,
-# minhash_signatures, knn_bruteforce, cosine_threshold_pairs,
-# jaccard_pairs_by_source, text_hashed_bow, corpus_stats,
-# sample_stratified_counts, split_assign_counts, training_order_head,
-# set_except_nations — all unchanged since their r4 green and
-# pytest-pinned) lead the round-7 window. The entire r5-green set
-# (49 remaining) rotates out except lm_perplexity_scores, which
-# changed this round and re-proves in slot (a).
+# plus the two queries added this round (bm25_relevance_scores,
+# semdedup_kept — new code must earn a driver row immediately). The
+# 50-slot budget can't hold all 56 stale greens; the 12 deferred r4
+# queries (simhash_docs, minhash_signatures, knn_bruteforce,
+# cosine_threshold_pairs, jaccard_pairs_by_source, text_hashed_bow,
+# corpus_stats, sample_stratified_counts, split_assign_counts,
+# training_order_head, set_except_nations, set_intersect_nations —
+# all unchanged since their r4 green and pytest-pinned) lead the
+# round-7 window. The entire r5-green set (49 remaining) rotates out
+# except lm_perplexity_scores, which changed this round and re-proves
+# in slot (a).
 _DRIVER_PRIORITY = [
     # (a) changed-this-round kernels — re-prove post-change
     "simhash_hamming_pairs", "dup_span_stats",

@@ -268,14 +268,20 @@ class _BitReader:
         self.nbits = 0
 
     def skip_restart(self) -> None:
-        """Consume an RSTn marker at the current byte position."""
+        """Consume an RSTn marker at the current byte position,
+        tolerating optional 0xFF fill bytes before it (T.81 B.1.1.2
+        allows any number of fill bytes ahead of any marker — the
+        header marker loop accepts them too)."""
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0xFF:
+            p += 1
         if (
-            self.pos + 1 >= len(self.data)
-            or self.data[self.pos] != 0xFF
-            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+            p + 1 >= len(self.data)
+            or self.data[p] != 0xFF
+            or not (0xD0 <= self.data[p + 1] <= 0xD7)
         ):
             raise ValueError("expected restart marker")
-        self.pos += 2
+        self.pos = p + 2
 
 
 class _RestartMarker(Exception):

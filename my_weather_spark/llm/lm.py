@@ -66,21 +66,6 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
 
 
-def train_bigram_counts(
-    ref: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame, int]:
-    """(prefix_counts (w1, c1), bigram_counts (w1, w2, c12), V) from
-    the reference corpus. c1 counts w1 as bigram prefix so the
-    smoothed conditional normalizes; V = |vocab| + 1 (UNK)."""
-    bg = _doc_bigrams(ref, text_col, id_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    prefixes = _prefixes_from_bigrams(bigrams)
-    vocab = (
-        ref.select(F.explode(_word_col(text_col)).alias("w")).distinct().count()
-    )
-    return prefixes, bigrams, int(vocab) + 1
-
-
 def _prefixes_from_bigrams(bigrams: DataFrame) -> DataFrame:
     # c1(w1) = count of w1 as bigram prefix = Σ_w2 c12 BY DEFINITION —
     # derived from the (small) bigram table instead of re-aggregating

@@ -409,6 +409,7 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
     _cmat=None,
     fan_out: bool = True,
+    centroid_id_type: str = "long",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (by cosine).
 
@@ -446,7 +447,10 @@ def ivf_assign(
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     vec_type = corpus.schema[vec_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, {vec_col} {vec_type}, {centroid_id_col} long"
+    schema = (
+        f"{id_col} {id_type}, {vec_col} {vec_type}, "
+        f"{centroid_id_col} {centroid_id_type}"
+    )
     narrow = corpus.select(id_col, vec_col)
     if fan_out:
         narrow = _fan_out(narrow)
@@ -865,7 +869,8 @@ def semantic_dedup(
     from my_weather_spark.llm.sampling import _ticket
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, cluster_id long, kept boolean"
+    # cluster_id carries the anchor's corpus id, so it has the id type
+    out_schema = f"{id_col} {id_type}, cluster_id {id_type}, kept boolean"
     seeds = (
         corpus.select(id_col, vec_col)
         .withColumn("_tk", _ticket(id_col, seed))
@@ -875,7 +880,7 @@ def semantic_dedup(
     )  # k rows — bounded driver metadata, same pattern as ivf_centroids
     if not seeds:
         return corpus.sparkSession.createDataFrame([], out_schema)
-    seed_ids = np.array([r[id_col] for r in seeds], dtype=np.int64)
+    seed_ids = np.asarray([r[id_col] for r in seeds])  # int or string ids
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     np.divide(mat, norms, out=mat, where=norms > 0)
@@ -884,6 +889,7 @@ def semantic_dedup(
         corpus, None, id_col, vec_col,
         centroid_id_col="cluster_id", _cmat=(seed_ids, mat),
         fan_out=False,  # the cluster groupBy right after is the fan-out
+        centroid_id_type=id_type,
     )
 
     def _dedup_cluster(key, pdf):

@@ -155,19 +155,24 @@ class TsStore:
         incoming = self._with_partitions(
             df.select("series_id", "ts", "value", "ingest_time"), source
         )
+        # Collapse intra-batch duplicate (series_id, ts) rows ONCE and
+        # materialize: the data write and the catalog summary both
+        # consume the survivors (each used to re-run the window).
+        # Pre-deduping the batch before the merge-path union is
+        # equivalent: the survivor is the max under a total order
+        # (ingest_time desc, value desc), so dropping batch-local
+        # losers first cannot change the combined winner.
+        deduped = merge_dedup(incoming).localCheckpoint(eager=True)
 
         if not self._exists():
-            # merge_dedup even on the fresh-store path: an intra-batch
-            # duplicate (series_id, ts) must collapse identically
-            # whether or not the store already existed.
-            merge_dedup(incoming).write.partitionBy(*PARTITION_COLS).mode(
+            deduped.write.partitionBy(*PARTITION_COLS).mode(
                 "overwrite"
             ).parquet(self.path)
             # fresh=True: a sidecar found beside a store that does NOT
             # exist is necessarily stale (the store was deleted out of
             # band) — overwrite it with just this batch instead of
             # merging ghost series into a brand-new store's catalog.
-            self._update_catalog(incoming, replace=False, fresh=True, source=source)
+            self._update_catalog(deduped, replace=False, fresh=True, source=source)
             return
 
         if overwrite_on_write:
@@ -180,20 +185,20 @@ class TsStore:
                 "series_id",
                 "left_anti",
             )
-            out = merge_dedup(incoming).unionByName(keep.select(*incoming.columns))
+            out = deduped.unionByName(keep.select(*incoming.columns))
             out = out.localCheckpoint(eager=True)
             out.write.partitionBy(*PARTITION_COLS).option(
                 "partitionOverwriteMode", "static"
             ).mode("overwrite").parquet(self.path)
-            self._update_catalog(incoming, replace=True, source=source)
+            self._update_catalog(deduped, replace=True, source=source)
             return
         else:
             # Merge path: only read partitions the incoming batch touches.
-            touched = incoming.select(*PARTITION_COLS).distinct()
+            touched = deduped.select(*PARTITION_COLS).distinct()
             existing = self._read_all().join(
                 F.broadcast(touched), PARTITION_COLS, "left_semi"
             )
-            out = merge_dedup(incoming.unionByName(existing))
+            out = merge_dedup(deduped.unionByName(existing))
 
         # Write to the final location with dynamic partition overwrite
         # (scoped per-write option, not session-global conf). The union
@@ -204,7 +209,7 @@ class TsStore:
         out.write.partitionBy(*PARTITION_COLS).option(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(self.path)
-        self._update_catalog(incoming, replace=False, source=source)
+        self._update_catalog(deduped, replace=False, source=source)
 
     # -- catalog sidecar ---------------------------------------------------
     # One row per (series_id, source): data_period_start/end, created,
@@ -281,18 +286,18 @@ class TsStore:
 
     def _update_catalog(
         self,
-        incoming: DataFrame,
+        deduped: DataFrame,
         replace: bool,
         fresh: bool = False,
         source: str | None = None,
     ) -> None:
-        # Summarize what actually LANDS, not the raw batch: intra-batch
-        # duplicate (series_id, ts) rows with distinct ingest_times are
-        # collapsed by merge_dedup before the data write, so the losing
-        # row's ingest_time must not leak into created/modified (it
-        # would make find(fast=True) disagree with the exact scan).
-        # Cross-batch the monotone min/max merge keeps idempotence.
-        batch = self._summarize(merge_dedup(incoming))
+        # ``deduped`` is the batch AFTER merge_dedup (store() collapses
+        # it once, checkpointed): the summary must reflect what actually
+        # LANDS — an intra-batch losing row's ingest_time must not leak
+        # into created/modified (it would make find(fast=True) disagree
+        # with the exact scan). Cross-batch the monotone min/max merge
+        # keeps idempotence.
+        batch = self._summarize(deduped)
         if fresh or not self._catalog_exists():
             # fresh store: any pre-existing sidecar describes data that
             # was deleted out of band — replace it wholesale.

@@ -989,6 +989,12 @@ def test_jpeg_restart_interval_and_malformed_inputs():
     filled = fixture[:2] + b"\xff\xff" + fixture[2:]
     assert (J.decode_jpeg(filled) == out).all()
 
+    # ... including before an RSTn inside the entropy stream
+    rst_at = len(hdr_wide[:sos_at] + dri + hdr_wide[sos_at:] + ent_left)
+    assert fixture[rst_at : rst_at + 2] == b"\xff\xd0"
+    rst_filled = fixture[:rst_at] + b"\xff" + fixture[rst_at:]
+    assert (J.decode_jpeg(rst_filled) == out).all()
+
     # truncations anywhere raise ValueError, never IndexError/struct.error
     for cut in (3, 5, 12, len(fixture) // 2, len(fixture) - 3):
         with pytest.raises((ValueError, NotImplementedError)):
@@ -1163,3 +1169,14 @@ def test_semantic_dedup_edges(spark):
         for r in similarity.semantic_dedup(df, n_clusters=16, threshold=0.9).collect()
     }
     assert got == {10: True, 11: False, 12: True, 13: True}
+    # string ids: same shapes, cluster_id carries the string anchor id
+    sdf = spark.createDataFrame(
+        [(f"doc-{v}", e) for v, e in rows], "doc_id string, embedding array<float>"
+    )
+    srows = similarity.semantic_dedup(
+        sdf, n_clusters=16, threshold=0.9, id_col="doc_id"
+    ).collect()
+    assert {r["doc_id"]: r["kept"] for r in srows} == {
+        "doc-10": True, "doc-11": False, "doc-12": True, "doc-13": True
+    }
+    assert all(isinstance(r["cluster_id"], str) for r in srows)
