@@ -338,7 +338,7 @@ class TsStore:
             touched = [source]
         else:
             touched = [
-                r["source"] for r in incoming.select("source").distinct().collect()
+                r["source"] for r in deduped.select("source").distinct().collect()
             ]
         old_touched = old.where(F.col("source").isin(touched))
         self._write_catalog(

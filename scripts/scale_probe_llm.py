@@ -28,6 +28,7 @@ QUERIES = [
     "srp_cosine_near_dup",
     "ann_ivf_topk",
     "simhash_hamming_pairs",
+    "semdedup_kept",
     "decontam_flags",
     "pack_chunks_by_source",
     "range_join_error_window",
