@@ -153,6 +153,8 @@ def clean_corpus(
     # doc, ``embedding_id_col`` == the doc's ``id_col`` value); docs
     # without an embedding pass through — no vector, no dedup signal.
     n_semdedup = None
+    if semdedup_threshold is not None and embeddings is None:
+        raise ValueError("semdedup_threshold requires embeddings")
     if embeddings is not None and semdedup_threshold is not None:
         live = embeddings.join(
             survivors.select(F.col(id_col).alias(embedding_id_col)),

@@ -868,6 +868,10 @@ def semantic_dedup(
 
     from my_weather_spark.llm.sampling import _ticket
 
+    if n_clusters < 1:
+        # limit(0) would silently return an empty result for a
+        # NON-empty corpus — make the misconfiguration loud instead
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
     id_type = corpus.schema[id_col].dataType.simpleString()
     # cluster_id carries the anchor's corpus id, so it has the id type
     out_schema = f"{id_col} {id_type}, cluster_id {id_type}, kept boolean"

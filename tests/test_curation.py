@@ -452,3 +452,5 @@ def test_clean_corpus_semantic_dedup_stage(spark):
     )
     assert rep.n_after_semdedup == 3
     assert {r["doc_id"] for r in out.collect()} == {0, 1, 3}
+    with pytest.raises(ValueError):
+        clean_corpus(docs, min_words=5, semdedup_threshold=0.9)

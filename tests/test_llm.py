@@ -1155,6 +1155,8 @@ def test_semantic_dedup_edges(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     out = similarity.semantic_dedup(empty, n_clusters=4, threshold=0.5)
     assert out.columns == ["vec_id", "cluster_id", "kept"] and out.count() == 0
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(empty, n_clusters=0, threshold=0.5)
     # n_clusters > n rows; exact duplicate vectors dedup to the lowest id;
     # a zero-norm vector (NaN cosine) never drops nor is dropped
     rows = [
