@@ -1182,3 +1182,25 @@ def test_semantic_dedup_edges(spark):
         "doc-10": True, "doc-11": False, "doc-12": True, "doc-13": True
     }
     assert all(isinstance(r["cluster_id"], str) for r in srows)
+
+
+def test_semantic_dedup_exact_tie_assigns_lowest_ticket_anchor(spark):
+    """A vector exactly equidistant from two anchors (cos 1/sqrt(2) to
+    both, bit-equal — same float ops) must go to the lower-TICKET
+    anchor: the kernel's argmax takes the first seed in ticket order
+    and the SQL oracle's row_number orders by (cos DESC, ticket,
+    seed_id) — this pins the two tie-breaks to each other."""
+    import hashlib
+
+    def ticket(i):
+        return int(hashlib.md5(f"semdedup{i}".encode()).hexdigest()[:15], 16) % 10**6
+
+    # only two rows -> both are anchors; the third row ties
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in similarity.semantic_dedup(df, n_clusters=2, threshold=0.99).collect()
+    }
+    want_anchor = 1 if ticket(1) < ticket(2) else 2
+    assert got[3] == want_anchor
