@@ -102,7 +102,12 @@ def main() -> None:
     from my_weather_spark.llm.pipeline import clean_corpus, curate_corpus
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    clean, report = clean_corpus(docs, min_words=5, jaccard_threshold=0.9)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    clean, report = clean_corpus(
+        docs, min_words=5, jaccard_threshold=0.9,
+        # SemDeDup stage: vec_id shares the doc_id space in the testdata
+        embeddings=emb, semdedup_threshold=0.35,
+    )
     print("corpus report:", report)
     clean.select("doc_id", "n_words", "predicted_lang").show(5)
 
