@@ -824,6 +824,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "semdedup",
+    keep: str = "min_id",
     block: int = 2048,
 ) -> DataFrame:
     """Semantic (embedding-space) near-dup removal, SemDeDup-style
@@ -844,11 +845,16 @@ def semantic_dedup(
     pinned by recall tests instead).
 
     Keep rule: within a cluster, a vector is dropped iff SOME
-    lower-id vector in the cluster is within ``threshold`` — a
+    higher-PRIORITY vector in the cluster is within ``threshold`` — a
     single vectorized pass, deterministic, and the survivors of a
     cluster are pairwise BELOW threshold (so a re-run under the SAME
     anchors drops nothing; a fresh run re-derives anchors from the
-    kept subset and may re-cluster). This is the scalable one-pass
+    kept subset and may re-cluster). ``keep`` picks the priority:
+    ``"min_id"`` (default, ascending id — the oracle-matched form) or
+    ``"far_from_anchor"`` (ascending cosine to the cluster anchor,
+    ties by id — the paper's diversity-keeping choice: the retained
+    example of each duplicate region is the one farthest from the
+    cluster center). Either way this is the scalable one-pass
     variant of SemDeDup's per-group survivor choice; it can
     over-drop a chain tail vs the sequential greedy (A~B, B~C, A!~C
     drops both B and C) — the documented trade for not iterating.
@@ -872,6 +878,8 @@ def semantic_dedup(
         # limit(0) would silently return an empty result for a
         # NON-empty corpus — make the misconfiguration loud instead
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    if keep not in ("min_id", "far_from_anchor"):
+        raise ValueError(f"keep must be 'min_id' or 'far_from_anchor', got {keep!r}")
     id_type = corpus.schema[id_col].dataType.simpleString()
     # cluster_id carries the anchor's corpus id, so it has the id type
     out_schema = f"{id_col} {id_type}, cluster_id {id_type}, kept boolean"
@@ -895,21 +903,40 @@ def semantic_dedup(
         fan_out=False,  # the cluster groupBy right after is the fan-out
         centroid_id_type=id_type,
     )
+    # anchor vectors by anchor id — only the diversity keep needs them
+    # in the kernel (k x dim, broadcast-sized by construction)
+    anchors = None
+    if keep == "far_from_anchor":
+        anchors = corpus.sparkSession.sparkContext.broadcast(
+            {
+                sid.item() if hasattr(sid, "item") else sid: mat[i]
+                for i, sid in enumerate(seed_ids)
+            }
+        )
 
     def _dedup_cluster(key, pdf):
-        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-        ids = pdf[id_col].to_numpy()[order]
-        A = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        ids_raw = pdf[id_col].to_numpy()
+        A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             A /= np.linalg.norm(A, axis=1, keepdims=True)
+        if keep == "min_id":
+            order = np.argsort(ids_raw, kind="stable")
+        else:
+            # ascending anchor-cosine = farthest-from-center first;
+            # NaN (zero-norm) sorts last — lowest priority, and its
+            # NaN pair cosines never pass the threshold anyway
+            ac = A @ anchors.value[key[0]]
+            order = np.lexsort((ids_raw, ac))
+        ids = ids_raw[order]
+        A = A[order]
         m = len(ids)
         dropped = np.zeros(m, dtype=bool)
         for s in range(0, m, block):
             gi = np.arange(s, min(s + block, m))
             S = np.round(A[gi] @ A.T, 6)
             hit = S >= threshold  # NaN (zero-norm vec) never passes
-            # rows are id-sorted: column j is dropped when some row i
-            # with a strictly lower id (i < j) is within threshold.
+            # rows are priority-sorted: column j is dropped when some
+            # strictly higher-priority row i (i < j in sort order) hits
             mask = np.arange(m)[None, :] > gi[:, None]
             dropped |= (hit & mask).any(axis=0)
         return pd.DataFrame(

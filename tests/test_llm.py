@@ -1184,6 +1184,39 @@ def test_semantic_dedup_edges(spark):
     assert all(isinstance(r["cluster_id"], str) for r in srows)
 
 
+def test_semantic_dedup_keep_far_from_anchor(spark):
+    """The paper's diversity-keeping policy: of a near-dup pair, keep
+    the member FARTHER from the cluster anchor (lowest anchor-cosine
+    priority), vs the default lowest-id policy."""
+    import hashlib
+
+    def ticket(i):
+        return int(hashlib.md5(f"semdedup{i}".encode()).hexdigest()[:15], 16) % 10**6
+
+    # n_clusters=1: the single anchor is the min-(ticket, id) row —
+    # pick the anchor id so the [1,0] row is guaranteed to be it
+    cand = list(range(1, 10))
+    zid = min(cand, key=lambda i: (ticket(i), i))
+    aid, bid = sorted(set(cand) - {zid})[:2]  # aid < bid
+    rows = [(zid, [1.0, 0.0]), (aid, [0.05, 1.0]), (bid, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # a/b are near-dups (cos ~0.9988); a is nearer the anchor than b
+    by_id = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semantic_dedup(df, n_clusters=1, threshold=0.99).collect()
+    }
+    assert by_id == {zid: True, aid: True, bid: False}  # default keeps lower id
+    far = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semantic_dedup(
+            df, n_clusters=1, threshold=0.99, keep="far_from_anchor"
+        ).collect()
+    }
+    assert far == {zid: True, aid: False, bid: True}  # keeps the far member
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(df, keep="nope")
+
+
 def test_semantic_dedup_exact_tie_assigns_lowest_ticket_anchor(spark):
     """A vector exactly equidistant from two anchors (cos 1/sqrt(2) to
     both, bit-equal — same float ops) must go to the lower-TICKET
