@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from my_weather_spark.session import get_spark
-from my_weather_spark.llm import decontam, text as text_ops
+from my_weather_spark.llm import decontam, lm, text as text_ops
 
 N_DOCS = 64  # two tasks/core at 32 threads; per-doc cost is the probe
 LENGTHS = [1_000, 10_000, 100_000]  # words per document
@@ -71,6 +71,7 @@ def main() -> None:
         app_name="scale_probe_doclen",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    ref = synth(spark, 1_000)
     ops = {
         "repetition_stats": lambda d: text_ops.repetition_stats(d),
         "token_stats": lambda d: text_ops.token_stats(d),
@@ -79,6 +80,14 @@ def main() -> None:
         "decontam_grams": lambda d: decontam._with_ngram_hashes(
             d, "text", 5, "_g"
         ).select("doc_id", F.size("_g").alias("n")),
+        # query terms exist in the synthetic vocab (w0..w999) so the
+        # in-row tf filters do real work at every length
+        "bm25_scores": lambda d: text_ops.bm25_scores(
+            d, ["w1", "w2", "w3", "w999"]
+        ),
+        # fixed 1000-word reference: the model side stays constant so
+        # the probe isolates the per-doc scoring cost
+        "lm_perplexity": lambda d: lm.perplexity_scores(d, ref),
     }
     for n_words in LENGTHS:
         docs = synth(spark, n_words)
