@@ -77,8 +77,9 @@ def _q(name: str, sql: str | None):
            round(sum(l_quantity), 2) AS sum_qty,
            round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base_price,
            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS sum_disc_price,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_price,
+           floor(avg(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+           floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -106,12 +107,11 @@ def q1_pricing_summary(spark, sf_dir):
                 / 10000.0,
                 2,
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(
+            ts_ops.round6_portable(F.avg("l_quantity")).alias("avg_qty"),
+            ts_ops.round6_portable(
                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long")
                 / 100.0
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -396,10 +396,11 @@ def q12_ship_delay_priority(spark, sf_dir):
     "q14_promo_share",
     """
     SELECT epoch_us(date_trunc('month', l.l_shipdate)) AS month_us,
-           round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+           floor(CAST(sum(CASE WHEN p.p_type = 'PROMO'
                       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
                       ELSE 0 END) AS BIGINT) * 100.0
-                 / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT), 6) AS promo_pct
+                 / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+                 * 1000000.0 + 0.5) / 1000000.0 AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
     """,
@@ -419,13 +420,12 @@ def q14_promo_share(spark, sf_dir):
             F.unix_micros(F.date_trunc("month", "l_shipdate")).alias("month_us")
         )
         .agg(
-            F.round(
+            ts_ops.round6_portable(
                 F.sum(
                     F.when(F.col("p_type") == "PROMO", F.col("vol_u")).otherwise(F.lit(0))
                 ).cast("long")
                 * 100.0
-                / F.sum("vol_u").cast("long"),
-                6,
+                / F.sum("vol_u").cast("long")
             ).alias("promo_pct")
         )
     )
@@ -1201,7 +1201,7 @@ def p1_period_filter(spark, sf_dir):
     SELECT e.event_type AS series_id,
            round(min(e.value), 6) AS min_value,
            round(max(e.value), 6) AS max_value,
-           round(avg(e.value), 6) AS avg_value,
+           floor(avg(e.value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
            count(e.value) AS n_points,
            round(max(r.value), 6) AS last_value
     FROM events e JOIN ranked r ON e.event_type = r.event_type AND r.rn = 1
@@ -1221,7 +1221,7 @@ def a1_series_stats(spark, sf_dir):
     stats = e.groupBy("series_id").agg(
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        ts_ops.round6_portable(F.avg("value")).alias("avg_value"),
         F.count("value").alias("n_points"),
     )
     return stats.join(last, "series_id").select(
@@ -1495,7 +1495,7 @@ def u2_merge_dedup(spark, sf_dir):
     "resample_hourly",
     """
     SELECT event_type AS series_id, epoch_us(date_trunc('hour', ts)) AS bucket_us,
-           round(avg(value), 6) AS avg_value, count(*) AS n
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value, count(*) AS n
     FROM events GROUP BY event_type, bucket_us
     """,
 )
@@ -1503,13 +1503,16 @@ def resample_hourly(spark, sf_dir):
     e = _events_series(spark, sf_dir)
     return e.groupBy(
         "series_id", F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_us")
-    ).agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+    ).agg(
+        ts_ops.round6_portable(F.avg("value")).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 _W2_SQL = """
     WITH hourly AS (
       SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
-             round(avg(value), 6) AS value
+             floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS value
       FROM events GROUP BY series_id, date_trunc('hour', ts)),
     deltas AS (
       SELECT series_id,
@@ -1540,7 +1543,7 @@ def w2_end_extension(spark, sf_dir):
     the hourly-resampled series, via the engine's end_extension op."""
     e = _events_series(spark, sf_dir)
     hourly = ts_ops.resample(e, "1 hour", "avg").withColumn(
-        "value", F.round("value", 6)
+        "value", ts_ops.round6_portable(F.col("value"))
     )
     return ts_ops.end_extension(hourly).select(
         "series_id", F.unix_micros("ts").alias("ts_us"), "value"
@@ -1556,7 +1559,7 @@ def w2_end_extension_scaled(spark, sf_dir):
     Shares w2_end_extension's oracle bit-for-bit."""
     e = _events_series(spark, sf_dir)
     hourly = ts_ops.resample(e, "1 hour", "avg").withColumn(
-        "value", F.round("value", 6)
+        "value", ts_ops.round6_portable(F.col("value"))
     )
     h = hourly.select(
         "series_id", "ts", "value",
@@ -1604,7 +1607,7 @@ def w2_end_extension_scaled(spark, sf_dir):
     """
     WITH hourly AS (
       SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
-             round(avg(value), 6) AS value
+             floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS value
       FROM events GROUP BY series_id, date_trunc('hour', ts)),
     nxt AS (
       SELECT series_id, ts, value,
@@ -1619,7 +1622,9 @@ def w3_staircase(spark, sf_dir):
     from my_weather_spark.model import POINT_AVERAGE_VALUE
 
     e = _events_series(spark, sf_dir)
-    hourly = ts_ops.resample(e, "1 hour", "avg").withColumn("value", F.round("value", 6))
+    hourly = ts_ops.resample(e, "1 hour", "avg").withColumn(
+        "value", ts_ops.round6_portable(F.col("value"))
+    )
     stair = ts_ops.interpretation_expand(hourly, POINT_AVERAGE_VALUE)
     return stair.select("series_id", F.unix_micros("ts").alias("ts_us"), "value")
 
@@ -1629,7 +1634,7 @@ def w3_staircase(spark, sf_dir):
     """
     WITH hourly AS (
       SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
-             round(avg(value), 6) AS value
+             floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS value
       FROM events GROUP BY 1, 2),
     fx AS (
       SELECT series_id, ts, value,
@@ -1652,7 +1657,9 @@ def mixed_interpretation_expand(spark, sf_dir):
     from my_weather_spark.model import POINT_AVERAGE_VALUE, POINT_INSTANT_VALUE
 
     e = _events_series(spark, sf_dir)
-    hourly = ts_ops.resample(e, "1 hour", "avg").withColumn("value", F.round("value", 6))
+    hourly = ts_ops.resample(e, "1 hour", "avg").withColumn(
+        "value", ts_ops.round6_portable(F.col("value"))
+    )
     tagged = hourly.withColumn(
         "point_fx",
         F.when(
@@ -1676,7 +1683,8 @@ def mixed_interpretation_expand(spark, sf_dir):
     inst AS (
       SELECT s AS series_id, fx AS point_fx,
              (t // 21600000000) * 21600000000 AS bucket_us,
-             round(avg(v), 6) AS value, NULL::BIGINT AS covered_us
+             floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS value,
+             NULL::BIGINT AS covered_us
       FROM pts WHERE fx = 'instant' GROUP BY 1, 2, 3),
     seg AS (
       SELECT s, t, lead(t) OVER (PARTITION BY s ORDER BY t) AS tn, v
@@ -1689,10 +1697,11 @@ def mixed_interpretation_expand(spark, sf_dir):
     avgarm AS (
       SELECT s AS series_id, 'average' AS point_fx,
              b * 21600000000 AS bucket_us,
-             round(CAST(sum(CAST(round(v * 100) AS BIGINT)
+             floor(CAST(sum(CAST(round(v * 100) AS BIGINT)
                             * (least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000))) AS BIGINT)
                    / 100.0
-                   / sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)), 6)
+                   / sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000))
+                   * 1000000.0 + 0.5) / 1000000.0
                AS value,
              CAST(sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)) AS BIGINT)
                AS covered_us
@@ -1921,7 +1930,7 @@ def f5_monthly_orders(spark, sf_dir):
     "f8_threshold_bins",
     """
     SELECT CASE WHEN value < 5 THEN 'low' WHEN value < 20 THEN 'mid' ELSE 'high' END AS bin,
-           count(*) AS n, round(avg(value), 6) AS avg_value
+           count(*) AS n, floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
     FROM events GROUP BY 1
     """,
 )
@@ -1929,7 +1938,10 @@ def f8_threshold_bins(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     return e.groupBy(
         sc.threshold_bins("value", [5.0, 20.0], ["low", "mid", "high"]).alias("bin")
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        ts_ops.round6_portable(F.avg("value")).alias("avg_value"),
+    )
 
 
 @_q(
@@ -2022,7 +2034,7 @@ def minhash_lsh_pairs(spark, sf_dir):
       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT doc_a, doc_b,
-             round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+             floor(ni / (sa.n + sb.n - ni) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
     WHERE jaccard >= 0.8
     """,
@@ -2053,7 +2065,7 @@ def jaccard_pairs_by_source(spark, sf_dir):
       GROUP BY 1, 2)
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT i.doc_a, i.doc_b,
-             round(i.ni / (sa.n + sb.n - i.ni), 6) AS jaccard
+             floor(i.ni / (sa.n + sb.n - i.ni) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
       FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id)
     WHERE jaccard >= 0.8
     """,
@@ -2302,9 +2314,10 @@ def srp_cosine_near_dup(spark, sf_dir):
     SELECT doc_id, length(text) AS n_chars,
            len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_words,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est,
-           round(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''),
+           floor(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''),
                  w -> length(w))) /
-                 len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')), 6) AS avg_word_len
+                 len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len
     FROM documents
     """,
 )
@@ -2319,13 +2332,13 @@ def text_token_stats(spark, sf_dir):
     WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws,
                       text FROM documents)
     SELECT doc_id, length(text) AS n_chars, len(ws) AS n_words,
-           round(len(list_filter(ws, x -> list_contains(
+           floor(len(list_filter(ws, x -> list_contains(
              ['the','and','of','to','a','in','is','that','it','for','on','with','as','are','was'],
-             lower(x)))) / len(ws), 6) AS stopword_ratio,
-           round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) /
-                 length(text), 6) AS punct_ratio,
-           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) /
-                 length(text), 6) AS digit_ratio
+             lower(x)))) / len(ws) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+           floor((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) /
+                 length(text) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+           floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) /
+                 length(text) * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio
     FROM w
     """,
 )
@@ -2782,12 +2795,12 @@ def training_order_head(spark, sf_dir):
       FROM bg)
     SELECT doc_id,
            len(w) AS n_words,
-           round(CASE WHEN len(w) > 0
+           floor((CASE WHEN len(w) > 0
                  THEN 1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
-                 ELSE 0 END, 6) AS dup_word_ratio,
-           round(CASE WHEN len(bigrams) > 0
+                 ELSE 0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_word_ratio,
+           floor((CASE WHEN len(bigrams) > 0
                  THEN top_count / CAST(len(bigrams) AS DOUBLE)
-                 ELSE 0 END, 6) AS top_bigram_ratio
+                 ELSE 0 END) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_ratio
     FROM top
     """,
 )
@@ -2886,7 +2899,7 @@ def line_boilerplate_clean(spark, sf_dir):
            CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
            CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
            CASE WHEN coalesce(p.n_spans, 0) > 0
-                THEN round(p.n_dup_spans / CAST(p.n_spans AS DOUBLE), 6)
+                THEN floor(p.n_dup_spans / CAST(p.n_spans AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
            END AS dup_span_ratio
     FROM documents d LEFT JOIN per p USING (doc_id)
     """,
@@ -3090,11 +3103,11 @@ def range_join_error_window(spark, sf_dir):
     "pivot_daily_event_values",
     """
     SELECT epoch_us(date_trunc('day', ts)) AS day_us,
-           round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
-           round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view,
-           round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
-           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
-           round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup
+           floor(avg(CASE WHEN event_type = 'click' THEN value END) * 1000000.0 + 0.5) / 1000000.0 AS click,
+           floor(avg(CASE WHEN event_type = 'view' THEN value END) * 1000000.0 + 0.5) / 1000000.0 AS view,
+           floor(avg(CASE WHEN event_type = 'error' THEN value END) * 1000000.0 + 0.5) / 1000000.0 AS error,
+           floor(avg(CASE WHEN event_type = 'purchase' THEN value END) * 1000000.0 + 0.5) / 1000000.0 AS purchase,
+           floor(avg(CASE WHEN event_type = 'signup' THEN value END) * 1000000.0 + 0.5) / 1000000.0 AS signup
     FROM events GROUP BY 1
     """,
 )
@@ -3103,7 +3116,7 @@ def pivot_daily_event_values(spark, sf_dir):
     piv = (
         e.groupBy(F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"))
         .pivot("event_type", ["click", "view", "error", "purchase", "signup"])
-        .agg(F.round(F.avg("value"), 6))
+        .agg(ts_ops.round6_portable(F.avg("value")))
     )
     return piv
 
@@ -3150,7 +3163,7 @@ def set_except_nations(spark, sf_dir):
     SELECT p_brand,
            CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium'
                 ELSE 'large' END AS size_bin,
-           count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+           count(*) AS n, floor(avg(p_retailprice) * 1000000.0 + 0.5) / 1000000.0 AS avg_price
     FROM part GROUP BY p_brand, size_bin
     """,
 )
@@ -3161,7 +3174,10 @@ def part_size_bins(spark, sf_dir):
         sc.threshold_bins("p_size", [10, 30], ["small", "medium", "large"]).alias(
             "size_bin"
         ),
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        ts_ops.round6_portable(F.avg("p_retailprice")).alias("avg_price"),
+    )
 
 
 def _langid_oracle() -> str:
@@ -3245,10 +3261,11 @@ _TWA_SQL = """
       SELECT s, t, tn, v, unnest(range(t // 21600000000, (tn - 1) // 21600000000 + 1)) AS b
       FROM segs)
     SELECT s AS series_id, b * 21600000000 AS bucket_us,
-           round(CAST(sum(CAST(round(v * 100) AS BIGINT)
+           floor(CAST(sum(CAST(round(v * 100) AS BIGINT)
                           * (least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000))) AS BIGINT)
                  / 100.0
-                 / sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)), 6)
+                 / sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000))
+                 * 1000000.0 + 0.5) / 1000000.0
              AS twa_value,
            CAST(sum(least(tn, (b + 1) * 21600000000) - greatest(t, b * 21600000000)) AS BIGINT)
              AS covered_us
@@ -3307,8 +3324,9 @@ _INTERP_SQL = """
             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pv1
       FROM merged)
     SELECT s AS series_id, t_us,
-           round(CASE WHEN pt1 = pt0 THEN pv0
-                      ELSE pv0 + (pv1 - pv0) * (t_us - pt0) / (pt1 - pt0) END, 6) AS value
+           floor((CASE WHEN pt1 = pt0 THEN pv0
+                       ELSE pv0 + (pv1 - pv0) * (t_us - pt0) / (pt1 - pt0) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS value
     FROM f WHERE is_grid = 1 AND pt0 IS NOT NULL AND pt1 IS NOT NULL
     """
 

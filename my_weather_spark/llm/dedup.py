@@ -30,6 +30,8 @@ from operator import add
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from my_weather_spark.ops.timeseries import round6_portable
+
 
 def _fan_out(df: DataFrame) -> DataFrame:
     """Repartition to the session's default parallelism when the input
@@ -296,8 +298,8 @@ def jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            round6_portable(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ),
         )
         .where(F.col("jaccard") >= min_jaccard)
@@ -361,7 +363,7 @@ def duplicate_span_stats(
         "n_dup_spans",
         F.when(
             F.col("n_spans") > 0,
-            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+            round6_portable(F.col("n_dup_spans") / F.col("n_spans")),
         ).alias("dup_span_ratio"),
     )
 
@@ -429,7 +431,7 @@ def jaccard_for_candidates(
         .withColumn("_ni", F.size(F.array_intersect("_wa", "_wb")))
         .withColumn(
             "jaccard",
-            F.round(F.col("_ni") / (F.size("_wa") + F.size("_wb") - F.col("_ni")), 6),
+            round6_portable(F.col("_ni") / (F.size("_wa") + F.size("_wb") - F.col("_ni"))),
         )
         .where(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
@@ -470,8 +472,8 @@ def jaccard_pairs_dense(
         .withColumn("_ni", F.size(F.array_intersect("_wa", "_wb")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("_ni") / (F.size("_wa") + F.size("_wb") - F.col("_ni")), 6
+            round6_portable(
+                F.col("_ni") / (F.size("_wa") + F.size("_wb") - F.col("_ni"))
             ),
         )
         .where(F.col("jaccard") >= min_jaccard)

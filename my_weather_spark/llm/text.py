@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from my_weather_spark.llm.dedup import _fan_out
+from my_weather_spark.ops.timeseries import round6_portable
 
 # Stopword marker sets for the n-gram/stopword-hit language heuristic.
 # Tiny on purpose: the heuristic is argmax of marker-hit counts.
@@ -47,10 +48,9 @@ def token_stats(
         F.length(t).alias("n_chars"),
         F.size(w).alias("n_words"),
         F.ceil(F.length(t) / 4).cast("long").alias("n_tokens_est"),
-        F.round(
+        round6_portable(
             F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-            / F.size(w),
-            6,
+            / F.size(w)
         ).alias("avg_word_len"),
     )
 
@@ -70,9 +70,9 @@ def quality_stats(
         id_col,
         F.length(t).alias("n_chars"),
         F.size(w).alias("n_words"),
-        F.round(n_stop / F.size(w), 6).alias("stopword_ratio"),
-        F.round(n_punct / F.length(t), 6).alias("punct_ratio"),
-        F.round(n_digit / F.length(t), 6).alias("digit_ratio"),
+        round6_portable(n_stop / F.size(w)).alias("stopword_ratio"),
+        round6_portable(n_punct / F.length(t)).alias("punct_ratio"),
+        round6_portable(n_digit / F.length(t)).alias("digit_ratio"),
     )
 
 
@@ -242,14 +242,13 @@ def repetition_stats(
     return b_df.select(
         id_col,
         n.alias("n_words"),
-        F.round(
-            F.when(n > 0, 1 - n_distinct / n).otherwise(F.lit(0.0)), 6
+        round6_portable(
+            F.when(n > 0, 1 - n_distinct / n).otherwise(F.lit(0.0))
         ).alias("dup_word_ratio"),
-        F.round(
+        round6_portable(
             F.when(F.size("_bg") > 0, top_count / F.size("_bg")).otherwise(
                 F.lit(0.0)
-            ),
-            6,
+            )
         ).alias("top_bigram_ratio"),
     )
 

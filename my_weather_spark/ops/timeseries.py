@@ -33,6 +33,25 @@ def _series_window(order_col: str = TS) -> W:
     return W.partitionBy(SERIES).orderBy(order_col)
 
 
+def round6_portable(col: Column) -> Column:
+    """Round half-up to 6 decimals as ``floor(x * 1e6 + 0.5) / 1e6`` —
+    the same IEEE double ops a SQL oracle's ``floor()`` performs, so
+    representation ties land on the same side in every engine.
+
+    Why not ``F.round``: Spark HALF_UPs the double's EXACT decimal
+    expansion while DuckDB rounds the scaled double ``x * 1e6`` — the
+    two disagree whenever x*1e6 is exactly representable as k + 0.5,
+    which is COMMON for rational outputs: avg of 2-decimal values over
+    a 32-row bucket = cents * 312.5 (the sf0.1 sweep caught exactly
+    that — 43.4728125 rounded to ...812 in Spark, ...813 in DuckDB,
+    failing six time-series oracles). Oracles must use the literal
+    ``floor(x * 1000000.0 + 0.5) / 1000000.0``. Caveats: input must
+    be non-NaN (Spark's floor-to-long maps NaN to 0 where DuckDB
+    propagates NaN) and |x| < 2^53 / 1e6.
+    """
+    return F.floor(col * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+
+
 # ----------------------------------------------------------------------
 # P1 — inclusive period filter (reference: repository.py:109,116-117).
 # The ONE place the inclusive-[start,end] contract is encoded.
@@ -397,11 +416,11 @@ def resample_time_weighted(
             F.round(F.col("_v") * unit).cast("decimal(20,0)")
             * F.col("_ov").cast("decimal(14,0)")
         )
-        twa = F.round(
-            F.sum(weighted).cast("double") / float(unit) / F.sum("_ov"), 6
+        twa = round6_portable(
+            F.sum(weighted).cast("double") / float(unit) / F.sum("_ov")
         )
     else:
-        twa = F.round(F.sum(F.col("_v") * F.col("_ov")) / F.sum("_ov"), 6)
+        twa = round6_portable(F.sum(F.col("_v") * F.col("_ov")) / F.sum("_ov"))
     return (
         exploded.withColumn("_ov", overlap)
         .groupBy(SERIES, (F.col("_b") * w_us).alias("bucket_us"))
@@ -447,7 +466,7 @@ def resample_by_interpretation(
             (_floor_div_us(F.unix_micros(TS), w_us) * w_us).alias("bucket_us"),
         )
         .agg(
-            F.round(F.avg(VALUE), 6).alias("value"),
+            round6_portable(F.avg(VALUE)).alias("value"),
             F.lit(None).cast("long").alias("covered_us"),
         )
     )
@@ -569,7 +588,7 @@ def interpolate_at(
     return filled.select(
         SERIES,
         F.timestamp_micros(t).alias(TS),
-        F.round(value, 6).alias(VALUE),
+        round6_portable(value).alias(VALUE),
     )
 
 

@@ -253,9 +253,11 @@ def refresh_rollup_dates(
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """The continuous-aggregate serving view: mergeable partials plus
     the derived mean (sum/n). Reads are partition-pruned on ``date``."""
+    from my_weather_spark.ops.timeseries import round6_portable
+
     df = spark.read.schema(ROLLUP_SCHEMA).parquet(rollup_path)
     return df.withColumn(
-        "avg_value", F.round(F.col("sum_value") / F.col("n_points"), 6)
+        "avg_value", round6_portable(F.col("sum_value") / F.col("n_points"))
     )
 
 
