@@ -2389,6 +2389,80 @@ def bm25_relevance_scores(spark, sf_dir):
 
 
 @_q(
+    "dsir_selected",
+    r"""
+    WITH tw AS (SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), w -> w <> '') AS ws
+                FROM documents WHERE lang = 'en'),
+    rw AS (SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), w -> w <> '') AS ws
+           FROM documents),
+    tf AS (
+      SELECT ('0x' || substr(md5(ws[p]), 1, 8))::BIGINT % 1024 AS bucket
+      FROM tw, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS p)
+      UNION ALL
+      SELECT ('0x' || substr(md5(ws[p] || ' ' || ws[p + 1]), 1, 8))::BIGINT % 1024
+      FROM tw, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS p)
+    ),
+    rf AS (
+      SELECT doc_id, ('0x' || substr(md5(ws[p]), 1, 8))::BIGINT % 1024 AS bucket
+      FROM rw, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS p)
+      UNION ALL
+      SELECT doc_id, ('0x' || substr(md5(ws[p] || ' ' || ws[p + 1]), 1, 8))::BIGINT % 1024
+      FROM rw, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS p)
+    ),
+    rc AS (SELECT bucket, count(*) AS raw_c FROM rf GROUP BY bucket),
+    tc AS (SELECT bucket, count(*) AS tgt_c FROM tf GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM rf) AS rt, (SELECT count(*) FROM tf) AS tt),
+    lr AS (SELECT bucket,
+                  ln((coalesce(tgt_c, 0) + 0.5) / (tt + 0.5 * 1024))
+                - ln((coalesce(raw_c, 0) + 0.5) / (rt + 0.5 * 1024)) AS lr
+           FROM rc FULL JOIN tc USING (bucket), tot),
+    w AS (SELECT rf.doc_id, count(*) AS n_feats, sum(lr.lr) AS logw_raw
+          FROM rf JOIN lr USING (bucket) GROUP BY rf.doc_id),
+    keyed AS (SELECT d.doc_id,
+                     CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+                     round(coalesce(w.logw_raw, 0.0), 6) AS logw,
+                     round(round(coalesce(w.logw_raw, 0.0), 6)
+                           + (-ln(-ln(((('0x' || substr(md5('dsir' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                                        % 1000000) + 0.5) / 1000000.0))), 6) AS sel_key
+              FROM documents d LEFT JOIN w USING (doc_id)),
+    sel AS (SELECT doc_id FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 125)
+    SELECT k.doc_id, k.n_feats, k.logw, k.sel_key, (s.doc_id IS NOT NULL) AS selected
+    FROM keyed k LEFT JOIN sel s USING (doc_id)
+    """,
+)
+def dsir_selected(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): weight every
+    document by how much more likely its hashed unigram+bigram bag is
+    under the target domain (lang='en' docs) than under the raw corpus,
+    then Gumbel-top-k select 125 with deterministic hash-ticket noise.
+    Emits (doc_id, n_feats, logw, sel_key, selected) for ALL docs so
+    the weights AND the selection are both hash-verified.
+
+    Scale shape (llm/dsir.py): both distributions collapse to one
+    1024-bucket array in a single map-side-combined aggregate, ride as
+    a ONE-ROW broadcast crossjoin (scalar-subquery pattern), and
+    scoring is a narrow in-row F.aggregate — the corpus never shuffles.
+    Selection is orderBy+limit = TakeOrderedAndProject. sel_key adds
+    the Gumbel to the ROUNDED logw so both engines perturb the same
+    6-dp value (raw float sums agree only to ~1e-13; ln outputs are
+    tie-free at 6 dp per the round6 convention)."""
+    from my_weather_spark.llm import dsir as llm_dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    keys = llm_dsir.selection_keys(docs, target, seed="dsir", dim=1024)
+    sel = (
+        keys.orderBy(F.desc("sel_key"), "doc_id")
+        .limit(125)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return keys.join(F.broadcast(sel), "doc_id", "left").select(
+        "doc_id", "n_feats", "logw", "sel_key",
+        F.coalesce("selected", F.lit(False)).alias("selected"),
+    )
+
+
+@_q(
     "text_fingerprint",
     """
     WITH sh AS (
@@ -3743,9 +3817,13 @@ _DRIVER_PRIORITY = [
     "q11_important_stock", "q13_order_count_histogram",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q19_bracket_revenue", "q22_idle_customer_balance",
-    # (c) r4-green rotation: scalar fns + routing + bins
+    # (c) r4-green rotation: scalar fns + routing + bins.
+    # f7_format_tiles joins the r7 deferral list with the set ops: a
+    # pure column-expression formatter, pytest-golden-covered and
+    # unchanged since its r4 green — the lowest-information slot,
+    # freed for the new dsir_selected.
     "a6_bool_aggregates", "f2_ascii_clean", "f4_url_roundtrip",
-    "f7_format_tiles", "f8_threshold_bins", "j4_fuzzy_match",
+    "f8_threshold_bins", "j4_fuzzy_match",
     "p4_scheme_routing", "part_size_bins",
     # (c) r4-green rotation: LLM dedup / text / curation
     "dedup_exact_groups", "lsh_jaccard_near_dup", "minhash_lsh_pairs",
@@ -3760,7 +3838,7 @@ _DRIVER_PRIORITY = [
     # semdedup_kept.
     "mm_ppm_image_stats",
     # (d) new this round — needs its first driver row
-    "semdedup_kept",
+    "semdedup_kept", "dsir_selected",
 ]
 
 

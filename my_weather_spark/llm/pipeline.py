@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from my_weather_spark.llm import (
     decontam,
     dedup,
+    dsir as dsir_ops,
     lm,
     packing,
     sampling,
@@ -198,6 +199,8 @@ class CurateReport:
     n_after_ppl: int | None = None
     # None when the optional BM25 topic-relevance stage is off
     n_after_bm25: int | None = None
+    # None when the optional DSIR importance-resampling stage is off
+    n_after_dsir: int | None = None
 
 
 def curate_corpus(
@@ -213,6 +216,10 @@ def curate_corpus(
     ppl_alpha: float = 0.5,
     relevance_query: list[str] | None = None,
     min_bm25: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_dim: int = dsir_ops.DEFAULT_DIM,
+    dsir_alpha: float = 0.5,
     strata_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -225,6 +232,7 @@ def curate_corpus(
           -> benchmark decontamination (broadcast n-gram anti-join)
           -> [LM-perplexity quality gate vs quality_ref (optional)]
           -> [BM25 topic-relevance gate vs relevance_query (optional)]
+          -> [DSIR importance resample to dsir_k vs dsir_target (optional)]
           -> data mixing (per-source deterministic hash rates)
           -> train/val/test split assignment (hash buckets)
           -> sequence packing of the train split (concat-and-chunk)
@@ -286,6 +294,23 @@ def curate_corpus(
         clean = clean.join(keep, id_col, "left_semi").localCheckpoint()
         n_bm25 = clean.count()
 
+    # optional DSIR importance resampling (Xie et al. 2023): shrink the
+    # surviving pool to the dsir_k documents whose hashed-n-gram bag
+    # best matches dsir_target, Gumbel-top-k with deterministic
+    # hash-ticket noise. Placement: LAST gate before mixing — DSIR is
+    # the paper's "select from the cleaned raw pool" step, and mixing
+    # rates should apply to the selected corpus. The model is a 1-row
+    # broadcast; scoring is narrow; selection is a bounded top-k.
+    n_dsir = None
+    if dsir_k is not None:
+        if dsir_target is None:
+            raise ValueError("dsir_k requires dsir_target")
+        clean = dsir_ops.resample(
+            clean, dsir_target, k=dsir_k, seed=seed + ":dsir",
+            dim=dsir_dim, alpha=dsir_alpha, text_col=text_col, id_col=id_col,
+        ).localCheckpoint()
+        n_dsir = clean.count()
+
     if mixing_rates:
         clean = sampling.stratified_sample(
             clean, mixing_rates, strata_col=strata_col,
@@ -326,5 +351,6 @@ def curate_corpus(
         n_chunks=int(n_chunks),
         n_after_ppl=n_ppl,
         n_after_bm25=n_bm25,
+        n_after_dsir=n_dsir,
     )
     return out, report

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from my_weather_spark.session import get_spark
-from my_weather_spark.llm import decontam, lm, text as text_ops
+from my_weather_spark.llm import decontam, dsir, lm, text as text_ops
 
 N_DOCS = 64  # two tasks/core at 32 threads; per-doc cost is the probe
 LENGTHS = [1_000, 10_000, 100_000]  # words per document
@@ -88,6 +88,10 @@ def main() -> None:
         # fixed 1000-word reference: the model side stays constant so
         # the probe isolates the per-doc scoring cost
         "lm_perplexity": lambda d: lm.perplexity_scores(d, ref),
+        # fixed 1000-word target: isolates the in-row feature hash +
+        # broadcast-array lookup sum (would go quadratic if the dim-
+        # sized _lr transform ever inlined into the scoring lambda)
+        "dsir_weights": lambda d: dsir.importance_weights(d, ref),
     }
     for n_words in LENGTHS:
         docs = synth(spark, n_words)
