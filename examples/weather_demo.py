@@ -122,6 +122,10 @@ def main() -> None:
         chunk_capacity=512,
         min_words=5,
         jaccard_threshold=0.9,
+        # DSIR stage: importance-resample the surviving pool toward the
+        # English slice (Gumbel-top-k, deterministic hash tickets)
+        dsir_target=docs.where(F.col("lang") == "en"),
+        dsir_k=200,
     )
     print("curation report:", crep)
     curated.select(
