@@ -2438,19 +2438,26 @@ def dsir_selected(spark, sf_dir):
     Emits (doc_id, n_feats, logw, sel_key, selected) for ALL docs so
     the weights AND the selection are both hash-verified.
 
-    Scale shape (llm/dsir.py): both distributions collapse to one
-    1024-bucket array in a single map-side-combined aggregate, ride as
-    a ONE-ROW broadcast crossjoin (scalar-subquery pattern), and
-    scoring is a narrow in-row F.aggregate — the corpus never shuffles.
-    Selection is orderBy+limit = TakeOrderedAndProject. sel_key adds
-    the Gumbel to the ROUNDED logw so both engines perturb the same
-    6-dp value (raw float sums agree only to ~1e-13; ln outputs are
-    tie-free at 6 dp per the round6 convention)."""
+    Scale shape (llm/dsir.py): the target is a predicate slice of the
+    corpus, so BOTH distributions come out of ONE feature scan
+    (count/count_if per bucket), collapse to a ONE-ROW broadcast
+    crossjoin (scalar-subquery pattern), and scoring is a narrow
+    in-row F.aggregate — the corpus never shuffles. Selection is
+    orderBy+limit = TakeOrderedAndProject. sel_key adds the Gumbel to
+    the ROUNDED logw so both engines perturb the same 6-dp value (raw
+    float sums agree only to ~1e-13; ln outputs are tie-free at 6 dp
+    per the round6 convention)."""
     from my_weather_spark.llm import dsir as llm_dsir
 
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    keys = llm_dsir.selection_keys(docs, target, seed="dsir", dim=1024)
+    # materialize the scored keys ONCE: they feed both the top-k
+    # broadcast side and the probe side, and re-scoring the corpus for
+    # the second consumer is a real 2x at 100 TB (clean_corpus-style
+    # stage checkpoint; the model broadcast is exchange-reused, the
+    # scoring scan is not)
+    keys = llm_dsir.selection_keys(
+        docs, F.col("lang") == "en", seed="dsir", dim=1024
+    ).localCheckpoint()
     sel = (
         keys.orderBy(F.desc("sel_key"), "doc_id")
         .limit(125)

@@ -108,7 +108,7 @@ def _bucket_counts(df: DataFrame, text_col: str, dim: int) -> DataFrame:
 
 def log_ratio_model(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     dim: int = DEFAULT_DIM,
     alpha: float = 0.5,
     text_col: str = "text",
@@ -116,13 +116,34 @@ def log_ratio_model(
     """ONE-ROW frame with ``_lr``: dense array<double> of length dim,
     _lr[b+1] = log p_target(b) - log p_raw(b) (add-alpha smoothed).
 
+    ``target`` is either a separate DataFrame (external target domain:
+    two feature scans, sparse counts full-joined) or a boolean Column
+    predicate over ``raw`` (target = a slice of the corpus — the
+    common curation case): then BOTH distributions come out of ONE
+    feature scan with a count/count_if aggregate, no join. Same
+    counts either way, so the SQL oracle is unchanged.
+
     Stays in-plan (no driver action); broadcast-crossjoin it onto the
     scoring side. A featureless raw or target corpus raises in-plan
     (assert_true) instead of silently NULL-scoring every document.
     """
-    rc = _bucket_counts(raw, text_col, dim).withColumnRenamed("c", "raw_c")
-    tc = _bucket_counts(target, text_col, dim).withColumnRenamed("c", "tgt_c")
-    sparse = rc.join(tc, "bucket", "full")
+    if isinstance(target, Column):
+        ex = _with_feature_buckets(raw, text_col, dim).select(
+            F.explode("_fb").alias("bucket"), target.alias("_is_t")
+        )
+        sparse = ex.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.count_if(F.col("_is_t")).alias("tgt_c"),
+        )
+        # count_if yields 0, not NULL — normalize so the emptiness
+        # guard below sees the same shape as the two-frame path
+        sparse = sparse.withColumn(
+            "tgt_c", F.when(F.col("tgt_c") > 0, F.col("tgt_c"))
+        )
+    else:
+        rc = _bucket_counts(raw, text_col, dim).withColumnRenamed("c", "raw_c")
+        tc = _bucket_counts(target, text_col, dim).withColumnRenamed("c", "tgt_c")
+        sparse = rc.join(tc, "bucket", "full")
     one = sparse.agg(
         F.sum("raw_c").alias("_rt"),
         F.sum("tgt_c").alias("_tt"),
@@ -177,7 +198,7 @@ def log_ratio_model(
 
 def importance_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     dim: int = DEFAULT_DIM,
     alpha: float = 0.5,
     text_col: str = "text",
@@ -186,7 +207,9 @@ def importance_weights(
     """(id, n_feats, logw) — DSIR log importance weight per document
     (rounded 6). Featureless documents weigh exactly 0.0 (no evidence
     either way). ``docs`` is the raw distribution; ``target`` the
-    domain to match (often a filtered slice of docs, or external)."""
+    domain to match — pass a boolean Column predicate when the target
+    is a slice of ``docs`` (single-scan model) or a DataFrame when it
+    is external (two scans)."""
     model = log_ratio_model(docs, target, dim, alpha, text_col)
     feats = _with_feature_buckets(docs, text_col, dim).select(id_col, "_fb")
     scored = feats.join(F.broadcast(model))
@@ -204,7 +227,7 @@ def importance_weights(
 
 def selection_keys(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     seed: str = "dsir",
     dim: int = DEFAULT_DIM,
     alpha: float = 0.5,
@@ -228,7 +251,7 @@ def selection_keys(
 
 def resample(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     k: int,
     seed: str = "dsir",
     dim: int = DEFAULT_DIM,

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from my_weather_spark.llm import (
@@ -216,7 +216,7 @@ def curate_corpus(
     ppl_alpha: float = 0.5,
     relevance_query: list[str] | None = None,
     min_bm25: float | None = None,
-    dsir_target: DataFrame | None = None,
+    dsir_target: DataFrame | Column | None = None,
     dsir_k: int | None = None,
     dsir_dim: int = dsir_ops.DEFAULT_DIM,
     dsir_alpha: float = 0.5,

@@ -99,6 +99,26 @@ def test_weights_match_pure_python_reference(spark):
     assert got[5] == (0, 0.0)
 
 
+def test_predicate_target_equals_dataframe_target(spark):
+    # the single-scan (Column-predicate) model must produce bit-equal
+    # weights to the two-scan (DataFrame) model when the target is the
+    # same slice of the corpus
+    docs = _mkdocs(spark)
+    pred = F.col("doc_id").isin(0, 2)
+    via_df = sorted(
+        dsir.importance_weights(docs, docs.where(pred), dim=DIM).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    via_pred = sorted(
+        dsir.importance_weights(docs, pred, dim=DIM).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in via_df] == [tuple(r) for r in via_pred]
+    # loudness survives the predicate path too
+    with pytest.raises(Exception, match="dsir: target corpus has no features"):
+        dsir.importance_weights(docs, F.lit(False), dim=DIM).collect()
+
+
 def test_weights_repartition_invariant(spark):
     docs = _mkdocs(spark)
     target = docs.where(F.col("doc_id").isin(0, 2))
