@@ -2478,6 +2478,125 @@ def bm25_relevance_scores(spark, sf_dir):
 
 
 @_q(
+    "gopher_quality_flags",
+    r"""
+    WITH b AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), w -> w <> '') AS ws,
+             list_filter(string_split(coalesce(text, ''), chr(10)), l -> trim(l) <> '') AS lines
+      FROM documents),
+    lw AS (SELECT *, list_transform(ws, w -> lower(w)) AS low FROM b),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS swl,
+             CAST(length(t) - length(replace(t, '#', ''))
+                + length(t) - length(replace(t, '…', ''))
+                + (length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS n_sym,
+             CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•‣*-]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS BIGINT) AS n_ell,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(CAST(list_contains(low, 'the') AS INT) + CAST(list_contains(low, 'be') AS INT)
+                + CAST(list_contains(low, 'to') AS INT) + CAST(list_contains(low, 'of') AS INT)
+                + CAST(list_contains(low, 'and') AS INT) + CAST(list_contains(low, 'that') AS INT)
+                + CAST(list_contains(low, 'have') AS INT) + CAST(list_contains(low, 'with') AS INT)
+                AS BIGINT) AS n_req
+      FROM lw),
+    r AS (
+      SELECT doc_id, n_words, n_req,
+             CASE WHEN n_words > 0 THEN CAST(swl AS DOUBLE) / n_words END AS mean_wl,
+             CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words END AS sym_ratio,
+             CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines END AS bullet_ratio,
+             CASE WHEN n_lines > 0 THEN CAST(n_ell AS DOUBLE) / n_lines END AS ell_ratio,
+             CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words END AS alpha_ratio
+      FROM m)
+    SELECT doc_id, n_words,
+           floor(mean_wl * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+           floor(sym_ratio * 1000000 + 0.5) / 1000000.0 AS symbol_word_ratio,
+           floor(bullet_ratio * 1000000 + 0.5) / 1000000.0 AS bullet_line_ratio,
+           floor(ell_ratio * 1000000 + 0.5) / 1000000.0 AS ellipsis_line_ratio,
+           floor(alpha_ratio * 1000000 + 0.5) / 1000000.0 AS alpha_word_ratio,
+           n_req AS n_req_stop,
+           coalesce(
+             n_words >= 40 AND n_words <= 100000
+             AND mean_wl >= 4.0 AND mean_wl <= 10.0
+             AND sym_ratio <= 0.1 AND bullet_ratio <= 0.9
+             AND ell_ratio <= 0.3 AND alpha_ratio >= 0.8
+             AND n_req >= 2, false) AS keep
+    FROM r
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    """The published Gopher quality-rule bundle (Rae et al. 2021 App.
+    A) per document: word-count window, mean word length, symbol/word
+    ratio, bullet-led and ellipsis-terminated line ratios, alpha-word
+    ratio, required-stop-word count, and the combined keep flag.
+    min_words=40 / min_mean_word_len=4.0 so both rules split this
+    corpus (331/500 and mid-range respectively); the rest are the
+    paper's defaults. One narrow in-row projection (llm/text.py
+    gopher_quality) — zero shuffles; predicates compare raw IEEE
+    ratios, emitted ratio columns are round6_portable (int-over-int
+    rationals, the r6 tie class)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.gopher_quality(
+        docs, min_words=40, min_mean_word_len=4.0
+    )
+
+
+@_q(
+    "temperature_mix_counts",
+    """
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+             sqrt(CAST(count(*) AS DOUBLE)) AS w
+      FROM documents GROUP BY lang),
+    tot AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS wsum FROM c),
+    cuts AS (
+      SELECT lang, n_total,
+             CAST(least(1000000.0,
+                        floor(250.0 * w / wsum / n_total * 1000000 + 0.5))
+                  AS BIGINT) AS cut
+      FROM c, tot),
+    k AS (
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN cuts USING (lang)
+      WHERE ('0x' || substr(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < cut
+      GROUP BY d.lang)
+    SELECT c.lang, c.n_total, c.cut, coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+    FROM cuts c LEFT JOIN k USING (lang)
+    """,
+)
+def temperature_mix_counts(spark, sf_dir):
+    """Temperature-scaled mixing (mT5/XLM-R recipe) over the skewed
+    lang strata: keep rate per language ∝ n^0.5 normalized to an
+    expected 250-doc total — alpha=0.5 flattens the en-heavy corpus
+    (en is downweighted, fr upweighted). Emits per-stratum
+    (n_total, cut, n_kept) so the weight math AND every ticket
+    decision hash-verify.
+
+    Portability: alpha=0.5 weights are IEEE-sqrt (correctly rounded;
+    pow/ln are not), and the weight sum folds LEFT over strata sorted
+    by name on BOTH engines (F.aggregate == list_reduce over an
+    ORDER BY list) — see llm/sampling.temperature_cuts. Scale shape:
+    one count aggregate + one-row broadcast fold; the corpus-side
+    filter is a broadcast join, no corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = llm_sampling.temperature_cuts(
+        docs, target_total=250, alpha=0.5, strata_col="lang"
+    )
+    sampled = llm_sampling.temperature_sample(
+        docs, 250, 0.5, strata_col="lang", seed="tmix", _cuts=cuts
+    )
+    kept = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("_nk"))
+    return cuts.join(kept, "lang", "left").select(
+        "lang", "n_total", "cut",
+        F.coalesce(F.col("_nk"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+@_q(
     "dsir_selected",
     r"""
     WITH tw AS (SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), w -> w <> '') AS ws
@@ -3917,11 +4036,15 @@ _DRIVER_PRIORITY = [
     # f7_format_tiles joins the r7 deferral list with the set ops: a
     # pure column-expression formatter, pytest-golden-covered and
     # unchanged since its r4 green — the lowest-information slot,
-    # freed for the new dsir_selected. f2_ascii_clean (same class:
-    # pure column-expression slug fn, golden-pinned in pytest,
-    # unchanged since r4) defers to r7 for the new kmeans_clusters.
-    "a6_bool_aggregates", "f4_url_roundtrip",
-    "f8_threshold_bins", "j4_fuzzy_match",
+    # freed for the new dsir_selected. Deferred to r7 on the same
+    # grounds (pure column expressions, golden-pinned in pytest,
+    # unchanged since r4) for this sitting's three new queries:
+    # f2_ascii_clean (slug fn) -> kmeans_clusters,
+    # f8_threshold_bins (its sibling part_size_bins stays in-window
+    # and drives the same binning helper) -> gopher_quality_flags,
+    # a6_bool_aggregates (health any/all flags) ->
+    # temperature_mix_counts.
+    "f4_url_roundtrip", "j4_fuzzy_match",
     "p4_scheme_routing", "part_size_bins",
     # (c) r4-green rotation: LLM dedup / text / curation
     "dedup_exact_groups", "lsh_jaccard_near_dup", "minhash_lsh_pairs",
@@ -3937,6 +4060,7 @@ _DRIVER_PRIORITY = [
     "mm_ppm_image_stats",
     # (d) new this round — needs its first driver row
     "semdedup_kept", "dsir_selected", "kmeans_clusters",
+    "gopher_quality_flags", "temperature_mix_counts",
 ]
 
 

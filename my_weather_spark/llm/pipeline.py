@@ -56,6 +56,7 @@ def clean_corpus(
     docs: DataFrame,
     min_words: int = 10,
     max_punct_ratio: float = 0.3,
+    gopher_rules: dict | None = None,
     jaccard_threshold: float = 0.85,
     num_hashes: int = 16,
     band_size: int = 4,
@@ -97,11 +98,20 @@ def clean_corpus(
         ).select(id_col, text_col)
         docs = docs.drop(text_col).join(cleaned, id_col)
 
-    # 1. quality gate (cheap, narrow — run first to shrink everything)
-    q = text_ops.quality_filter(
-        docs, min_words=min_words, max_punct_ratio=max_punct_ratio,
-        text_col=text_col, id_col=id_col,
-    ).localCheckpoint()
+    # 1. quality gate (cheap, narrow — run first to shrink everything).
+    # gopher_rules switches the gate to the published Gopher bundle
+    # (Rae et al. 2021; pass {} for the paper's defaults, or rule
+    # overrides like {"min_words": 40}); otherwise the basic
+    # words/punct predicate applies. Both are one filter pass.
+    if gopher_rules is not None:
+        q = text_ops.gopher_filter(
+            docs, text_col=text_col, id_col=id_col, **gopher_rules
+        ).localCheckpoint()
+    else:
+        q = text_ops.quality_filter(
+            docs, min_words=min_words, max_punct_ratio=max_punct_ratio,
+            text_col=text_col, id_col=id_col,
+        ).localCheckpoint()
     n_quality = q.count()
 
     # 2. exact dedup (hash groupBy)
@@ -207,6 +217,8 @@ def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     mixing_rates: dict[str, float] | None = None,
+    mix_temperature_total: int | None = None,
+    mix_temperature_alpha: float = 0.5,
     default_rate: float = 1.0,
     split_weights: tuple[float, ...] = (0.98, 0.01, 0.01),
     chunk_capacity: int = 2048,
@@ -233,7 +245,8 @@ def curate_corpus(
           -> [LM-perplexity quality gate vs quality_ref (optional)]
           -> [BM25 topic-relevance gate vs relevance_query (optional)]
           -> [DSIR importance resample to dsir_k vs dsir_target (optional)]
-          -> data mixing (per-source deterministic hash rates)
+          -> data mixing (per-source deterministic hash rates, or
+             temperature-scaled rates ∝ n^alpha via mix_temperature_total)
           -> train/val/test split assignment (hash buckets)
           -> sequence packing of the train split (concat-and-chunk)
 
@@ -311,10 +324,21 @@ def curate_corpus(
         ).localCheckpoint()
         n_dsir = clean.count()
 
+    if mixing_rates and mix_temperature_total is not None:
+        raise ValueError(
+            "mixing_rates and mix_temperature_total are mutually exclusive"
+        )
     if mixing_rates:
         clean = sampling.stratified_sample(
             clean, mixing_rates, strata_col=strata_col,
             default_rate=default_rate, seed=seed, id_col=id_col,
+        )
+    elif mix_temperature_total is not None:
+        # temperature mixing (mT5-style): per-stratum rates ∝ n^alpha
+        # derived from the SURVIVING pool's counts — no hand-tuned map
+        clean = sampling.temperature_sample(
+            clean, mix_temperature_total, alpha=mix_temperature_alpha,
+            strata_col=strata_col, seed=seed, id_col=id_col,
         )
     n_mixed = clean.count()
 

@@ -133,3 +133,93 @@ def split_assign(
     for cut, lab in reversed(cuts):
         expr = F.when(t < cut, F.lit(lab)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+# ----------------------------------------------------------------------
+# Temperature-scaled mixing (the multilingual/multi-domain recipe of
+# mT5/XLM-R): sample stratum s with probability proportional to
+# (n_s)^alpha — alpha < 1 flattens the distribution, upweighting small
+# domains/languages without hand-tuned per-stratum rates.
+def temperature_cuts(
+    df: DataFrame,
+    target_total: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(strata_col, n_total, cut) — per-stratum ticket cuts such that
+    the expected kept total is ``target_total`` distributed as
+    p_s ∝ n_s^alpha (N^alpha cancels out of the normalized form, so
+    raw counts suffice). Per-stratum keep rate
+    r_s = min(1, target_total * p_s / n_s); cut = floor(r*1e6 + 0.5)
+    capped at 1e6.
+
+    Engine-portable by construction at alpha=0.5: weights are
+    IEEE-sqrt (correctly rounded, unlike pow/ln/exp which are only
+    faithfully rounded and may differ across libm implementations —
+    other alphas work operationally but are not oracle-exact), and the
+    weight-sum folds LEFT over the strata sorted by name (Spark
+    F.aggregate == DuckDB list_reduce over list(... ORDER BY)), so
+    both engines add the same doubles in the same order.
+
+    Scale shape: one map-side-combined count aggregate (strata
+    cardinality is small by definition) + a one-row broadcast
+    crossjoin of the fold — the scalar-subquery pattern.
+    """
+    if target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_total"))
+    n_dbl = F.col("n_total").cast("double")
+    w = F.sqrt(n_dbl) if alpha == 0.5 else F.pow(n_dbl, F.lit(float(alpha)))
+    weighted = counts.withColumn("_w", w)
+    wsum = weighted.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(strata_col, "_w"))),
+                lambda x: x["_w"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("_wsum")
+    )
+    rate_scaled = (
+        F.lit(float(target_total)) * F.col("_w") / F.col("_wsum")
+        / F.col("n_total") * F.lit(float(TICKET_MOD))
+    )
+    cut = F.least(
+        F.lit(float(TICKET_MOD)), F.floor(rate_scaled + F.lit(0.5))
+    ).cast("long")
+    return weighted.join(F.broadcast(wsum)).select(
+        strata_col, "n_total", cut.alias("cut")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    target_total: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    seed: str = "",
+    id_col: str = "doc_id",
+    _cuts: DataFrame | None = None,
+) -> DataFrame:
+    """Keep each row iff its hash ticket clears its stratum's
+    temperature cut — deterministic, repartition/retry-invariant, and
+    composable with the other ticket samplers (same ticket space).
+    The cuts frame (strata-cardinality rows) broadcasts onto the
+    corpus: one broadcast hash join + filter, no corpus shuffle.
+    ``_cuts`` lets a caller that already built the cuts reuse them.
+    Rows with a NULL stratum are dropped (equality join semantics —
+    no cut is defined for them; identical in the SQL oracle)."""
+    cuts = (
+        _cuts
+        if _cuts is not None
+        else temperature_cuts(df, target_total, alpha, strata_col, id_col)
+    )
+    return (
+        df.join(F.broadcast(cuts.select(strata_col, "cut")), strata_col)
+        .where(_ticket(id_col, seed) < F.col("cut"))
+        .select(*df.columns)
+    )

@@ -497,3 +497,155 @@ def hashed_bow_vectors(
             .alias("embedding"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A): the published
+# heuristic document filter bundle, as ONE narrow in-row projection.
+GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLET_PREFIXES = ["•", "‣", "-", "*"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_req_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule measurements + the combined keep flag:
+    (id, n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
+    ellipsis_line_ratio, alpha_word_ratio, n_req_stop, keep).
+
+    The rules (defaults = the paper's): word count in [min, max]; mean
+    word length in [3, 10]; '#'/ellipsis symbols per word <= 0.1; <=90%
+    of non-empty lines bullet-led; <=30% ellipsis-terminated; >=80% of
+    words contain a letter; >=2 of the 8 required English stop words
+    present. Ratio columns are NULL when their denominator is zero
+    (wordless / line-less docs — those fail the word-count rule, and
+    SQL three-valued logic then collapses keep to false on both
+    engines; keep is additionally coalesced to false so it never emits
+    NULL). Rule PREDICATES compare the raw IEEE ratio (identical
+    doubles both engines); emitted ratio COLUMNS are round6_portable
+    (integer-over-integer rationals — the r6 tie class).
+
+    Scale shape: zero shuffles — one projection; word/line arrays and
+    the lowered word array are bound to real columns first (PERF
+    CONTRACT, llm/decontam._ngram_hashes), every lambda touches only
+    its argument.
+    """
+    bound, metrics, keep = _gopher_bound(
+        df, text_col, min_words, max_words, min_mean_word_len,
+        max_mean_word_len, max_symbol_word_ratio, max_bullet_line_ratio,
+        max_ellipsis_line_ratio, min_alpha_word_ratio, min_req_stopwords,
+    )
+    n_words, mean_wl, sym_ratio, bullet_ratio, ell_ratio, alpha_ratio, n_req = metrics
+    return bound.select(
+        id_col,
+        n_words.alias("n_words"),
+        round6_portable(mean_wl).alias("mean_word_len"),
+        round6_portable(sym_ratio).alias("symbol_word_ratio"),
+        round6_portable(bullet_ratio).alias("bullet_line_ratio"),
+        round6_portable(ell_ratio).alias("ellipsis_line_ratio"),
+        round6_portable(alpha_ratio).alias("alpha_word_ratio"),
+        n_req.alias("n_req_stop"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **rules,
+) -> DataFrame:
+    """Keep only documents passing every Gopher rule — same expressions
+    as gopher_quality, applied as ONE narrow filter pass (no join, no
+    second corpus scan; all original columns survive)."""
+    bound, _metrics, keep = _gopher_bound(df, text_col, **_gopher_rule_kw(rules))
+    return bound.where(F.coalesce(keep, F.lit(False))).select(*df.columns)
+
+
+def _gopher_rule_kw(rules: dict) -> dict:
+    bad = set(rules) - {
+        "min_words", "max_words", "min_mean_word_len", "max_mean_word_len",
+        "max_symbol_word_ratio", "max_bullet_line_ratio",
+        "max_ellipsis_line_ratio", "min_alpha_word_ratio",
+        "min_req_stopwords",
+    }
+    if bad:
+        raise TypeError(f"unknown gopher rule(s): {sorted(bad)}")
+    return rules
+
+
+def _gopher_bound(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_req_stopwords: int = 2,
+):
+    """Shared expression builder: (bound df, metric columns, raw keep)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    bound = df.withColumn("_gq_ws", _words(t)).withColumn(
+        "_gq_lines",
+        F.filter(F.split(t, "\n"), lambda l: F.trim(l) != ""),
+    )
+    ws, lines = F.col("_gq_ws"), F.col("_gq_lines")
+    n_words = F.size(ws).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_word_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_wl = F.when(n_words > 0, sum_word_len / n_words)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_uell = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    # '...' occurrences: 3 chars each; the length delta is always a
+    # multiple of 3, so the double divide is exact and the cast safe
+    n_dell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    n_sym = (n_hash + n_uell + n_dell).cast("long")
+    sym_ratio = F.when(n_words > 0, n_sym / n_words)
+    bullet_pred = lambda l: F.ltrim(l).rlike("^[•‣*-]")
+    n_bullet = F.size(F.filter(lines, bullet_pred)).cast("long")
+    ell_pred = lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")
+    n_ell_lines = F.size(F.filter(lines, ell_pred)).cast("long")
+    bullet_ratio = F.when(n_lines > 0, n_bullet / n_lines)
+    ell_ratio = F.when(n_lines > 0, n_ell_lines / n_lines)
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    alpha_ratio = F.when(n_words > 0, n_alpha / n_words)
+    low = F.transform(ws, F.lower)
+    bound = bound.withColumn("_gq_low", low)
+    n_req = None
+    for s in GOPHER_REQ_STOPWORDS:
+        c = F.array_contains(F.col("_gq_low"), s).cast("int")
+        n_req = c if n_req is None else n_req + c
+    n_req = n_req.cast("long")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (bullet_ratio <= max_bullet_line_ratio)
+        & (ell_ratio <= max_ellipsis_line_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (n_req >= min_req_stopwords)
+    )
+    metrics = (n_words, mean_wl, sym_ratio, bullet_ratio, ell_ratio,
+               alpha_ratio, n_req)
+    return bound, metrics, keep

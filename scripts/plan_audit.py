@@ -53,6 +53,10 @@ CARTESIAN_OK = {
     # DSIR log-ratio model is a ONE-ROW dense-array broadcast crossjoin
     # onto the narrow scoring pass (llm/dsir.py) — same pattern
     "dsir_selected",
+    # temperature mixing's weight-sum fold is a ONE-ROW broadcast
+    # crossjoin onto the strata-cardinality cuts frame (llm/sampling.
+    # temperature_cuts) — same scalar-subquery pattern
+    "temperature_mix_counts",
     # queries x corpus IS the brute-force baseline by definition (the
     # bounded honest-recall reference; the scale path is ann_ivf_topk)
     "knn_bruteforce",

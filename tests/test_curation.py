@@ -454,3 +454,100 @@ def test_clean_corpus_semantic_dedup_stage(spark):
     assert {r["doc_id"] for r in out.collect()} == {0, 1, 3}
     with pytest.raises(ValueError):
         clean_corpus(docs, min_words=5, semdedup_threshold=0.9)
+
+
+def test_clean_corpus_gopher_stage(spark):
+    from my_weather_spark.llm.pipeline import clean_corpus
+
+    rows = [
+        (0, "the be to of and that have with " + "alpha " * 50, "a"),
+        (1, "word word word word word word word word word word word", "a"),
+        (2, "the be to of and that have with " + "beta " * 50, "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # basic gate keeps all three (>= 5 words, no punct)
+    out_plain, rep_plain = clean_corpus(docs, min_words=5)
+    assert rep_plain.n_after_quality == 3
+    # gopher gate additionally requires the stop-word rule -> doc 1 out
+    out, rep = clean_corpus(docs, gopher_rules={"min_words": 5})
+    assert rep.n_after_quality == 2
+    assert sorted(r.doc_id for r in out.collect()) == [0, 2]
+
+
+# ----------------------------------------------------------------------
+# temperature-scaled mixing
+def test_temperature_cuts_flatten_skew(spark):
+    # skewed strata: 160 'en' vs 10 'fr' -> alpha=0.5 upweights fr
+    rows = [(i, "t", "en") for i in range(160)] + [
+        (1000 + i, "t", "fr") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cuts = {
+        r.lang: r
+        for r in sampling.temperature_cuts(
+            df, target_total=85, alpha=0.5, strata_col="lang"
+        ).collect()
+    }
+    import math
+
+    wsum = math.sqrt(160.0) + math.sqrt(10.0)
+    for lang, n in (("en", 160), ("fr", 10)):
+        exp = math.floor(
+            85.0 * math.sqrt(float(n)) / wsum / n * 1_000_000 + 0.5
+        )
+        assert cuts[lang].cut == min(1_000_000, exp)
+        assert cuts[lang].n_total == n
+    # flattening: fr's keep RATE exceeds en's, en keeps more docs overall
+    assert cuts["fr"].cut > cuts["en"].cut
+
+
+def test_temperature_sample_matches_cuts_and_is_deterministic(spark):
+    rows = [(i, "t", ["a", "b", "c"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    s1 = {r.doc_id for r in
+          sampling.temperature_sample(df, 30, strata_col="lang", seed="x").collect()}
+    s2 = {r.doc_id for r in
+          sampling.temperature_sample(
+              df.repartition(7), 30, strata_col="lang", seed="x").collect()}
+    assert s1 == s2  # repartition-invariant
+    # membership is exactly ticket < stratum cut
+    cuts = {r.lang: r.cut for r in
+            sampling.temperature_cuts(df, 30, strata_col="lang").collect()}
+    import hashlib
+
+    def ticket(i):
+        return int(hashlib.md5(f"x{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    exp = {i for i, _, lang in rows if ticket(i) < cuts[lang]}
+    assert s1 == exp
+    # column order preserved
+    out = sampling.temperature_sample(df, 30, strata_col="lang", seed="x")
+    assert out.columns == ["doc_id", "text", "lang"]
+
+
+def test_temperature_sample_validations(spark):
+    df = spark.createDataFrame([(0, "t", "a")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="target_total"):
+        sampling.temperature_cuts(df, -1, strata_col="lang")
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_cuts(df, 1, alpha=0.0, strata_col="lang")
+    # cut caps at 1e6 when target exceeds the corpus
+    [r] = sampling.temperature_cuts(df, 100, strata_col="lang").collect()
+    assert r.cut == 1_000_000
+
+
+def test_curate_corpus_temperature_mix(spark):
+    from my_weather_spark.llm.pipeline import curate_corpus
+
+    rows = [(i, f"unique doc {i} body text words here now", "web" if i < 40 else "code")
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, rep = curate_corpus(
+        docs, mix_temperature_total=20, min_words=3, jaccard_threshold=0.99
+    )
+    assert 0 < rep.n_after_mixing < rep.n_after_decontam
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate_corpus(
+            docs, mixing_rates={"web": 1.0}, mix_temperature_total=20,
+            min_words=3,
+        )

@@ -1237,3 +1237,66 @@ def test_semantic_dedup_exact_tie_assigns_lowest_ticket_anchor(spark):
     }
     want_anchor = 1 if ticket(1) < ticket(2) else 2
     assert got[3] == want_anchor
+
+
+# ---------------------------------------------------------------- gopher
+def test_gopher_quality_directed(spark):
+    rows = [
+        # 57 words incl. all 8 required stopwords -> passes at min_words=5
+        (0, "the cat sat to be of and that have with more words here to pad "
+            + "word " * 42),
+        # 3 non-empty lines: 2 bullet-led, 1 ellipsis-terminated; the
+        # '...' also counts as a symbol (1 symbol / 9 words)
+        (1, "- bullet one\n- bullet two\nnormal line ends..."),
+        (2, "# # # hash heavy text the to of"),
+        (3, None),
+        (4, ""),
+        (5, "12345 9999 1111 2222"),  # no alphabetic words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in text_ops.gopher_quality(df, min_words=5).collect()
+    }
+    assert got[0]["keep"] is True and got[0]["n_req_stop"] == 8
+    r1 = got[1]
+    assert r1["n_words"] == 9
+    assert r1["symbol_word_ratio"] == pytest.approx(0.111111)
+    assert r1["bullet_line_ratio"] == pytest.approx(0.666667)
+    assert r1["ellipsis_line_ratio"] == pytest.approx(0.333333)
+    assert r1["keep"] is False  # alpha ratio 7/9 < 0.8, 0 req stopwords
+    # '#'-heavy: symbol ratio 3/9 > 0.1 and mean word len 2.56 < 3
+    assert got[2]["symbol_word_ratio"] == pytest.approx(0.333333)
+    assert got[2]["keep"] is False
+    # NULL / empty text: NULL ratios, keep False (never NULL)
+    for i in (3, 4):
+        assert got[i]["n_words"] == 0
+        assert got[i]["mean_word_len"] is None
+        assert got[i]["keep"] is False
+    # digits-only: alpha ratio 0 -> fail
+    assert got[5]["alpha_word_ratio"] == 0.0 and got[5]["keep"] is False
+
+
+def test_gopher_filter_one_pass(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat to be of and that have with " + "word " * 50, "a"),
+            (1, "too short", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = text_ops.gopher_filter(df, min_words=5)
+    assert [r.doc_id for r in out.collect()] == [0]
+    assert out.columns == ["doc_id", "text", "source"]  # originals survive
+    with pytest.raises(TypeError, match="unknown gopher rule"):
+        text_ops.gopher_filter(df, not_a_rule=1)
+
+
+def test_gopher_paper_default_word_floor(spark):
+    # paper default min_words=50: a 49-word stopword-rich doc fails
+    txt = "the be to of and that have with " + "word " * 41
+    df = spark.createDataFrame([(0, txt)], "doc_id long, text string")
+    [r] = text_ops.gopher_quality(df).collect()
+    assert r.n_words == 49 and r.keep is False
+    [r2] = text_ops.gopher_quality(df, min_words=49).collect()
+    assert r2.keep is True
