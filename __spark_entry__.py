@@ -2545,6 +2545,41 @@ def gopher_quality_flags(spark, sf_dir):
 
 
 @_q(
+    "vocab_top_words",
+    r"""
+    WITH ws AS (
+      SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents),
+    c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ws GROUP BY word),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+    top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 20),
+    r AS (
+      SELECT word, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rank,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM top)
+    SELECT rank, word, cnt AS count,
+           floor(CAST(cnt AS DOUBLE) / total * 1000000 + 0.5) / 1000000.0 AS coverage,
+           floor(CAST(cum AS DOUBLE) / total * 1000000 + 0.5) / 1000000.0 AS cum_coverage
+    FROM r, tot
+    """,
+)
+def vocab_top_words(spark, sf_dir):
+    """Exact top-20 vocabulary with corpus-coverage shares (the
+    tokenizer/vocab-sizing readout: how much of the token stream the
+    top word types cover). One explode + one map-side-combined count
+    (the only corpus-sized exchange), per-partition top-k
+    (TakeOrderedAndProject) over the vocab frame, one-row total
+    broadcast, rank/cumsum windows over the bounded k-row result
+    (llm/text.vocab_topk). Coverage ratios are int-over-int rationals
+    -> round6_portable on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.vocab_topk(docs, k=20)
+
+
+@_q(
     "temperature_mix_counts",
     """
     WITH c AS (
@@ -4046,10 +4081,14 @@ _DRIVER_PRIORITY = [
     # temperature_mix_counts.
     "f4_url_roundtrip", "j4_fuzzy_match",
     "p4_scheme_routing", "part_size_bins",
-    # (c) r4-green rotation: LLM dedup / text / curation
+    # (c) r4-green rotation: LLM dedup / text / curation.
+    # text_token_stats defers to r7 for the new vocab_top_words — its
+    # word-split formula class is driven this round by the two new
+    # in-row word-stat queries (gopher_quality_flags, vocab_top_words)
+    # plus the staying text_quality_stats.
     "dedup_exact_groups", "lsh_jaccard_near_dup", "minhash_lsh_pairs",
     "pii_redaction", "text_language_id", "text_quality_stats",
-    "text_token_stats", "pack_chunks_by_source", "bm25_relevance_scores",
+    "pack_chunks_by_source", "bm25_relevance_scores",
     "stream_curated_front", "sessionize_users",
     # (c) r4-green rotation: media. The two set-op queries
     # (set_except_nations — a 0-row EXCEPT — and set_intersect_nations)
@@ -4060,7 +4099,7 @@ _DRIVER_PRIORITY = [
     "mm_ppm_image_stats",
     # (d) new this round — needs its first driver row
     "semdedup_kept", "dsir_selected", "kmeans_clusters",
-    "gopher_quality_flags", "temperature_mix_counts",
+    "gopher_quality_flags", "temperature_mix_counts", "vocab_top_words",
 ]
 
 

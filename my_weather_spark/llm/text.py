@@ -649,3 +649,58 @@ def _gopher_bound(
     metrics = (n_words, mean_wl, sym_ratio, bullet_ratio, ell_ratio,
                alpha_ratio, n_req)
     return bound, metrics, keep
+
+
+# ----------------------------------------------------------------------
+# Vocabulary construction support: exact top-k term frequencies with
+# corpus-coverage shares (the readout behind tokenizer/vocab sizing —
+# "how much of the corpus do the top k word types cover").
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """(rank, word, count, coverage, cum_coverage) for the k most
+    frequent words (ties by word asc). coverage = count/total tokens;
+    cum_coverage accumulates down the ranking; both round6_portable
+    (int-over-int rationals).
+
+    Scale shape: one explode + ONE map-side-combined count aggregate
+    (the only corpus-sized exchange; combine collapses each partition
+    to its local vocab first), then orderBy+limit = per-partition
+    top-k (TakeOrderedAndProject) over the vocab-sized frame. The
+    total-token count is a one-row aggregate of the SAME vocab frame
+    broadcast-crossjoined back (scalar-subquery pattern; no second
+    corpus scan), and rank/cumsum windows run on the k-row result —
+    bounded, single-task by construction.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    counts = (
+        df.withColumn("_vt_ws", _words(F.coalesce(F.col(text_col), F.lit(""))))
+        .select(F.explode("_vt_ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    # checkpoint the vocab-sized frame once: it feeds both the top-k
+    # and the total; without the cut each consumer re-runs the corpus
+    # explode+agg (the clean_corpus stage-count lesson)
+    counts = counts.localCheckpoint()
+    total = counts.agg(F.sum("count").cast("long").alias("_total"))
+    top = counts.orderBy(F.desc("count"), "word").limit(k)
+    w = Window.orderBy(F.desc("count"), "word").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("count"), "word")))
+        .withColumn("_cum", F.sum("count").over(w).cast("long"))
+        .select(
+            "rank",
+            "word",
+            "count",
+            round6_portable(F.col("count") / F.col("_total")).alias("coverage"),
+            round6_portable(F.col("_cum") / F.col("_total")).alias("cum_coverage"),
+        )
+    )

@@ -57,6 +57,9 @@ CARTESIAN_OK = {
     # crossjoin onto the strata-cardinality cuts frame (llm/sampling.
     # temperature_cuts) — same scalar-subquery pattern
     "temperature_mix_counts",
+    # vocab_topk's total-token count is a ONE-ROW broadcast crossjoin
+    # onto the bounded top-k frame (llm/text.vocab_topk) — same pattern
+    "vocab_top_words",
     # queries x corpus IS the brute-force baseline by definition (the
     # bounded honest-recall reference; the scale path is ann_ivf_topk)
     "knn_bruteforce",

@@ -29,6 +29,9 @@ QUERIES = [
     "ann_ivf_topk",
     "simhash_hamming_pairs",
     "semdedup_kept",
+    "kmeans_clusters",
+    "dsir_selected",
+    "temperature_mix_counts",
     "decontam_flags",
     "pack_chunks_by_source",
     "range_join_error_window",

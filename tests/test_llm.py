@@ -1300,3 +1300,19 @@ def test_gopher_paper_default_word_floor(spark):
     assert r.n_words == 49 and r.keep is False
     [r2] = text_ops.gopher_quality(df, min_words=49).collect()
     assert r2.keep is True
+
+
+def test_vocab_topk(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b d"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = text_ops.vocab_topk(df, k=3).collect()
+    got = [(r.rank, r.word, r["count"]) for r in sorted(rows, key=lambda r: r.rank)]
+    # counts: a=4, b=3, c=1, d=1 -> top-3 ties broken by word asc
+    assert got == [(1, "a", 4), (2, "b", 3), (3, "c", 1)]
+    by_rank = {r.rank: r for r in rows}
+    assert by_rank[1].coverage == pytest.approx(4 / 9, abs=1e-6)
+    assert by_rank[3].cum_coverage == pytest.approx(8 / 9, abs=1e-6)
+    with pytest.raises(ValueError, match="k must be"):
+        text_ops.vocab_topk(df, k=0)
