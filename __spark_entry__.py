@@ -2523,7 +2523,7 @@ def bm25_relevance_scores(spark, sf_dir):
              AND mean_wl >= 4.0 AND mean_wl <= 10.0
              AND sym_ratio <= 0.1 AND bullet_ratio <= 0.9
              AND ell_ratio <= 0.3 AND alpha_ratio >= 0.8
-             AND n_req >= 2, false) AS keep
+             AND n_req >= 1, false) AS keep
     FROM r
     """,
 )
@@ -2532,15 +2532,18 @@ def gopher_quality_flags(spark, sf_dir):
     A) per document: word-count window, mean word length, symbol/word
     ratio, bullet-led and ellipsis-terminated line ratios, alpha-word
     ratio, required-stop-word count, and the combined keep flag.
-    min_words=40 / min_mean_word_len=4.0 so both rules split this
-    corpus (331/500 and mid-range respectively); the rest are the
-    paper's defaults. One narrow in-row projection (llm/text.py
+    min_words=40 / min_mean_word_len=4.0 / min_req_stopwords=1 are
+    calibrated so THREE rules each split this corpus (331, 494, and
+    382 of 500 pass respectively; combined keep 291/500 — the
+    synthetic vocab contains only 'the' of the 8 required stop words,
+    so the paper's >=2 would pin keep constant-false); the rest are
+    the paper's defaults. One narrow in-row projection (llm/text.py
     gopher_quality) — zero shuffles; predicates compare raw IEEE
     ratios, emitted ratio columns are round6_portable (int-over-int
     rationals, the r6 tie class)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.gopher_quality(
-        docs, min_words=40, min_mean_word_len=4.0
+        docs, min_words=40, min_mean_word_len=4.0, min_req_stopwords=1
     )
 
 

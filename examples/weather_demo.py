@@ -111,6 +111,23 @@ def main() -> None:
     print("corpus report:", report)
     clean.select("doc_id", "n_words", "predicted_lang").show(5)
 
+    # --- 6b. published-filter readouts, clustering, temperature mixing ---
+    from my_weather_spark.llm import clustering, sampling as llm_sampling
+    from my_weather_spark.llm import text as text_ops
+
+    gq = text_ops.gopher_quality(
+        docs, min_words=40, min_mean_word_len=4.0, min_req_stopwords=1
+    )
+    print("gopher rules keep:", gq.where("keep").count(), "/", gq.count())
+    text_ops.vocab_topk(docs, k=5).show()
+    # exact-arithmetic Lloyd k-means over the embeddings + composition
+    km = clustering.kmeans_assign(emb, k=4, iters=2)
+    clustering.cluster_profile(km, emb, "label").orderBy("cluster", "label").show(8)
+    # temperature-flattened language mix (rates ∝ sqrt(n))
+    llm_sampling.temperature_sample(
+        docs, 250, strata_col="lang", seed="demo"
+    ).groupBy("lang").count().orderBy("lang").show()
+
     # --- 7. full curation: clean -> decontam -> mix -> split -> pack -----
     bench = docs.where(F.col("doc_id") % 97 == 0)
     curated, crep = curate_corpus(

@@ -145,7 +145,6 @@ def temperature_cuts(
     target_total: int,
     alpha: float = 0.5,
     strata_col: str = "source",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """(strata_col, n_total, cut) — per-stratum ticket cuts such that
     the expected kept total is ``target_total`` distributed as
@@ -216,7 +215,7 @@ def temperature_sample(
     cuts = (
         _cuts
         if _cuts is not None
-        else temperature_cuts(df, target_total, alpha, strata_col, id_col)
+        else temperature_cuts(df, target_total, alpha, strata_col)
     )
     return (
         df.join(F.broadcast(cuts.select(strata_col, "cut")), strata_col)

@@ -503,7 +503,8 @@ def hashed_bow_vectors(
 # Gopher quality rules (Rae et al. 2021, Appendix A): the published
 # heuristic document filter bundle, as ONE narrow in-row projection.
 GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
-GOPHER_BULLET_PREFIXES = ["•", "‣", "-", "*"]
+# bullet-prefix chars live inline in the _gopher_bound regexes
+# ("^[•‣*-]" — '-' deliberately last so it can't form a range)
 
 
 def gopher_quality(
