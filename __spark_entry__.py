@@ -3281,6 +3281,94 @@ def lm_perplexity_scores(spark, sf_dir):
 
 
 @_q(
+    "ccnet_ppl_buckets",
+    r"""
+    WITH ref AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    rw AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+           FROM ref),
+    rbg AS (SELECT ws[p] AS w1, ws[p+1] AS w2
+            FROM rw, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS p)),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY w1, w2),
+    pre AS (SELECT w1, count(*) AS c1 FROM rbg GROUP BY w1),
+    v AS (SELECT count(DISTINCT w) + 1 AS vsz
+          FROM (SELECT unnest(ws) AS w FROM rw)),
+    cw AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+           FROM corpus),
+    cbg AS (SELECT doc_id, ws[p] AS w1, ws[p+1] AS w2
+            FROM cw, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS p)),
+    lp AS (SELECT doc_id,
+             ln((coalesce(c12, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * vsz)) AS lp
+           FROM cbg LEFT JOIN big USING (w1, w2) LEFT JOIN pre USING (w1), v),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
+            FROM lp GROUP BY doc_id),
+    b AS (SELECT c.doc_id, c.lang,
+                 CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 a.avg_logp, round(exp(-a.avg_logp), 4) AS ppl
+          FROM corpus c LEFT JOIN agg a USING (doc_id)),
+    t AS (SELECT doc_id,
+                 ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS tl
+          FROM b WHERE ppl IS NOT NULL)
+    SELECT b.doc_id, b.lang, b.n_bigrams, b.avg_logp, b.ppl,
+           CASE tl WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   WHEN 3 THEN 'tail' END AS bucket
+    FROM b LEFT JOIN t USING (doc_id)
+    """,
+)
+def ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): per language, rank the corpus by reference-model perplexity
+    and cut into three ntile tiles — head is the most reference-like
+    third, tail the candidate-drop third. Same reference split as
+    lm_perplexity_scores (every 97th doc). The per-language ranking is
+    NOT a window: llm/lm.ppl_buckets uses ops/ranking.grouped_row_number
+    (one ranged global sort + tiny broadcast per-group stats — a
+    per-language WindowExec would sort each language on one task) and
+    derives the tile with pure integer ntile arithmetic; (ppl, doc_id)
+    is a total order so the oracle's ntile window replays it exactly.
+    Unscored short docs keep a NULL bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return llm_lm.ppl_buckets(corpus, ref, group_col="lang")
+
+
+@_q(
+    "doc_length_percentiles",
+    """
+    WITH base AS (
+      SELECT lang, n_chars, doc_id FROM documents
+      UNION ALL SELECT 'ALL', n_chars, doc_id FROM documents),
+    r AS (SELECT lang, n_chars,
+            row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM base),
+    ps AS (SELECT unnest([10, 50, 90, 99]) AS p)
+    SELECT r.lang, CAST(ps.p AS INTEGER) AS p,
+           CAST(r.n_chars AS BIGINT) AS value
+    FROM r JOIN ps ON r.rn = (ps.p * r.n + 99) // 100
+    """,
+)
+def doc_length_percentiles(spark, sf_dir):
+    """Exact per-language + overall document-length percentiles
+    (p10/p50/p90/p99 of n_chars) — the length-distribution readout a
+    packing/filter-calibration pass needs. EXACT percentile_disc
+    semantics (value at rank ceil(p/100*n), ties broken by doc_id)
+    without Spark's `percentile` aggregate, which buffers every value
+    of a group on one task: ops/ranking.grouped_exact_percentiles
+    range-partitions ONE global sort and broadcast-joins a tiny
+    (group, p, target-rank) table back — ceil computed in integer
+    arithmetic so both engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("lang", "n_chars", "doc_id")
+    both = base.unionByName(base.withColumn("lang", F.lit("ALL")))
+    out = ranking_ops.grouped_exact_percentiles(
+        both, "n_chars", [10, 50, 90, 99], "lang", "doc_id"
+    )
+    return out.select("lang", "p", F.col("n_chars").alias("value"))
+
+
+@_q(
     "pack_chunks_by_source",
     """
     WITH t AS (
@@ -4053,10 +4141,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # except lm_perplexity_scores, which changed this round and re-proves
 # in slot (a).
 _DRIVER_PRIORITY = [
-    # (a) changed-this-round kernels — re-prove post-change
+    # (a) changed-this-round kernels — re-prove post-change.
+    # ccnet_ppl_buckets SUBSUMES lm_perplexity_scores' slot: its
+    # output carries the identical per-doc n_bigrams/avg_logp/ppl
+    # columns through the same model CTEs, plus the bucket — one
+    # green row re-proves the changed lm chain AND the new bucketing.
     "simhash_hamming_pairs", "dup_span_stats",
     "q16_supplier_part_counts", "near_dup_components",
-    "lm_perplexity_scores",
+    "ccnet_ppl_buckets",
     # (b) r3-green rotation: TPC-H remainder
     "q4_late_shipment_priority", "q6_forecast_revenue",
     "q7_nation_trade", "q8_market_share", "q9_profit_by_nation_year",
@@ -4082,7 +4174,10 @@ _DRIVER_PRIORITY = [
     # and drives the same binning helper) -> gopher_quality_flags,
     # a6_bool_aggregates (health any/all flags) ->
     # temperature_mix_counts.
-    "f4_url_roundtrip", "j4_fuzzy_match",
+    # j4_fuzzy_match joins the r7 deferral list on the same grounds
+    # (pure column-expression matcher, pytest-golden, unchanged since
+    # r4), freeing its slot for the new doc_length_percentiles.
+    "f4_url_roundtrip",
     "p4_scheme_routing", "part_size_bins",
     # (c) r4-green rotation: LLM dedup / text / curation.
     # text_token_stats defers to r7 for the new vocab_top_words — its
@@ -4103,6 +4198,7 @@ _DRIVER_PRIORITY = [
     # (d) new this round — needs its first driver row
     "semdedup_kept", "dsir_selected", "kmeans_clusters",
     "gopher_quality_flags", "temperature_mix_counts", "vocab_top_words",
+    "doc_length_percentiles",
 ]
 
 

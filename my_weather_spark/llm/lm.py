@@ -146,3 +146,79 @@ def perplexity_filter(
     scores = perplexity_scores(docs, ref, alpha, text_col, id_col)
     keep = scores.where(F.col("ppl") <= max_ppl).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    ref: DataFrame,
+    k: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    group_col: str | None = "lang",
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3): per ``group_col`` (per language in the paper), rank
+    documents by reference-model perplexity ascending and cut the
+    ranking into ``k`` equal tiles — ``head`` is the best-scoring
+    (most reference-like) third. Returns one row per input doc:
+    (id, group, n_bigrams, avg_logp, ppl, bucket); docs too short to
+    score (NULL ppl) keep a NULL bucket, exactly as they carry no
+    evidence either way.
+
+    Scale shape: a per-group ntile window would sort each language on
+    ONE task (languages are few and huge — the canonical straggler);
+    this uses ops.ranking.grouped_row_number (one ranged global sort
+    + a tiny per-group broadcast) and derives the tile with pure
+    integer arithmetic (ntile_col_expr) — bit-identical to the window
+    and engine-portable. Tie order (ppl, id) is total, so the
+    bucketing is deterministic and replayable in the SQL oracle.
+    """
+    if len(labels) != k:
+        raise ValueError(f"need exactly k={k} labels, got {len(labels)}")
+    from my_weather_spark.ops import ranking
+
+    scores = perplexity_scores(docs, ref, alpha, text_col, id_col)
+    gc = group_col or "_g"
+    base = docs.select(id_col, *([group_col] if group_col else []))
+    if group_col is None:
+        base = base.withColumn(gc, F.lit("ALL"))
+    scored = base.join(scores, id_col)
+    ranked = ranking.grouped_row_number(
+        scored.where(F.col("ppl").isNotNull()), gc, ["ppl", id_col]
+    )
+    label_arr = F.array(*[F.lit(l) for l in labels])
+    buckets = ranked.select(
+        id_col,
+        F.element_at(
+            label_arr, ranking.ntile_col_expr("grn", "n_group", k)
+        ).alias("bucket"),
+    )
+    out = scored.join(buckets, id_col, "left")
+    if group_col is None:
+        out = out.drop(gc)
+    return out
+
+
+def ppl_bucket_filter(
+    docs: DataFrame,
+    ref: DataFrame,
+    keep: tuple[str, ...] = ("head", "middle"),
+    k: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    group_col: str | None = "lang",
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep only the documents whose CCNet perplexity bucket is in
+    ``keep`` (the paper's deployment keeps head+middle and drops the
+    far-from-reference tail). Scoreless docs (NULL bucket) are
+    dropped, matching perplexity_filter's no-evidence rule."""
+    unknown = set(keep) - set(labels)
+    if unknown:
+        raise ValueError(f"keep buckets not in labels: {sorted(unknown)}")
+    b = ppl_buckets(docs, ref, k, labels, group_col, alpha, text_col, id_col)
+    ids = b.where(F.col("bucket").isin(*keep)).select(id_col)
+    return docs.join(ids, id_col, "left_semi")

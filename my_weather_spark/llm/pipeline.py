@@ -225,6 +225,8 @@ def curate_corpus(
     decontam_ngram: int = 5,
     quality_ref: DataFrame | None = None,
     max_ppl: float | None = None,
+    ppl_keep_buckets: tuple[str, ...] | None = None,
+    ppl_bucket_group: str | None = "lang",
     ppl_alpha: float = 0.5,
     relevance_query: list[str] | None = None,
     min_bm25: float | None = None,
@@ -242,7 +244,8 @@ def curate_corpus(
 
         clean_corpus (quality -> exact dedup -> LSH near-dup)
           -> benchmark decontamination (broadcast n-gram anti-join)
-          -> [LM-perplexity quality gate vs quality_ref (optional)]
+          -> [LM quality gate vs quality_ref (optional): absolute
+              max_ppl threshold OR CCNet head/middle/tail buckets]
           -> [BM25 topic-relevance gate vs relevance_query (optional)]
           -> [DSIR importance resample to dsir_k vs dsir_target (optional)]
           -> data mixing (per-source deterministic hash rates, or
@@ -282,13 +285,26 @@ def curate_corpus(
     # the quality-passing pool). quality_ref is a curated reference
     # corpus (e.g. wiki-like), NOT the eval benchmark.
     n_ppl = None
-    if max_ppl is not None:
+    if max_ppl is not None and ppl_keep_buckets is not None:
+        raise ValueError(
+            "max_ppl and ppl_keep_buckets are mutually exclusive"
+        )
+    if max_ppl is not None or ppl_keep_buckets is not None:
         if quality_ref is None:
-            raise ValueError("max_ppl requires quality_ref")
-        clean = lm.perplexity_filter(
-            clean, quality_ref, max_ppl=max_ppl, alpha=ppl_alpha,
-            text_col=text_col, id_col=id_col,
-        ).localCheckpoint()
+            raise ValueError("the LM quality gate requires quality_ref")
+        if max_ppl is not None:
+            clean = lm.perplexity_filter(
+                clean, quality_ref, max_ppl=max_ppl, alpha=ppl_alpha,
+                text_col=text_col, id_col=id_col,
+            ).localCheckpoint()
+        else:
+            # CCNet's deployment form: per-group head/middle/tail
+            # tiles instead of an absolute threshold
+            clean = lm.ppl_bucket_filter(
+                clean, quality_ref, keep=ppl_keep_buckets,
+                group_col=ppl_bucket_group, alpha=ppl_alpha,
+                text_col=text_col, id_col=id_col,
+            ).localCheckpoint()
         n_ppl = clean.count()
 
     # optional BM25 topic-relevance gate (targeted-corpus curation:

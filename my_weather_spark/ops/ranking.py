@@ -555,6 +555,117 @@ def percent_rank_expr(rank_col: str, total: int) -> Column:
     return (F.col(rank_col) - 1) / F.lit(float(total - 1))
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[str],
+    out_col: str = "grn",
+    n_col: str = "n_group",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based row number + group size — the distributed
+    twin of ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    plus ``count(*) OVER (PARTITION BY group)``.
+
+    A per-group ranking window sends each group's entire history to
+    one task — with a handful of hot groups (languages, sources) that
+    is a straggler at 100 TB. Distributed shape: ONE ranged global
+    sort on (group, *order_by) via global_row_number, then a tiny
+    per-group (min rank, count) aggregate broadcast back —
+    rank_in_group = global_rank - min_rank(group) + 1. Contiguity of
+    the global order within each group makes this exact; ``order_by``
+    must total-order rows WITHIN a group (include a tie-breaker),
+    exactly as for any deterministic ranking.
+    """
+    ranked, _ = global_row_number(
+        df, [group_col, *order_by], out_col="_g_rn", num_partitions=num_partitions
+    )
+    stats = ranked.groupBy(group_col).agg(
+        F.min("_g_rn").alias("_g_min"), F.count(F.lit(1)).alias(n_col)
+    )
+    return (
+        ranked.join(F.broadcast(stats), group_col)
+        .withColumn(out_col, (F.col("_g_rn") - F.col("_g_min") + 1).cast("long"))
+        .drop("_g_rn", "_g_min")
+    )
+
+
+def ntile_col_expr(rank_col: str, total_col: str, k: int) -> Column:
+    """``ntile_expr`` with a per-row total COLUMN (per-group ntile
+    from grouped_row_number's rank + group size). Same arithmetic:
+    the first ``(total % k) * (total // k + 1)`` ranks land in the
+    one-row-larger buckets. Pure integer column math — bit-portable.
+    """
+    r = F.col(rank_col).cast("long")
+    total = F.col(total_col).cast("long")
+    size = F.floor(total / k).cast("long")
+    n_big = total - size * k
+    big_span = n_big * (size + 1)
+    return (
+        F.when(size == F.lit(0), r)  # fewer rows than buckets
+        .when(r <= big_span, F.floor((r - 1) / (size + 1)))
+        .otherwise(n_big + F.floor((r - big_span - 1) / size))
+        .cast("int")
+        + F.when(size == F.lit(0), F.lit(0)).otherwise(F.lit(1))
+    ).cast("int")
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[int],
+    group_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(group, p, value) — EXACT discrete percentiles per group:
+    value at rank ceil(p/100 * n) in (value, id) order, i.e.
+    ``percentile_disc`` semantics with a deterministic tie order.
+
+    Spark's exact ``percentile`` aggregate buffers every value per
+    group on one task (the 100 TB killer) and ``approx_percentile``
+    is not oracle-exact. This shape stays distributed: one ranged
+    global sort (grouped_row_number), then a TINY per-group target
+    table — ceil via pure integer math ((p*n + 99) div 100), portable
+    across engines — broadcast-joined back on (group, rank).
+    """
+    for p in ps:
+        if not (isinstance(p, int) and 1 <= p <= 100):
+            raise ValueError(f"percentiles must be ints in 1..100, got {p!r}")
+    ranked = grouped_row_number(
+        df.select(group_col, value_col, id_col),
+        group_col,
+        [value_col, id_col],
+        num_partitions=num_partitions,
+    )
+    # rename the target-side keys: targets derives FROM ranked, and a
+    # qualified self-join on the shared lineage is ambiguous to Spark
+    targets = (
+        ranked.groupBy(group_col)
+        .agg(F.max("n_group").alias("_n"))
+        .select(
+            F.col(group_col).alias("_t_grp"),
+            F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+            F.col("_n"),
+        )
+        .withColumn(
+            "_target",
+            F.floor((F.col("p").cast("long") * F.col("_n") + 99) / 100).cast("long"),
+        )
+        .drop("_n")
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            on=[
+                F.col(group_col) == F.col("_t_grp"),
+                F.col("grn") == F.col("_target"),
+            ],
+        )
+        .select(group_col, "p", value_col)
+    )
+
+
 def grouped_last_fill(
     df: DataFrame,
     group_by: list[str],

@@ -50,6 +50,9 @@ CARTESIAN_OK = {
     "bm25_relevance_scores",
     # reference vocab size V is a one-row broadcast crossjoin
     "lm_perplexity_scores",
+    # same lm model CTEs (vocab-size one-row crossjoin) under the
+    # CCNet bucketing query
+    "ccnet_ppl_buckets",
     # DSIR log-ratio model is a ONE-ROW dense-array broadcast crossjoin
     # onto the narrow scoring pass (llm/dsir.py) — same pattern
     "dsir_selected",
@@ -75,6 +78,10 @@ EXPECT: dict[str, list[str]] = {
     # benchmark/decontam probes broadcast the small side
     "decontam_flags": ["BroadcastHashJoin"],
     "lm_perplexity_scores": ["BroadcastHashJoin"],
+    # model tables + per-group tile stats must broadcast
+    "ccnet_ppl_buckets": ["BroadcastHashJoin"],
+    # percentile targets must broadcast onto the ranked corpus
+    "doc_length_percentiles": ["BroadcastHashJoin"],
     # period filter must reach the parquet scan
     "p1_period_filter": ["PushedFilters: ["],
     # top-k selection must plan distributed per-partition top-k, not a

@@ -398,6 +398,94 @@ def test_curate_corpus_perplexity_stage(spark):
         curate_corpus(docs, max_ppl=10.0, split_weights=(1.0,), min_words=5)
 
 
+def test_ppl_buckets_match_window_and_null_for_short(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.llm import lm
+
+    ref = spark.createDataFrame(
+        [(900 + i, "the cat sat on the mat and the dog sat on the rug") for i in range(3)],
+        "doc_id long, text string",
+    )
+    rows = [
+        (i, t, g)
+        for g, texts in {
+            "en": [
+                "the cat sat on the mat today",
+                "the dog sat on the rug again",
+                "zq glorp wibble frobnicate snork",
+                "the cat and the dog ran home",
+                "blarg quux zomp trill vex snood",
+            ],
+            "de": ["the mat and the rug", "glorp snork blarg", "short"],
+        }.items()
+        for i, t in zip(
+            range(0 if g == "en" else 10, 100), texts
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = lm.ppl_buckets(docs, ref, group_col="lang")
+    # the 1-word doc can't score: NULL ppl -> NULL bucket
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert by_id[12]["ppl"] is None and by_id[12]["bucket"] is None
+    # everything else matches the per-group ntile window exactly
+    scores = lm.perplexity_scores(docs, ref).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = W.partitionBy("lang").orderBy("ppl", "doc_id")
+    want = {
+        r["doc_id"]: ["head", "middle", "tail"][r["nt"] - 1]
+        for r in scores.where(F.col("ppl").isNotNull())
+        .select("doc_id", F.ntile(3).over(w).alias("nt"))
+        .collect()
+    }
+    for did, r in by_id.items():
+        if r["ppl"] is not None:
+            assert r["bucket"] == want[did], did
+    with pytest.raises(ValueError):
+        lm.ppl_buckets(docs, ref, k=3, labels=("a", "b"))
+    with pytest.raises(ValueError):
+        lm.ppl_bucket_filter(docs, ref, keep=("head", "torso"))
+
+
+def test_curate_corpus_ppl_bucket_stage(spark):
+    from my_weather_spark.llm.pipeline import curate_corpus
+
+    ref = spark.createDataFrame(
+        [(900 + i, "the cat sat on the mat and the dog sat on the rug") for i in range(3)],
+        "doc_id long, text string",
+    )
+    texts = [
+        "the cat sat on the mat today and then some",
+        "the dog sat on the rug again and then some",
+        "the cat and the dog ran all the way home",
+        "zq glorp wibble frobnicate snork blarg quux zomp",
+        "blarg quux zomp trill vex snood grib mawp",
+        "wibble snork vex trill zomp frobnicate glorp blarg",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "web") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    out, rep = curate_corpus(
+        docs, quality_ref=ref, ppl_keep_buckets=("head", "middle"),
+        ppl_bucket_group=None, split_weights=(1.0,), min_words=5,
+    )
+    # 6 docs, global 3-tile: tail (the 2 worst-scoring) dropped
+    assert rep.n_after_ppl == 4
+    assert out.count() == 4
+    with pytest.raises(ValueError):
+        curate_corpus(
+            docs, quality_ref=ref, max_ppl=10.0,
+            ppl_keep_buckets=("head",), split_weights=(1.0,), min_words=5,
+        )
+    with pytest.raises(ValueError):
+        curate_corpus(
+            docs, ppl_keep_buckets=("head",), split_weights=(1.0,), min_words=5
+        )
+
+
 def test_curate_corpus_bm25_relevance_stage(spark):
     from my_weather_spark.llm.pipeline import curate_corpus
 

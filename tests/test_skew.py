@@ -204,6 +204,69 @@ def test_grouped_prefix_sum_single_group_and_empty(spark):
     assert ranking.grouped_prefix_sum(empty, ["g"], ["id"], "v").count() == 0
 
 
+def test_grouped_row_number_and_ntile_col_match_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    rng = random.Random(11)
+    # skewed groups incl. one SMALLER than the tile count (n=2 < k=3)
+    rows = [("hot", i, rng.choice([1.5, 2.5, 3.5])) for i in range(61)]
+    rows += [("mid", 100 + i, rng.choice([1.5, 2.5])) for i in range(17)]
+    rows += [("tiny", 200, 9.0), ("tiny", 201, 8.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = ranking.grouped_row_number(df, "g", ["v", "id"], num_partitions=7)
+    sel = got.select(
+        "g", "id", "grn", "n_group",
+        ranking.ntile_col_expr("grn", "n_group", 3).alias("nt"),
+    )
+    w = W.partitionBy("g").orderBy("v", "id")
+    want = df.select(
+        "g", "id",
+        F.row_number().over(w).cast("long").alias("grn"),
+        F.count(F.lit(1)).over(W.partitionBy("g")).alias("n_group"),
+        F.ntile(3).over(w).alias("nt"),
+    )
+    assert sel.subtract(want).count() == 0 and want.subtract(sel).count() == 0
+
+
+def test_grouped_exact_percentiles(spark):
+    import math
+    import random
+
+    from my_weather_spark.ops import ranking
+
+    rng = random.Random(23)
+    rows = [("a", i, rng.randrange(0, 50)) for i in range(83)]
+    rows += [("b", 100 + i, rng.randrange(0, 9)) for i in range(7)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    ps = [10, 50, 90, 99, 100]
+    got = {
+        (r["g"], r["p"]): r["v"]
+        for r in ranking.grouped_exact_percentiles(
+            df, "v", ps, "g", "id", num_partitions=5
+        ).collect()
+    }
+    by_g = {}
+    for g, i, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    want = {}
+    for g, vals in by_g.items():
+        vals.sort()
+        for p in ps:
+            want[(g, p)] = vals[math.ceil(p / 100 * len(vals)) - 1][0]
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        ranking.grouped_exact_percentiles(df, "v", [0], "g", "id")
+    with pytest.raises(ValueError):
+        ranking.grouped_exact_percentiles(df, "v", [50.0], "g", "id")
+
+
 def test_sliding_range_count_matches_window(spark):
     import random
 
