@@ -3369,6 +3369,58 @@ def doc_length_percentiles(spark, sf_dir):
 
 
 @_q(
+    "source_jsd_divergence",
+    r"""
+    WITH ws AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+      FROM documents),
+    b AS (SELECT source, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS bucket
+          FROM ws),
+    c AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cs
+          FROM b GROUP BY source, bucket),
+    tot AS (SELECT bucket, CAST(sum(cs) AS BIGINT) AS ct FROM c GROUP BY bucket),
+    n AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM tot),
+    ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_words
+           FROM c GROUP BY source),
+    grid AS (
+      SELECT ns.source, ns.n_words, t.bucket, t.ct, coalesce(c.cs, 0) AS cs
+      FROM ns CROSS JOIN tot t
+      LEFT JOIN c ON c.source = ns.source AND c.bucket = t.bucket),
+    term AS (
+      SELECT source, n_words, bucket,
+             0.5 * (CASE WHEN cs > 0
+                         THEN (cs / CAST(n_words AS DOUBLE))
+                              * ln((cs / CAST(n_words AS DOUBLE))
+                                   / (((cs / CAST(n_words AS DOUBLE))
+                                       + (ct / CAST(n.n AS DOUBLE))) / 2.0))
+                         ELSE 0.0 END
+                    + (ct / CAST(n.n AS DOUBLE))
+                      * ln((ct / CAST(n.n AS DOUBLE))
+                           / (((cs / CAST(n_words AS DOUBLE))
+                               + (ct / CAST(n.n AS DOUBLE))) / 2.0))) AS t
+      FROM grid, n)
+    SELECT source, n_words,
+           round(list_reduce(list(t ORDER BY bucket), (a, b) -> a + b), 6) AS jsd
+    FROM term GROUP BY source, n_words
+    """,
+)
+def source_jsd_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence vs the whole corpus over
+    hashed-unigram word distributions (dim=256, the hashed_bow/DSIR
+    bucket space) — the domain-similarity readout behind data-mixing
+    decisions. ONE corpus pass (map-side-combined (source, bucket)
+    counts); corpus totals derive from that tiny frame, densified per
+    source, one-row corpus map broadcast-crossjoined back. The
+    per-source double fold runs in bucket-index order on both engines
+    (F.aggregate over sequence == list_reduce over ORDER BY bucket);
+    zero-count buckets are exact +0.0 IEEE no-ops (llm/text.
+    strata_divergence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.strata_divergence(docs, dim=256, strata_col="source")
+
+
+@_q(
     "pack_chunks_by_source",
     """
     WITH t AS (
@@ -4174,10 +4226,10 @@ _DRIVER_PRIORITY = [
     # and drives the same binning helper) -> gopher_quality_flags,
     # a6_bool_aggregates (health any/all flags) ->
     # temperature_mix_counts.
-    # j4_fuzzy_match joins the r7 deferral list on the same grounds
-    # (pure column-expression matcher, pytest-golden, unchanged since
-    # r4), freeing its slot for the new doc_length_percentiles.
-    "f4_url_roundtrip",
+    # j4_fuzzy_match and f4_url_roundtrip join the r7 deferral list on
+    # the same grounds (pure column-expression matcher / parse-format
+    # pair, pytest-golden, unchanged since r4), freeing their slots
+    # for the new doc_length_percentiles and source_jsd_divergence.
     "p4_scheme_routing", "part_size_bins",
     # (c) r4-green rotation: LLM dedup / text / curation.
     # text_token_stats defers to r7 for the new vocab_top_words — its
@@ -4198,7 +4250,7 @@ _DRIVER_PRIORITY = [
     # (d) new this round — needs its first driver row
     "semdedup_kept", "dsir_selected", "kmeans_clusters",
     "gopher_quality_flags", "temperature_mix_counts", "vocab_top_words",
-    "doc_length_percentiles",
+    "doc_length_percentiles", "source_jsd_divergence",
 ]
 
 

@@ -500,6 +500,95 @@ def hashed_bow_vectors(
 
 
 # ----------------------------------------------------------------------
+# Corpus-similarity diagnostics over the hashed feature space.
+def strata_divergence(
+    df: DataFrame,
+    dim: int = 256,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(stratum, n_words, jsd) — Jensen-Shannon divergence between each
+    stratum's hashed-unigram word distribution and the whole corpus's,
+    the domain-similarity readout behind data-mixing decisions (which
+    sources are interchangeable, which add diversity). Same first-8-
+    md5-hex mod ``dim`` bucket construction as hashed_bow/DSIR, so the
+    diagnostic lives in the feature space the selection ops use.
+
+    JSD(P_s, Q) = 0.5*KL(P_s || M) + 0.5*KL(Q || M) with M = (P_s+Q)/2,
+    natural log; 0 <= jsd <= ln 2. Zero-count buckets contribute exact
+    +0.0 terms (IEEE no-ops), and the per-stratum fold runs in bucket-
+    index order on BOTH engines (F.aggregate over sequence == DuckDB
+    list_reduce over list(... ORDER BY bucket)), so the double sums
+    match bit-for-bit; ln outputs are the tie-free class — plain
+    round(6) is portable here.
+
+    Scale shape: ONE corpus pass (explode words -> map-side-combined
+    (stratum, bucket) counts, <= n_strata * dim rows out); everything
+    after is arithmetic on that tiny frame — corpus totals derive from
+    it (no second scan), densified per stratum, one-row corpus map
+    broadcast-crossjoined back (scalar-subquery pattern). Strata with
+    zero words carry no distribution and are absent from the output.
+    """
+    wh = df.select(
+        F.col(strata_col), F.explode(_words(F.col(text_col))).alias("_w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long") % dim
+    )
+    c = (
+        wh.select(strata_col, bucket.alias("bucket"))
+        .groupBy(strata_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = c.groupBy(strata_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("c")))
+        ).alias("_m"),
+        F.sum("c").cast("long").alias("n_words"),
+    )
+    tot_row = (
+        c.groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("ct")))
+            ).alias("_mt"),
+            F.sum("ct").alias("_n"),
+        )
+    )
+
+    def _term(acc, i):
+        cs = F.coalesce(F.element_at(F.col("_m"), i.cast("long")), F.lit(0))
+        ct = F.coalesce(F.element_at(F.col("_mt"), i.cast("long")), F.lit(0))
+        p = cs / F.col("n_words")
+        q = ct / F.col("_n")
+        m = (p + q) / F.lit(2.0)
+        contrib = F.when(
+            ct > 0,
+            F.lit(0.5)
+            * (
+                F.when(cs > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+                + q * F.log(q / m)
+            ),
+        ).otherwise(F.lit(0.0))
+        return acc + contrib
+
+    return (
+        per.join(F.broadcast(tot_row))
+        .select(
+            strata_col,
+            "n_words",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(dim - 1)), F.lit(0.0), _term
+                ),
+                6,
+            ).alias("jsd"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, Appendix A): the published
 # heuristic document filter bundle, as ONE narrow in-row projection.
 GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

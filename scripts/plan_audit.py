@@ -53,6 +53,9 @@ CARTESIAN_OK = {
     # same lm model CTEs (vocab-size one-row crossjoin) under the
     # CCNet bucketing query
     "ccnet_ppl_buckets",
+    # corpus word-distribution map is a ONE-ROW broadcast crossjoin
+    # onto the strata-cardinality frame (llm/text.strata_divergence)
+    "source_jsd_divergence",
     # DSIR log-ratio model is a ONE-ROW dense-array broadcast crossjoin
     # onto the narrow scoring pass (llm/dsir.py) — same pattern
     "dsir_selected",

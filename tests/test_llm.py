@@ -1316,3 +1316,51 @@ def test_vocab_topk(spark):
     assert by_rank[3].cum_coverage == pytest.approx(8 / 9, abs=1e-6)
     with pytest.raises(ValueError, match="k must be"):
         text_ops.vocab_topk(df, k=0)
+
+
+def test_strata_divergence_matches_replay(spark):
+    import hashlib
+    import math
+
+    dim = 16
+    rows = [
+        (0, "alpha alpha beta gamma", "a"),
+        (1, "beta beta delta", "a"),
+        (2, "omega omega omega zeta", "b"),
+        (3, "alpha omega", "b"),
+        (4, "", "empty"),  # zero words -> absent from output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["n_words"], r["jsd"])
+        for r in text_ops.strata_divergence(df, dim=dim).collect()
+    }
+    assert "empty" not in got
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
+
+    per, tot = {}, [0] * dim
+    for _, text, src in rows:
+        for w in text.split():
+            b = bucket(w)
+            per.setdefault(src, [0] * dim)[b] += 1
+            tot[b] += 1
+    n = sum(tot)
+    for src, cs in per.items():
+        ns = sum(cs)
+        jsd = 0.0
+        for i in range(dim):
+            if tot[i] == 0:
+                continue
+            p, q = cs[i] / ns, tot[i] / n
+            m = (p + q) / 2.0
+            jsd += 0.5 * (
+                (p * math.log(p / m) if cs[i] > 0 else 0.0)
+                + q * math.log(q / m)
+            )
+        assert got[src] == (ns, round(jsd, 6)), src
+    # one stratum == whole corpus -> P == Q -> JSD exactly 0
+    solo = spark.createDataFrame(rows[:2], "doc_id long, text string, source string")
+    [r] = text_ops.strata_divergence(solo, dim=dim).collect()
+    assert r["jsd"] == 0.0
