@@ -3421,6 +3421,59 @@ def source_jsd_divergence(spark, sf_dir):
 
 
 @_q(
+    "nb_quality_flags",
+    r"""
+    WITH rw AS (SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), w -> w <> '') AS ws
+           FROM documents),
+    rf AS (
+      SELECT doc_id, ('0x' || substr(md5(ws[p]), 1, 8))::BIGINT % 1024 AS bucket
+      FROM rw, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS p)
+      UNION ALL
+      SELECT doc_id, ('0x' || substr(md5(ws[p] || ' ' || ws[p + 1]), 1, 8))::BIGINT % 1024
+      FROM rw, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS p)
+    ),
+    fc AS (SELECT bucket,
+             count(*) FILTER (WHERE doc_id % 97 = 0) AS pos_c,
+             count(*) FILTER (WHERE doc_id % 97 <> 0) AS neg_c
+           FROM rf GROUP BY bucket),
+    tot AS (SELECT CAST(sum(pos_c) AS BIGINT) AS pt,
+                   CAST(sum(neg_c) AS BIGINT) AS nt FROM fc),
+    pr AS (SELECT ln(CAST(count(*) FILTER (WHERE doc_id % 97 = 0) AS BIGINT)
+                     / CAST(count(*) FILTER (WHERE doc_id % 97 <> 0) AS BIGINT)) AS prior
+           FROM documents),
+    lr AS (SELECT bucket,
+              ln((pos_c + 0.5) / (pt + 0.5 * 1024))
+            - ln((neg_c + 0.5) / (nt + 0.5 * 1024)) AS lr
+           FROM fc, tot),
+    w AS (SELECT rf.doc_id, count(*) AS n_feats, sum(lr.lr) AS s
+          FROM rf JOIN lr USING (bucket) GROUP BY rf.doc_id),
+    sc AS (SELECT d.doc_id,
+             CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+             round(pr.prior + coalesce(w.s, 0.0), 6) AS log_odds
+           FROM documents d LEFT JOIN w USING (doc_id), pr)
+    SELECT doc_id, n_feats, log_odds, log_odds > 0.0 AS pred_hq FROM sc
+    """,
+)
+def nb_quality_flags(spark, sf_dir):
+    """The published curated-vs-crawl quality-classifier stage (GPT-3
+    App. A / LLaMA's fastText filter) as add-alpha Naive Bayes over
+    the hashed unigram+bigram bucket space — NB keeps training AND
+    scoring pure count arithmetic, so the whole classifier replays in
+    SQL (SGD weights would not). Positive class = the curated split
+    (every 97th doc, the lm/decontam reference convention); emits
+    per-doc log-odds + verdict for ALL docs. Scale shape
+    (llm/classifier.py): one feature scan builds both class
+    distributions (count_if per bucket) -> ONE-ROW dense model + prior
+    broadcast-crossjoined back; scoring is a narrow in-row
+    F.aggregate; the corpus never shuffles. The verdict compares the
+    ROUNDED score so both engines decide identically."""
+    from my_weather_spark.llm import classifier as llm_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_classifier.nb_scores(docs, pos=F.col("doc_id") % 97 == 0)
+
+
+@_q(
     "pack_chunks_by_source",
     """
     WITH t AS (
@@ -4236,8 +4289,11 @@ _DRIVER_PRIORITY = [
     # word-split formula class is driven this round by the two new
     # in-row word-stat queries (gopher_quality_flags, vocab_top_words)
     # plus the staying text_quality_stats.
+    # pii_redaction joins the r7 deferral list (pure chained-regexp
+    # projection, pytest-golden, unchanged since r4), freeing its slot
+    # for the new nb_quality_flags.
     "dedup_exact_groups", "lsh_jaccard_near_dup", "minhash_lsh_pairs",
-    "pii_redaction", "text_language_id", "text_quality_stats",
+    "text_language_id", "text_quality_stats",
     "pack_chunks_by_source", "bm25_relevance_scores",
     "stream_curated_front", "sessionize_users",
     # (c) r4-green rotation: media. The two set-op queries
@@ -4251,6 +4307,7 @@ _DRIVER_PRIORITY = [
     "semdedup_kept", "dsir_selected", "kmeans_clusters",
     "gopher_quality_flags", "temperature_mix_counts", "vocab_top_words",
     "doc_length_percentiles", "source_jsd_divergence",
+    "nb_quality_flags",
 ]
 
 

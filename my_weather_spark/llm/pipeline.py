@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from my_weather_spark.llm import (
+    classifier,
     decontam,
     dedup,
     dsir as dsir_ops,
@@ -207,6 +208,8 @@ class CurateReport:
     n_chunks: int
     # None when the optional LM-perplexity stage is off
     n_after_ppl: int | None = None
+    # None when the optional NB quality-classifier stage is off
+    n_after_nb: int | None = None
     # None when the optional BM25 topic-relevance stage is off
     n_after_bm25: int | None = None
     # None when the optional DSIR importance-resampling stage is off
@@ -228,6 +231,8 @@ def curate_corpus(
     ppl_keep_buckets: tuple[str, ...] | None = None,
     ppl_bucket_group: str | None = "lang",
     ppl_alpha: float = 0.5,
+    nb_pos: Column | None = None,
+    nb_min_log_odds: float = 0.0,
     relevance_query: list[str] | None = None,
     min_bm25: float | None = None,
     dsir_target: DataFrame | Column | None = None,
@@ -246,6 +251,7 @@ def curate_corpus(
           -> benchmark decontamination (broadcast n-gram anti-join)
           -> [LM quality gate vs quality_ref (optional): absolute
               max_ppl threshold OR CCNet head/middle/tail buckets]
+          -> [NB curated-vs-crawl classifier gate vs nb_pos (optional)]
           -> [BM25 topic-relevance gate vs relevance_query (optional)]
           -> [DSIR importance resample to dsir_k vs dsir_target (optional)]
           -> data mixing (per-source deterministic hash rates, or
@@ -306,6 +312,19 @@ def curate_corpus(
                 text_col=text_col, id_col=id_col,
             ).localCheckpoint()
         n_ppl = clean.count()
+
+    # optional curated-vs-crawl NB classifier gate (GPT-3 App. A /
+    # LLaMA fastText deployment): nb_pos marks the curated positive
+    # class; keep docs whose rounded log-odds clear nb_min_log_odds.
+    # Same placement rationale as the ppl gate — a quality gate after
+    # dedup/decontam, before mixing.
+    n_nb = None
+    if nb_pos is not None:
+        clean = classifier.nb_filter(
+            clean, nb_pos, min_log_odds=nb_min_log_odds,
+            text_col=text_col, id_col=id_col,
+        ).localCheckpoint()
+        n_nb = clean.count()
 
     # optional BM25 topic-relevance gate (targeted-corpus curation:
     # keep documents that score against a topic seed query). Runs with
@@ -390,6 +409,7 @@ def curate_corpus(
         n_test=split_counts.get("test", 0),
         n_chunks=int(n_chunks),
         n_after_ppl=n_ppl,
+        n_after_nb=n_nb,
         n_after_bm25=n_bm25,
         n_after_dsir=n_dsir,
     )

@@ -59,6 +59,9 @@ CARTESIAN_OK = {
     # DSIR log-ratio model is a ONE-ROW dense-array broadcast crossjoin
     # onto the narrow scoring pass (llm/dsir.py) — same pattern
     "dsir_selected",
+    # NB classifier model + prior are ONE-ROW broadcast crossjoins
+    # onto the narrow scoring pass (llm/classifier.py) — same pattern
+    "nb_quality_flags",
     # temperature mixing's weight-sum fold is a ONE-ROW broadcast
     # crossjoin onto the strata-cardinality cuts frame (llm/sampling.
     # temperature_cuts) — same scalar-subquery pattern

@@ -486,6 +486,97 @@ def test_curate_corpus_ppl_bucket_stage(spark):
         )
 
 
+def test_nb_classifier_matches_replay(spark):
+    import hashlib
+    import math
+
+    from my_weather_spark.llm import classifier
+
+    dim = 1024
+    rows = [
+        (0, "the cat sat on the mat", True),
+        (1, "the dog sat on the rug", True),
+        (2, "zq glorp wibble frobnicate", False),
+        (3, "the cat and the dog", False),
+        (4, "blarg quux zomp", False),
+        (5, "", False),  # featureless -> scores exactly the prior
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    pos_ids = {i for i, _, p in rows if p}
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: r
+        for r in classifier.nb_scores(
+            df, pos=F.col("doc_id").isin(*pos_ids), dim=dim
+        ).collect()
+    }
+
+    def feats(text):
+        ws = text.split()
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dim
+            for g in grams
+        ]
+
+    pc, nc = {}, {}
+    for i, t, p in rows:
+        for b in feats(t):
+            (pc if p else nc)[b] = (pc if p else nc).get(b, 0) + 1
+    pt, nt = sum(pc.values()), sum(nc.values())
+    prior = math.log(len(pos_ids) / (len(rows) - len(pos_ids)))
+    for i, t, _ in rows:
+        fs = feats(t)
+        s = prior + sum(
+            math.log((pc.get(b, 0) + 0.5) / (pt + 0.5 * dim))
+            - math.log((nc.get(b, 0) + 0.5) / (nt + 0.5 * dim))
+            for b in fs
+        )
+        r = got[i]
+        assert r["n_feats"] == len(fs)
+        assert r["log_odds"] == pytest.approx(round(s, 6), abs=2e-6), i
+        assert r["pred_hq"] == (r["log_odds"] > 0.0)
+    # featureless doc scores exactly the rounded prior
+    assert got[5]["log_odds"] == pytest.approx(round(prior, 6), abs=1e-9)
+    # in-model docs classify positive, gibberish negative
+    assert got[0]["pred_hq"] and got[1]["pred_hq"]
+    assert not got[2]["pred_hq"] and not got[4]["pred_hq"]
+    # empty classes raise loudly in-plan
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        classifier.nb_scores(df, pos=F.lit(True)).collect()
+    with pytest.raises(Exception):
+        classifier.nb_scores(df, pos=F.lit(False)).collect()
+
+
+def test_curate_corpus_nb_classifier_stage(spark):
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.llm.pipeline import curate_corpus
+
+    rows = [
+        (0, "the cat sat on the mat and the dog sat on the rug", "cur"),
+        (1, "the cat and the dog sat on the mat again today", "cur"),
+        (2, "the dog and the cat sat on the rug once more", "web"),
+        (3, "zq glorp wibble frobnicate snork blarg quux zomp", "web"),
+        (4, "blarg quux zomp trill vex snood grib mawp zzq", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, rep = curate_corpus(
+        docs, nb_pos=F.col("source") == "cur",
+        split_weights=(1.0,), min_words=5,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    # curated-looking web doc kept, gibberish dropped; positives score
+    # positive on their own training text
+    assert 2 in kept and 3 not in kept and 4 not in kept
+    assert rep.n_after_nb == len(kept)
+
+
 def test_curate_corpus_bm25_relevance_stage(spark):
     from my_weather_spark.llm.pipeline import curate_corpus
 
