@@ -127,6 +127,23 @@ def main() -> None:
     llm_sampling.temperature_sample(
         docs, 250, strata_col="lang", seed="demo"
     ).groupBy("lang").count().orderBy("lang").show()
+    # CCNet perplexity tiles, NB classifier verdicts, mix diagnostics
+    from my_weather_spark.llm import classifier as llm_classifier
+    from my_weather_spark.llm import lm as llm_lm
+
+    ref = docs.where(F.col("doc_id") % 97 == 0)
+    llm_lm.ppl_buckets(
+        docs.where(F.col("doc_id") % 97 != 0), ref, group_col="lang"
+    ).groupBy("lang", "bucket").count().orderBy("lang", "bucket").show(8)
+    nb = llm_classifier.nb_scores(docs, pos=F.col("doc_id") % 97 == 0)
+    print("classifier keeps:", nb.where("pred_hq").count(), "/", nb.count())
+    text_ops.strata_divergence(docs, strata_col="lang").orderBy("lang").show()
+    from my_weather_spark.ops import ranking as ranking_ops
+
+    ranking_ops.grouped_exact_percentiles(
+        docs.select("lang", "n_chars", "doc_id"), "n_chars",
+        [50, 99], "lang", "doc_id",
+    ).orderBy("lang", "p").show(6)
 
     # --- 7. full curation: clean -> decontam -> mix -> split -> pack -----
     bench = docs.where(F.col("doc_id") % 97 == 0)

@@ -184,7 +184,10 @@ def ppl_buckets(
     base = docs.select(id_col, *([group_col] if group_col else []))
     if group_col is None:
         base = base.withColumn(gc, F.lit("ALL"))
-    scored = base.join(scores, id_col)
+    # checkpoint the scored corpus ONCE: both consumers below (the
+    # ranged ranking sort and the final outer join) would otherwise
+    # re-run the whole LM scoring chain — the dsir scored-keys rule
+    scored = base.join(scores, id_col).localCheckpoint()
     ranked = ranking.grouped_row_number(
         scored.where(F.col("ppl").isNotNull()), gc, ["ppl", id_col]
     )
