@@ -3333,9 +3333,7 @@ def ccnet_ppl_buckets(spark, sf_dir):
     return llm_lm.ppl_buckets(corpus, ref, group_col="lang")
 
 
-@_q(
-    "doc_length_percentiles",
-    """
+_DOCLEN_PCTL_SQL = """
     WITH base AS (
       SELECT lang, n_chars, doc_id FROM documents
       UNION ALL SELECT 'ALL', n_chars, doc_id FROM documents),
@@ -3347,18 +3345,51 @@ def ccnet_ppl_buckets(spark, sf_dir):
     SELECT r.lang, CAST(ps.p AS INTEGER) AS p,
            CAST(r.n_chars AS BIGINT) AS value
     FROM r JOIN ps ON r.rn = (ps.p * r.n + 99) // 100
-    """,
-)
+    """
+
+
+@_q("doc_length_percentiles", _DOCLEN_PCTL_SQL)
 def doc_length_percentiles(spark, sf_dir):
     """Exact per-language + overall document-length percentiles
     (p10/p50/p90/p99 of n_chars) — the length-distribution readout a
     packing/filter-calibration pass needs. EXACT percentile_disc
-    semantics (value at rank ceil(p/100*n), ties broken by doc_id)
-    without Spark's `percentile` aggregate, which buffers every value
-    of a group on one task: ops/ranking.grouped_exact_percentiles
-    range-partitions ONE global sort and broadcast-joins a tiny
-    (group, p, target-rank) table back — ceil computed in integer
-    arithmetic so both engines agree exactly."""
+    semantics: value at rank ceil(p/100*n) in (n_chars, doc_id) order,
+    ceil in integer arithmetic so both engines agree exactly. This is
+    the windowed BASE variant (row_number per lang — one task per
+    language, fine at toy scale); `doc_length_percentiles_scaled` is
+    the distributed twin sharing this oracle bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("lang", "n_chars", "doc_id")
+    both = base.unionByName(base.withColumn("lang", F.lit("ALL")))
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = both.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("_n"),
+    )
+    ps = F.explode(F.array(*[F.lit(p) for p in (10, 50, 90, 99)])).alias("p")
+    return (
+        r.select("lang", "n_chars", "_rn", "_n", ps)
+        .where(
+            F.col("_rn")
+            == F.floor((F.col("p").cast("long") * F.col("_n") + 99) / 100)
+        )
+        .select("lang", "p", F.col("n_chars").alias("value"))
+    )
+
+
+@_q("doc_length_percentiles_scaled", _DOCLEN_PCTL_SQL)
+def doc_length_percentiles_scaled(spark, sf_dir):
+    """Distributed twin of doc_length_percentiles (same oracle,
+    bit-identical): ops/ranking.grouped_exact_percentiles replaces the
+    per-language row_number window — which sorts each language on ONE
+    task, the straggler at 100 TB — with one ranged global sort plus a
+    tiny broadcast (group, p, target-rank) table. Pays ~2 s of
+    range-partition machinery at toy scale BY DESIGN (the w5/deciles
+    `_scaled` precedent); Spark's own exact `percentile` aggregate is
+    not an option at scale because it buffers every value of a group
+    on one task."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("lang", "n_chars", "doc_id")
     both = base.unionByName(base.withColumn("lang", F.lit("ALL")))
@@ -4306,7 +4337,10 @@ _DRIVER_PRIORITY = [
     # (d) new this round — needs its first driver row
     "semdedup_kept", "dsir_selected", "kmeans_clusters",
     "gopher_quality_flags", "temperature_mix_counts", "vocab_top_words",
-    "doc_length_percentiles", "source_jsd_divergence",
+    # the _scaled twin takes the driver slot (new grouped-ranking
+    # machinery earns the row); the windowed base shares its oracle
+    # bit-for-bit and is swept locally
+    "doc_length_percentiles_scaled", "source_jsd_divergence",
     "nb_quality_flags",
 ]
 

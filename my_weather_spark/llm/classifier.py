@@ -34,21 +34,25 @@ from pyspark.sql import functions as F
 from my_weather_spark.llm.dsir import DEFAULT_DIM, _with_feature_buckets
 
 
-def nb_model(
-    docs: DataFrame,
-    pos: Column,
-    dim: int = DEFAULT_DIM,
-    alpha: float = 0.5,
-    text_col: str = "text",
+def _featured(
+    docs: DataFrame, pos: Column, dim: int, text_col: str, id_col: str
 ) -> DataFrame:
+    """(id, _is_p, _fb) — one tokenization pass over the corpus.
+    nb_scores checkpoints this frame so the model aggregate and the
+    scoring fold both read it instead of re-running the split+grams
+    chain (tokenization is the dominant cost of the whole op)."""
+    return _with_feature_buckets(docs, text_col, dim).select(
+        F.col(id_col), pos.alias("_is_p"), "_fb"
+    )
+
+
+def _model_from_feats(feats: DataFrame, dim: int, alpha: float) -> DataFrame:
     """ONE-ROW frame with ``_lr`` (dense array<double>, _lr[b+1] =
     ln p_pos(b) - ln p_neg(b)) and ``_prior`` (ln(n_pos_docs /
     n_neg_docs)). Stays in-plan; broadcast-crossjoin onto the scoring
     side. An empty positive or negative class raises in-plan
     (assert_true) instead of silently NULL-scoring everything."""
-    ex = _with_feature_buckets(docs, text_col, dim).select(
-        F.explode("_fb").alias("bucket"), pos.alias("_is_p")
-    )
+    ex = feats.select(F.explode("_fb").alias("bucket"), "_is_p")
     sparse = ex.groupBy("bucket").agg(
         F.count_if(F.col("_is_p")).alias("pos_c"),
         F.count_if(~F.col("_is_p")).alias("neg_c"),
@@ -65,8 +69,11 @@ def nb_model(
             )
         ).alias("_m"),
     )
-    prior = docs.agg(
-        F.count_if(pos).alias("_np"), F.count_if(~pos).alias("_nn")
+    # prior counts DOCUMENTS (featureless ones included) — feats has
+    # one row per doc, so it derives from the same frame
+    prior = feats.agg(
+        F.count_if(F.col("_is_p")).alias("_np"),
+        F.count_if(~F.col("_is_p")).alias("_nn"),
     )
     joined = one.join(F.broadcast(prior))
 
@@ -105,6 +112,22 @@ def nb_model(
     return checked.select(lr.alias("_lr"), "_prior")
 
 
+def nb_model(
+    docs: DataFrame,
+    pos: Column,
+    dim: int = DEFAULT_DIM,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Standalone model builder (see _model_from_feats for the output
+    contract). nb_scores does NOT call this — it checkpoints the
+    feature frame once and derives model + scores from it."""
+    return _model_from_feats(
+        _featured(docs, pos, dim, text_col, id_col), dim, alpha
+    )
+
+
 def nb_scores(
     docs: DataFrame,
     pos: Column,
@@ -117,10 +140,12 @@ def nb_scores(
     (rounded 6) and the classifier's high-quality verdict
     (rounded log_odds > 0, so both engines decide identically).
     Featureless documents score exactly the prior — NB's no-evidence
-    posterior."""
-    model = nb_model(docs, pos, dim, alpha, text_col)
-    feats = _with_feature_buckets(docs, text_col, dim).select(id_col, "_fb")
-    scored = feats.join(F.broadcast(model))
+    posterior. The corpus is tokenized ONCE: the feature frame is
+    checkpointed and feeds both the model aggregate and the scoring
+    fold."""
+    feats = _featured(docs, pos, dim, text_col, id_col).localCheckpoint()
+    model = _model_from_feats(feats, dim, alpha)
+    scored = feats.select(id_col, "_fb").join(F.broadcast(model))
     log_odds = F.round(
         F.col("_prior")
         + F.aggregate(

@@ -628,6 +628,12 @@ def grouped_exact_percentiles(
     global sort (grouped_row_number), then a TINY per-group target
     table — ceil via pure integer math ((p*n + 99) div 100), portable
     across engines — broadcast-joined back on (group, rank).
+
+    Rows with a NULL group or NULL value are the caller's problem:
+    the target join is an equality join (NULL group never matches,
+    exactly as in the SQL replay), and NULLs in ``value_col`` sort
+    first under Spark's ascending order but LAST in most SQL engines
+    — filter them out before calling if the column is nullable.
     """
     for p in ps:
         if not (isinstance(p, int) and 1 <= p <= 100):

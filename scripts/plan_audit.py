@@ -87,7 +87,8 @@ EXPECT: dict[str, list[str]] = {
     # model tables + per-group tile stats must broadcast
     "ccnet_ppl_buckets": ["BroadcastHashJoin"],
     # percentile targets must broadcast onto the ranked corpus
-    "doc_length_percentiles": ["BroadcastHashJoin"],
+    # (the windowed base variant has no join — scaled twin only)
+    "doc_length_percentiles_scaled": ["BroadcastHashJoin"],
     # period filter must reach the parquet scan
     "p1_period_filter": ["PushedFilters: ["],
     # top-k selection must plan distributed per-partition top-k, not a
