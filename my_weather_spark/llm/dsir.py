@@ -112,6 +112,7 @@ def log_ratio_model(
     dim: int = DEFAULT_DIM,
     alpha: float = 0.5,
     text_col: str = "text",
+    _feats: DataFrame | None = None,
 ) -> DataFrame:
     """ONE-ROW frame with ``_lr``: dense array<double> of length dim,
     _lr[b+1] = log p_target(b) - log p_raw(b) (add-alpha smoothed).
@@ -126,11 +127,21 @@ def log_ratio_model(
     Stays in-plan (no driver action); broadcast-crossjoin it onto the
     scoring side. A featureless raw or target corpus raises in-plan
     (assert_true) instead of silently NULL-scoring every document.
+
+    ``_feats`` (internal): a pre-built raw-side feature frame carrying
+    ``_fb`` (and ``_is_t`` when target is a Column) — importance_weights
+    checkpoints ONE tokenization pass and passes it here so the model
+    aggregate and the scoring fold share it instead of re-running the
+    split+grams chain (tokenization dominates the whole op's cost).
     """
     if isinstance(target, Column):
-        ex = _with_feature_buckets(raw, text_col, dim).select(
-            F.explode("_fb").alias("bucket"), target.alias("_is_t")
-        )
+        ex = (
+            _feats.select("_fb", "_is_t")
+            if _feats is not None
+            else _with_feature_buckets(raw, text_col, dim).select(
+                "_fb", target.alias("_is_t")
+            )
+        ).select(F.explode("_fb").alias("bucket"), "_is_t")
         sparse = ex.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("raw_c"),
             F.count_if(F.col("_is_t")).alias("tgt_c"),
@@ -141,7 +152,15 @@ def log_ratio_model(
             "tgt_c", F.when(F.col("tgt_c") > 0, F.col("tgt_c"))
         )
     else:
-        rc = _bucket_counts(raw, text_col, dim).withColumnRenamed("c", "raw_c")
+        rc = (
+            _feats.select(F.explode("_fb").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("raw_c"))
+            if _feats is not None
+            else _bucket_counts(raw, text_col, dim).withColumnRenamed(
+                "c", "raw_c"
+            )
+        )
         tc = _bucket_counts(target, text_col, dim).withColumnRenamed("c", "tgt_c")
         sparse = rc.join(tc, "bucket", "full")
     one = sparse.agg(
@@ -209,10 +228,17 @@ def importance_weights(
     either way). ``docs`` is the raw distribution; ``target`` the
     domain to match — pass a boolean Column predicate when the target
     is a slice of ``docs`` (single-scan model) or a DataFrame when it
-    is external (two scans)."""
-    model = log_ratio_model(docs, target, dim, alpha, text_col)
-    feats = _with_feature_buckets(docs, text_col, dim).select(id_col, "_fb")
-    scored = feats.join(F.broadcast(model))
+    is external (two scans). The corpus is tokenized ONCE either way:
+    the feature frame is checkpointed and feeds both the model
+    aggregate and the scoring fold."""
+    flag = [target.alias("_is_t")] if isinstance(target, Column) else []
+    feats = (
+        _with_feature_buckets(docs, text_col, dim)
+        .select(id_col, *flag, "_fb")
+        .localCheckpoint()
+    )
+    model = log_ratio_model(docs, target, dim, alpha, text_col, _feats=feats)
+    scored = feats.select(id_col, "_fb").join(F.broadcast(model))
     logw = F.aggregate(
         "_fb",
         F.lit(0.0),
