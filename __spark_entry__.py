@@ -3280,9 +3280,7 @@ def lm_perplexity_scores(spark, sf_dir):
     return llm_lm.perplexity_scores(corpus, ref, alpha=0.5)
 
 
-@_q(
-    "ccnet_ppl_buckets",
-    r"""
+_CCNET_SQL = r"""
     WITH ref AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
     corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
     rw AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
@@ -3313,24 +3311,40 @@ def lm_perplexity_scores(spark, sf_dir):
            CASE tl WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                    WHEN 3 THEN 'tail' END AS bucket
     FROM b LEFT JOIN t USING (doc_id)
-    """,
-)
+    """
+
+
+@_q("ccnet_ppl_buckets", _CCNET_SQL)
 def ccnet_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     §4.3): per language, rank the corpus by reference-model perplexity
     and cut into three ntile tiles — head is the most reference-like
     third, tail the candidate-drop third. Same reference split as
-    lm_perplexity_scores (every 97th doc). The per-language ranking is
-    NOT a window: llm/lm.ppl_buckets uses ops/ranking.grouped_row_number
-    (one ranged global sort + tiny broadcast per-group stats — a
-    per-language WindowExec would sort each language on one task) and
-    derives the tile with pure integer ntile arithmetic; (ppl, doc_id)
-    is a total order so the oracle's ntile window replays it exactly.
-    Unscored short docs keep a NULL bucket."""
+    lm_perplexity_scores (every 97th doc); this row SUBSUMES that
+    query (identical per-doc columns through the same model CTEs).
+    Windowed BASE variant (plain per-language ntile — fine at toy
+    scale); `ccnet_ppl_buckets_scaled` is the ranged-sort twin sharing
+    this oracle bit-for-bit. Unscored short docs keep a NULL bucket."""
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
-    return llm_lm.ppl_buckets(corpus, ref, group_col="lang")
+    return llm_lm.ppl_buckets(corpus, ref, group_col="lang", distributed=False)
+
+
+@_q("ccnet_ppl_buckets_scaled", _CCNET_SQL)
+def ccnet_ppl_buckets_scaled(spark, sf_dir):
+    """Distributed twin of ccnet_ppl_buckets (same oracle,
+    bit-identical): ops/ranking.grouped_row_number + integer
+    ntile_col_expr replace the per-language ntile window — which sorts
+    each language on ONE task, the canonical straggler at 100 TB with
+    few, huge languages. Pays the ranged-sort machinery at toy scale
+    BY DESIGN (the w5/deciles/doc_length `_scaled` precedent);
+    (ppl, doc_id) is a total order so both forms replay the oracle's
+    window exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return llm_lm.ppl_buckets(corpus, ref, group_col="lang", distributed=True)
 
 
 _DOCLEN_PCTL_SQL = """
@@ -4284,7 +4298,7 @@ _DRIVER_PRIORITY = [
     # green row re-proves the changed lm chain AND the new bucketing.
     "simhash_hamming_pairs", "dup_span_stats",
     "q16_supplier_part_counts", "near_dup_components",
-    "ccnet_ppl_buckets",
+    "ccnet_ppl_buckets_scaled",
     # (b) r3-green rotation: TPC-H remainder
     "q4_late_shipment_priority", "q6_forecast_revenue",
     "q7_nation_trade", "q8_market_share", "q9_profit_by_nation_year",

@@ -157,6 +157,7 @@ def ppl_buckets(
     alpha: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    distributed: bool = True,
 ) -> DataFrame:
     """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
     2020 §4.3): per ``group_col`` (per language in the paper), rank
@@ -167,13 +168,17 @@ def ppl_buckets(
     score (NULL ppl) keep a NULL bucket, exactly as they carry no
     evidence either way.
 
-    Scale shape: a per-group ntile window would sort each language on
-    ONE task (languages are few and huge — the canonical straggler);
-    this uses ops.ranking.grouped_row_number (one ranged global sort
-    + a tiny per-group broadcast) and derives the tile with pure
-    integer arithmetic (ntile_col_expr) — bit-identical to the window
-    and engine-portable. Tie order (ppl, id) is total, so the
-    bucketing is deterministic and replayable in the SQL oracle.
+    Scale shape (``distributed=True``, the default): a per-group ntile
+    window would sort each language on ONE task (languages are few and
+    huge — the canonical straggler); this uses
+    ops.ranking.grouped_row_number (one ranged global sort + a tiny
+    per-group broadcast) and derives the tile with pure integer
+    arithmetic (ntile_col_expr) — bit-identical to the window and
+    engine-portable. ``distributed=False`` runs the plain ntile window
+    instead (faster at toy scale, same rows bit-for-bit — the
+    asof/interpolate ``distributed_fill`` convention). Tie order
+    (ppl, id) is total, so the bucketing is deterministic and
+    replayable in the SQL oracle.
     """
     if len(labels) != k:
         raise ValueError(f"need exactly k={k} labels, got {len(labels)}")
@@ -184,20 +189,32 @@ def ppl_buckets(
     base = docs.select(id_col, *([group_col] if group_col else []))
     if group_col is None:
         base = base.withColumn(gc, F.lit("ALL"))
-    # checkpoint the scored corpus ONCE: both consumers below (the
-    # ranged ranking sort and the final outer join) would otherwise
-    # re-run the whole LM scoring chain — the dsir scored-keys rule
-    scored = base.join(scores, id_col).localCheckpoint()
-    ranked = ranking.grouped_row_number(
-        scored.where(F.col("ppl").isNotNull()), gc, ["ppl", id_col]
-    )
     label_arr = F.array(*[F.lit(l) for l in labels])
-    buckets = ranked.select(
-        id_col,
-        F.element_at(
-            label_arr, ranking.ntile_col_expr("grn", "n_group", k)
-        ).alias("bucket"),
-    )
+    # checkpoint the scored corpus ONCE: both consumers below (the
+    # bucketing pass and the final outer join) would otherwise re-run
+    # the whole LM scoring chain — the dsir scored-keys rule
+    scored = base.join(scores, id_col).localCheckpoint()
+    if distributed:
+        ranked = ranking.grouped_row_number(
+            scored.where(F.col("ppl").isNotNull()), gc, ["ppl", id_col]
+        )
+        buckets = ranked.select(
+            id_col,
+            F.element_at(
+                label_arr, ranking.ntile_col_expr("grn", "n_group", k)
+            ).alias("bucket"),
+        )
+    else:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(gc).orderBy("ppl", id_col)
+        buckets = (
+            scored.where(F.col("ppl").isNotNull())
+            .select(
+                id_col,
+                F.element_at(label_arr, F.ntile(k).over(w)).alias("bucket"),
+            )
+        )
     out = scored.join(buckets, id_col, "left")
     if group_col is None:
         out = out.drop(gc)

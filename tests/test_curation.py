@@ -443,6 +443,9 @@ def test_ppl_buckets_match_window_and_null_for_short(spark):
     for did, r in by_id.items():
         if r["ppl"] is not None:
             assert r["bucket"] == want[did], did
+    # both dispatch arms produce identical rows (the _scaled twin rule)
+    base = lm.ppl_buckets(docs, ref, group_col="lang", distributed=False)
+    assert base.subtract(got).count() == 0 and got.subtract(base).count() == 0
     with pytest.raises(ValueError):
         lm.ppl_buckets(docs, ref, k=3, labels=("a", "b"))
     with pytest.raises(ValueError):
