@@ -2228,6 +2228,42 @@ def cosine_threshold_pairs(spark, sf_dir):
 
 
 @_q(
+    "semantic_decontam_flags",
+    """
+    WITH bench AS (SELECT vec_id AS bid, embedding FROM embeddings
+                   WHERE vec_id % 97 = 0),
+    corpus AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 97 <> 0),
+    s AS (SELECT c.vec_id, b.bid,
+            round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) AS cos
+          FROM corpus c, bench b),
+    r AS (SELECT vec_id, bid, cos,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, bid) AS rn
+          FROM s)
+    SELECT vec_id, bid AS bench_id, cos AS max_cos,
+           cos >= 0.25 AS contaminated
+    FROM r WHERE rn = 1
+    """,
+)
+def semantic_decontam_flags(spark, sf_dir):
+    """Embedding-space decontamination (the semantic complement of the
+    n-gram decontam_flags — catches paraphrased benchmark leakage that
+    verbatim n-gram overlap misses): every 97th embedding plays the
+    benchmark; each corpus doc gets its nearest benchmark id, rounded
+    max cosine, and the >= 0.25 contamination verdict. One shuffle-free
+    narrow BLAS pass against the broadcast id-sorted benchmark matrix;
+    sims round BEFORE the argmax so ties resolve to the lowest bench
+    id, exactly the oracle's (cos DESC, bid) order
+    (llm/similarity.semantic_decontam_flags)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    corpus = emb.where(F.col("vec_id") % 97 != 0)
+    return similarity.semantic_decontam_flags(corpus, bench, threshold=0.25)
+
+
+@_q(
     "text_hashed_bow",
     r"""
     WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)

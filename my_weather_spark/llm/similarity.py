@@ -283,6 +283,91 @@ def cosine_self_pairs(
 # C is FIXED (independent of corpus size) so assignment stays O(N*C),
 # and probes read only nprobe/C of the data via parquet partition
 # pruning — no per-query reassignment of the corpus.
+def semantic_decontam_flags(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bench_rows: int = 65536,
+) -> DataFrame:
+    """(id, bench_id, max_cos, contaminated) — embedding-space
+    decontamination: flag every corpus document whose embedding is
+    within ``threshold`` cosine of ANY benchmark embedding, with the
+    nearest benchmark id and similarity attached. The semantic
+    complement of the n-gram decontaminate (llm/decontam.py): n-gram
+    overlap catches verbatim leakage, embedding proximity catches
+    paraphrased leakage — dataset papers run both.
+
+    Same asymmetry as every decontam op: the benchmark side is SMALL
+    by construction, collected (bounded by ``max_bench_rows``, loudly)
+    and broadcast as one normalized matrix; each corpus Arrow batch
+    does ONE BLAS product + argmax — a single shuffle-free narrow
+    pass. Determinism/portability: sims round to 6 BEFORE the argmax,
+    bench rows are id-sorted, and np.argmax takes the first maximum —
+    so ties resolve to the lowest bench id, exactly the SQL replay's
+    (cos DESC, bench_id ASC) order. The verdict compares the rounded
+    value, so both engines decide identically.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    b_pdf = (
+        bench.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_bench_rows + 1)
+        .toPandas()
+    )
+    if len(b_pdf) == 0:
+        raise ValueError("semantic_decontam_flags: benchmark side is empty")
+    if len(b_pdf) > max_bench_rows:
+        raise ValueError(
+            f"benchmark side exceeds max_bench_rows={max_bench_rows}; a "
+            "driver-collected benchmark must be broadcast-sized"
+        )
+    b_ids = b_pdf[id_col].to_numpy()
+    b_mat = np.stack(b_pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(b_mat, axis=1, keepdims=True)
+    np.divide(b_mat, norms, out=b_mat, where=norms > 0)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    thr = float(threshold)
+
+    def _flag(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            anorm = np.linalg.norm(A, axis=1, keepdims=True)
+            np.divide(A, anorm, out=A, where=anorm > 0)
+            sims = np.round(A @ mat.T, 6)
+            best = np.argmax(sims, axis=1)
+            rows = np.arange(len(A))
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].to_numpy(),
+                    "bench_id": ids[best],
+                    "max_cos": sims[rows, best],
+                    "contaminated": sims[rows, best] >= thr,
+                }
+            )
+
+    from my_weather_spark.llm.dedup import _fan_out
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    b_id_type = bench.schema[id_col].dataType.simpleString()
+    schema = (
+        f"_id {id_type}, bench_id {b_id_type}, "
+        "max_cos double, contaminated boolean"
+    )
+    return (
+        _fan_out(corpus.select(id_col, vec_col))
+        .mapInPandas(_flag, schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def _centroid_matrix(centroids: DataFrame, id_col: str, vec_col: str):
     import numpy as np
 

@@ -39,6 +39,10 @@ QUERIES = [
     "approx_distinct_users",
     "line_boilerplate_clean",
     "stream_curated_front",
+    "ccnet_ppl_buckets_scaled",
+    "nb_quality_flags",
+    "source_jsd_divergence",
+    "doc_length_percentiles_scaled",
 ]
 SF_DIRS = [
     "/root/testdata/sf0.001",

@@ -496,6 +496,48 @@ def test_cosine_threshold_pairs_disjoint_query_batch(spark, sf_dir):
     assert similarity.ivf_topk(idx, empty, cents, k=2).count() == 0
 
 
+def test_semantic_decontam_flags(spark):
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # == bench 100
+        (1, [0.9, 0.1, 0.0]),   # near bench 100
+        (2, [0.0, 0.0, 1.0]),   # orthogonal to both benches
+        (3, [0.5, 0.5, 0.0]),   # EXACT tie between bench 100 and 101
+    ]
+    bench_rows = [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        bench_rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontam_flags(
+            corpus, bench, threshold=0.8
+        ).collect()
+    }
+    assert len(got) == 4
+    assert got[0]["contaminated"] and got[0]["max_cos"] == 1.0
+    assert got[0]["bench_id"] == 100
+    assert got[1]["contaminated"] and got[1]["bench_id"] == 100
+    assert not got[2]["contaminated"] and got[2]["max_cos"] == 0.0
+    # exact rounded tie -> LOWEST bench id (the oracle's order)
+    assert got[3]["bench_id"] == 100
+    assert got[3]["max_cos"] == round(0.5 / np.sqrt(0.5), 6)
+    # numpy replay of every max_cos
+    b = np.array([v for _, v in bench_rows], dtype=np.float64)
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    for i, v in rows:
+        a = np.array(v) / np.linalg.norm(v)
+        assert got[i]["max_cos"] == np.round(a @ b.T, 6).max(), i
+    # loud guards: empty or oversized benchmark
+    empty = bench.where(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.semantic_decontam_flags(corpus, empty)
+    with pytest.raises(ValueError, match="max_bench_rows"):
+        similarity.semantic_decontam_flags(corpus, bench, max_bench_rows=1)
+
+
 def test_ivf_topk_zero_norm_vector_not_top_ranked(spark):
     # a zero vector has no direction; NaN cosine used to sort ABOVE
     # every real neighbor under desc ordering
