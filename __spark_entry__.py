@@ -2264,6 +2264,75 @@ def semantic_decontam_flags(spark, sf_dir):
 
 
 @_q(
+    "pq_ann_topk",
+    """
+    WITH t AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             ('0x' || substr(md5('pq' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS ticket
+      FROM embeddings),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY ticket, vec_id) - 1 AS cidx, v
+      FROM t QUALIFY cidx <= 15),
+    subs AS (SELECT unnest(range(4)) AS j),
+    enc AS (
+      SELECT t.vec_id, s.j, cb.cidx,
+             round(list_reduce(
+               list_transform(range(16),
+                 i -> (t.v[s.j*16 + i + 1] - cb.v[s.j*16 + i + 1])
+                    * (t.v[s.j*16 + i + 1] - cb.v[s.j*16 + i + 1])),
+               (x, y) -> x + y), 6) AS sd
+      FROM t, subs s, cb),
+    codes AS (
+      SELECT vec_id, j, cidx AS code FROM (
+        SELECT vec_id, j, cidx,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY sd, cidx) AS rn
+        FROM enc)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM t WHERE vec_id IN (1, 2, 3, 5)),
+    lut AS (
+      SELECT q.qid, s.j, cb.cidx,
+             round(list_reduce(
+               list_transform(range(16),
+                 i -> (q.qv[s.j*16 + i + 1] - cb.v[s.j*16 + i + 1])
+                    * (q.qv[s.j*16 + i + 1] - cb.v[s.j*16 + i + 1])),
+               (x, y) -> x + y), 6) AS sd
+      FROM q, subs s, cb),
+    scored AS (
+      SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list(l.sd ORDER BY l.j), (a, b) -> a + b) AS adc_dist
+      FROM codes c JOIN lut l ON l.j = c.j AND l.cidx = c.code
+      WHERE c.vec_id <> l.qid
+      GROUP BY l.qid, c.vec_id)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011), hash-verified end
+    to end: 4-subspace x 16-entry codebooks from deterministic ticket
+    anchors (the semdedup convention — SQL-replayable where k-means
+    codebooks would not be), corpus encoded to 4 codes/vector in one
+    narrow pass, 4 queries answered by ADC (broadcast LUT of rounded
+    query-to-codebook sub-distances; per-batch top-k in the kernel;
+    exact final rank over the bounded survivors). Sub-distances round
+    to 6 dp BEFORE argmin (ties -> lowest codebook index) and the ADC
+    total left-folds in subspace order — both engines add identical
+    doubles in identical order (llm/pq.py)."""
+    from my_weather_spark.llm import pq as llm_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cb = llm_pq.pq_codebooks(emb, m=4, k=16, seed="pq")
+    codes = llm_pq.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id").isin(1, 2, 3, 5))
+    return llm_pq.pq_topk(codes, queries, cb, k=5)
+
+
+@_q(
     "text_hashed_bow",
     r"""
     WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)

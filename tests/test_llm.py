@@ -538,6 +538,92 @@ def test_semantic_decontam_flags(spark):
         similarity.semantic_decontam_flags(corpus, bench, max_bench_rows=1)
 
 
+def test_pq_ann_replay_and_recall(spark, sf_dir):
+    import numpy as np
+
+    from my_weather_spark.llm import pq
+    from my_weather_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids, cb = pq.pq_codebooks(emb, m=4, k=16, seed="pq")
+    assert cb.shape == (4, 16, 16) and len(ids) == 16
+    codes_df = pq.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id").isin(1, 2, 3))
+    got = pq.pq_topk(codes_df, queries, cb, k=5).collect()
+    assert {r["query_id"] for r in got} == {1, 2, 3}
+    # python replay: encode + ADC end to end
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    V = {r.vec_id: np.array(list(r.embedding), dtype=np.float64)
+         for r in pdf.itertuples()}
+    codes = {}
+    for vid, v in V.items():
+        codes[vid] = [
+            int(np.round(((v[j*16:(j+1)*16] - cb[j]) ** 2).sum(axis=1), 6).argmin())
+            for j in range(4)
+        ]
+    for r in got:
+        q = V[r["query_id"]]
+        lut = [np.round(((q[j*16:(j+1)*16] - cb[j]) ** 2).sum(axis=1), 6)
+               for j in range(4)]
+        d = lut[0][codes[r["neighbor_id"]][0]]
+        for j in range(1, 4):
+            d = d + lut[j][codes[r["neighbor_id"]][j]]
+        assert r["adc_dist"] == d, r
+    # loud guards
+    with pytest.raises(ValueError, match="divisible"):
+        pq.pq_codebooks(emb, m=3, k=16)
+    with pytest.raises(ValueError, match="at least"):
+        pq.pq_codebooks(emb.limit(4), m=4, k=16)
+    with pytest.raises(ValueError, match="empty"):
+        pq.pq_topk(codes_df, emb.where(F.col("vec_id") < 0), cb)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        pq.pq_topk(codes_df, emb, cb, max_query_rows=2)
+
+
+def test_pq_adc_exact_when_corpus_is_codebook(spark):
+    """When every corpus vector IS a codebook entry (k = n), encoding
+    reconstructs exactly and ADC == true squared L2 (per-subspace
+    rounded) — so PQ top-k must equal the exact neighbor order."""
+    import numpy as np
+
+    from my_weather_spark.llm import pq
+
+    rng = np.random.RandomState(5)
+    protos = rng.uniform(-1, 1, size=(6, 8)).round(3)
+    rows = [(i, [float(x) for x in protos[i]]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ids, cb = pq.pq_codebooks(emb, m=2, k=6, seed="pq")
+    codes = pq.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") == 0)
+    got = pq.pq_topk(codes, queries, cb, k=5).collect()
+    q = protos[0]
+    true_d = {
+        i: np.round(((q[:4] - protos[i][:4]) ** 2).sum(), 6)
+        + np.round(((q[4:] - protos[i][4:]) ** 2).sum(), 6)
+        for i in range(1, 6)
+    }
+    want = sorted(true_d, key=lambda i: (true_d[i], i))
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] == want
+    for r in got:
+        assert r["adc_dist"] == true_d[r["neighbor_id"]]
+
+
+def test_pq_encode_tie_breaks_to_lowest_code(spark):
+    import numpy as np
+
+    from my_weather_spark.llm import pq
+
+    # two identical codebook entries -> any vector ties -> code 0 wins
+    cb = np.zeros((1, 2, 2))
+    cb[0, 0] = [1.0, 0.0]
+    cb[0, 1] = [1.0, 0.0]
+    df = spark.createDataFrame(
+        [(7, [0.25, 0.5])], "vec_id long, embedding array<double>"
+    )
+    [r] = pq.pq_encode(df, cb).collect()
+    assert list(r["codes"]) == [0]
+
+
 def test_ivf_topk_zero_norm_vector_not_top_ranked(spark):
     # a zero vector has no direction; NaN cosine used to sort ABOVE
     # every real neighbor under desc ordering
