@@ -1,0 +1,204 @@
+"""Distributed BPE vocabulary learning (Sennrich et al. 2016) over the
+document corpus — the tokenizer-training step of a pre-training data
+pipeline, hash-verified end to end.
+
+Classic byte-pair encoding: split every word into characters plus an
+end-of-word marker, then repeat T times: count adjacent symbol pairs
+weighted by word frequency, merge the globally most frequent pair
+(ties by pair text ascending) everywhere it occurs. The learned merge
+list IS the tokenizer; token counts under it are the budget numbers a
+data-mixing plan consumes.
+
+What makes this oracle-replayable (the llm/clustering.py recipe —
+iterative algorithms are verifiable when every step is exact):
+
+- ALL algorithm state is integral/symbolic: pair counts are int64 sums
+  of word frequencies (addition commutes, so Spark's reduce order
+  cannot perturb the argmax), symbols are byte strings compared with
+  binary collation in both engines, and the argmax tie-break is total
+  (count DESC, left ASC, right ASC).
+- Merge application is a LITERAL string replace over a wrapped symbol
+  encoding: each symbol is stored as ``\\x1f<sym>\\x02`` inside one
+  string per word, so replacing ``\\x1fL\\x02\\x1fR\\x02`` with
+  ``\\x1fLR\\x02`` is exactly the left-to-right non-overlapping greedy
+  merge of standard BPE ("aaaa" + merge (a,a) -> "aa","aa") — and
+  Spark's ``replace`` and DuckDB's ``replace`` share those semantics
+  bit for bit (verified; both scan left to right, never rescanning
+  replaced output). Words containing the two wrapper bytes are
+  filtered out deterministically on both sides (none exist in real
+  text; the bytes are C0 controls).
+
+Scale shape (100 TB corpus, V distinct words, T merges):
+- ONE corpus-sized exchange total: the word-frequency aggregate
+  (map-side combine collapses each partition to its local vocab).
+  Everything after runs on the vocab frame — V rows, millions not
+  terabytes — which is localCheckpointed per merge round so each
+  round re-reads the compact (word, freq, wstr) form, not a T-deep
+  replace plan.
+- Per round: one narrow pair-explode + map-side-combined count over
+  the vocab frame, one TakeOrderedAndProject argmax (a single row of
+  bounded driver metadata, the kmeans centroid pattern), one narrow
+  replace. No join, no window, no shuffle of anything corpus-sized.
+- ``token_counts`` re-tokenizes the corpus by joining exploded doc
+  words to the learned per-word symbol counts: vocab side is small ->
+  AQE broadcasts it at toy scale, shuffles both sides at true vocab
+  scale; either way the corpus moves once.
+
+Reference parity: the reference engine has no tokenizer tier; this
+extends the LLM-curation surface (SURVEY.md LLM-ops section) next to
+token_stats' ceil(chars/4) estimate with a real learned vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from my_weather_spark.llm.text import _words
+from my_weather_spark.ops.timeseries import round6_portable
+
+# Per-symbol wrappers: C0 control bytes that real text never carries
+# (words containing them are filtered out on both engines). Wrapping
+# each symbol individually — not separator-joining — is what makes a
+# literal two-symbol replace non-overlapping-safe: the pattern
+# \x1fL\x02\x1fR\x02 consumes only its own wrappers, so back-to-back
+# occurrences ("aaaa") merge pairwise exactly like greedy BPE.
+SEP_L = "\x1f"
+SEP_R = "\x02"
+END_MARK = "</w>"
+
+
+def _clean_words(text_col: Column) -> Column:
+    """House word split (text._words) minus wrapper-byte words —
+    applied identically at vocab build and at tokenize time so the
+    tokenize join never drops a word that missed the vocab."""
+    return F.filter(
+        _words(text_col),
+        lambda w: ~w.contains(SEP_L) & ~w.contains(SEP_R),
+    )
+
+
+def _wrap_syms(syms: Column) -> Column:
+    """array<string> -> one \\x1fs1\\x02\\x1fs2\\x02... string."""
+    return F.concat(
+        F.lit(SEP_L), F.concat_ws(SEP_R + SEP_L, syms), F.lit(SEP_R)
+    )
+
+
+def _unwrap_syms(wstr_col: str) -> Column:
+    """Inverse of _wrap_syms: strip the outer wrappers, split on the
+    inner \\x02\\x1f boundary (literal two-byte separator; neither
+    byte is a regex metachar)."""
+    return F.split(
+        F.expr(f"substring({wstr_col}, 2, length({wstr_col}) - 2)"),
+        SEP_R + SEP_L,
+    )
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, wstr): the distinct-word frame BPE iterates on.
+    wstr is the wrapped char-plus-END_MARK symbol sequence. The ONE
+    corpus-sized exchange of the whole learn phase."""
+    return (
+        docs.select(
+            F.explode(
+                _clean_words(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn(
+            "wstr",
+            _wrap_syms(
+                F.concat(F.split("word", ""), F.array(F.lit(END_MARK)))
+            ),
+        )
+    )
+
+
+def learn_bpe(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn n_merges BPE merges; returns (merges, words) where merges
+    is [(step, lhs, rhs, merged, pair_freq), ...] — bounded driver
+    metadata, one row per round, the kmeans-centroid pattern — and
+    words is the vocab frame with wstr rewritten through every merge.
+
+    Stops early (fewer rows) if the vocabulary runs out of adjacent
+    pairs before n_merges — callers that oracle-match against a fixed
+    unrolled replay must pick n_merges small enough that this cannot
+    trigger at any tested scale."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = word_vocab(docs, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = words.select("freq", _unwrap_syms("wstr").alias("s"))
+        pairs = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.slice("s", F.lit(1), F.size("s") - 1).alias("la"),
+                F.slice("s", F.lit(2), F.size("s") - 1).alias("ra"),
+            )
+            .select("freq", F.explode(F.arrays_zip("la", "ra")).alias("p"))
+            .groupBy(
+                F.col("p.la").alias("lhs"), F.col("p.ra").alias("rhs")
+            )
+            .agg(F.sum("freq").cast("long").alias("pair_freq"))
+        )
+        best = (
+            pairs.orderBy(F.desc("pair_freq"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merged = b.lhs + b.rhs
+        merges.append((step, b.lhs, b.rhs, merged, b.pair_freq))
+        pat = SEP_L + b.lhs + SEP_R + SEP_L + b.rhs + SEP_R
+        words = words.withColumn(
+            "wstr", F.replace("wstr", F.lit(pat), F.lit(SEP_L + merged + SEP_R))
+        ).localCheckpoint()
+    return merges, words
+
+
+def merge_table(spark, merges) -> DataFrame:
+    """learn_bpe's merge list as a DataFrame (step, lhs, rhs, merged,
+    pair_freq) — T rows of driver metadata lifted back."""
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_freq long"
+    )
+
+
+def token_counts(
+    docs: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_words, n_tokens, tokens_per_word): per-document token
+    budget under the learned vocabulary. One corpus explode joined to
+    the vocab's per-word symbol count (small side — AQE broadcasts it
+    here, shuffles at true vocab scale); documents with no countable
+    words carry no row (both engines drop them in the explode)."""
+    n = words.select("word", F.size(_unwrap_syms("wstr")).alias("n_syms"))
+    d = docs.select(
+        id_col,
+        F.explode(
+            _clean_words(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("word"),
+    )
+    return (
+        d.join(n, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            round6_portable(F.col("n_tokens") / F.col("n_words")),
+        )
+    )

@@ -43,6 +43,9 @@ QUERIES = [
     "nb_quality_flags",
     "source_jsd_divergence",
     "doc_length_percentiles_scaled",
+    "pq_ann_topk",
+    "semantic_decontam_flags",
+    "bpe_token_counts",
 ]
 SF_DIRS = [
     "/root/testdata/sf0.001",

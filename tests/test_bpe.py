@@ -1,0 +1,132 @@
+"""Distributed BPE learning (llm/bpe.py) — bit-equality vs a pure-
+Python replay of classic Sennrich BPE, greedy-overlap semantics,
+repartition invariance, early stop, wrapper-byte filtering, and the
+token_counts readout."""
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_weather_spark.llm import bpe
+
+
+def _ref_bpe(texts, n_merges):
+    """Pure-Python classic BPE: char+</w> symbols, most-frequent
+    adjacent pair (ties by pair text asc), left-to-right greedy
+    non-overlapping merge."""
+    freq = collections.Counter()
+    for t in texts:
+        for w in (t or "").split():
+            if w and "\x1f" not in w and "\x02" not in w:
+                freq[w] += 1
+    words = {w: tuple(w) + ("</w>",) for w in freq}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freq[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, l, r, l + r, c))
+
+        def apply(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        words = {w: apply(s) for w, s in words.items()}
+    return merges, words
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "a cat and a bat",
+    "the the the aaaa aa a",
+    "low lower lowest",
+    "new newer newest wider wide",
+]
+
+
+def _docs(spark, texts, parts=None):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    return df.repartition(parts) if parts else df
+
+
+def test_learn_matches_reference_replay(spark):
+    merges, _ = bpe.learn_bpe(_docs(spark, TEXTS), n_merges=8)
+    ref, _ = _ref_bpe(TEXTS, 8)
+    assert merges == ref
+
+
+def test_greedy_overlap_merges_pairwise(spark):
+    # "aaaa" + merge (a,a) must become [aa, aa, </w>] — left-to-right
+    # non-overlapping, the property the wrapped-symbol replace encodes
+    merges, words = bpe.learn_bpe(_docs(spark, ["aaaa aaaa aaaa"]), n_merges=1)
+    assert merges[0][1:4] == ("a", "a", "aa")
+    row = words.select(bpe._unwrap_syms("wstr").alias("s")).collect()[0]
+    assert row.s == ["aa", "aa", "</w>"]
+
+
+def test_repartition_invariance(spark):
+    m1, _ = bpe.learn_bpe(_docs(spark, TEXTS, parts=1), n_merges=6)
+    m7, _ = bpe.learn_bpe(_docs(spark, TEXTS, parts=7), n_merges=6)
+    assert m1 == m7
+
+
+def test_early_stop_when_pairs_exhaust(spark):
+    # one two-char word: merge 1 = (a,b), merge 2 = (ab,</w>), then the
+    # single remaining symbol has no adjacent pair -> stop at 2
+    merges, words = bpe.learn_bpe(_docs(spark, ["ab ab"]), n_merges=10)
+    assert [m[3] for m in merges] == ["ab", "ab</w>"]
+    row = words.select(bpe._unwrap_syms("wstr").alias("s")).collect()[0]
+    assert row.s == ["ab</w>"]
+
+
+def test_wrapper_byte_words_filtered(spark):
+    dirty = ["plain word", "bad\x1fword plain", "also\x02bad plain word"]
+    merges, _ = bpe.learn_bpe(_docs(spark, dirty), n_merges=3)
+    clean = ["plain word", "plain", "plain word"]
+    ref, _ = _ref_bpe(clean, 3)
+    assert merges == ref
+
+
+def test_token_counts_matches_replay(spark):
+    docs = _docs(spark, TEXTS)
+    merges, words = bpe.learn_bpe(docs, n_merges=8)
+    _, ref_words = _ref_bpe(TEXTS, 8)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.tokens_per_word)
+        for r in bpe.token_counts(docs, words).collect()
+    }
+    import math
+
+    for i, t in enumerate(TEXTS):
+        ws = [w for w in t.split() if w]
+        nt = sum(len(ref_words[w]) for w in ws)
+        tpw = math.floor(nt / len(ws) * 1e6 + 0.5) / 1e6
+        assert got[i] == (len(ws), nt, tpw)
+
+
+def test_empty_and_null_text_drop(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, ""), (2, None)], ["doc_id", "text"]
+    )
+    merges, words = bpe.learn_bpe(df, n_merges=1)
+    out = bpe.token_counts(df, words).collect()
+    assert [r.doc_id for r in out] == [0]
+
+
+def test_n_merges_validated(spark):
+    with pytest.raises(ValueError):
+        bpe.learn_bpe(_docs(spark, TEXTS), n_merges=0)
