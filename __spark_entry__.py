@@ -2803,6 +2803,60 @@ def bpe_merge_table(spark, sf_dir):
 
 
 @_q(
+    "unimax_mix_alloc",
+    """
+    WITH s AS (
+      SELECT lang, CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+    t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_strata FROM s),
+    r AS (
+      SELECT lang, n_chars, n_strata, (total * 7) // 4 AS budget,
+             CAST(row_number() OVER (ORDER BY n_chars, lang) AS BIGINT) AS k,
+             CAST(coalesce(sum(n_chars) OVER (ORDER BY n_chars, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS sp
+      FROM s, t),
+    c AS (SELECT *, CASE WHEN n_chars * 2 * (n_strata - k + 1)
+                              < budget - 2 * sp
+                         THEN 1 ELSE 0 END AS cond FROM r),
+    p AS (SELECT *, min(cond) OVER (ORDER BY n_chars, lang
+                    ROWS UNBOUNDED PRECEDING) = 1 AS capped FROM c),
+    f AS (SELECT *,
+                 CAST(sum(CASE WHEN capped THEN n_chars ELSE 0 END)
+                      OVER () AS BIGINT) AS capsum,
+                 CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END)
+                      OVER () AS BIGINT) AS m
+          FROM p)
+    SELECT lang, n_chars, capped,
+           floor((CASE WHEN capped THEN CAST(n_chars * 2 AS DOUBLE)
+                       ELSE CAST(budget - 2 * capsum AS DOUBLE)
+                            / (n_strata - m) END)
+                 * 1000000 + 0.5) / 1000000.0 AS alloc_chars,
+           floor((CASE WHEN capped THEN CAST(n_chars * 2 AS DOUBLE)
+                       ELSE CAST(budget - 2 * capsum AS DOUBLE)
+                            / (n_strata - m) END)
+                 / n_chars * 1000000 + 0.5) / 1000000.0 AS epochs
+    FROM f
+    """,
+)
+def unimax_mix_alloc(spark, sf_dir):
+    """UniMax language-budget allocation (Chung et al. 2023) over the
+    documents corpus: budget = 7/4 of total chars (integer DIV,
+    scale-invariant), epoch cap 2 — the small languages cap at 2
+    epochs, the freed budget re-divides uniformly among the rest.
+    The paper's sequential loop collapses to window arithmetic on the
+    strata frame (capped set is a prefix of the ascending-size order);
+    every cap decision is an int64 comparison, so the whole plan
+    hash-verifies; only the final shares are rational ->
+    round6_portable. One corpus exchange (per-lang char sums);
+    the windows run on the language-cardinality frame
+    (llm/sampling.unimax_alloc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_sampling.unimax_alloc(docs, epochs=2, budget_ratio=(7, 4))
+
+
+@_q(
     "temperature_mix_counts",
     """
     WITH c AS (
@@ -4557,7 +4611,10 @@ _DRIVER_PRIORITY = [
     # the same grounds (pure column-expression matcher / parse-format
     # pair, pytest-golden, unchanged since r4), freeing their slots
     # for the new doc_length_percentiles and source_jsd_divergence.
-    "part_size_bins",
+    # part_size_bins defers to r7 with its sibling f8_threshold_bins
+    # (same pure-expression binning helper, pytest-golden, r4-green
+    # unchanged = 2 rounds stale at judging), freeing the slot for
+    # the new unimax_mix_alloc.
     # (c) r4-green rotation: LLM dedup / text / curation.
     # text_token_stats defers to r7 for the new vocab_top_words — its
     # word-split formula class is driven this round by the two new
@@ -4591,8 +4648,9 @@ _DRIVER_PRIORITY = [
     "doc_length_percentiles_scaled", "source_jsd_divergence",
     "nb_quality_flags",
     # (d) sixth sitting — PQ ANN, embedding-space decontamination,
-    # learned BPE tokenizer
+    # learned BPE tokenizer, UniMax budget allocation
     "pq_ann_topk", "semantic_decontam_flags", "bpe_token_counts",
+    "unimax_mix_alloc",
 ]
 
 

@@ -222,3 +222,114 @@ def temperature_sample(
         .where(_ticket(id_col, seed) < F.col("cut"))
         .select(*df.columns)
     )
+
+
+def unimax_alloc(
+    df: DataFrame,
+    epochs: int = 2,
+    budget_chars: int | None = None,
+    budget_ratio: tuple[int, int] = (7, 4),
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): allocate a total
+    character budget across languages, giving every language the
+    uniform share of what remains EXCEPT those whose full corpus fits
+    within ``epochs`` repetitions under that share — they are capped
+    at ``epochs`` epochs and the freed budget is re-divided among the
+    rest. Returns one row per stratum:
+    (strata_col, n_chars, capped, alloc_chars, epochs).
+
+    The paper's ascending-size loop collapses to window arithmetic:
+    once a language is uncapped, every larger one is too (the uniform
+    share is invariant from that point — removing an uncapped language
+    removes exactly one share), so the capped set is a prefix of the
+    (n_chars, strata) ordering. A language at rank k is capped iff
+    n_k * E * (L - k + 1) < B - E * prefix_sum(n) — ALL-INT64
+    comparisons, so the decision replays bit-exactly in SQL; only the
+    final uniform share and the epochs readout are rational
+    (round6_portable on both engines). Ties (n*E == share) take the
+    uniform branch — the allocation is identical either way, only the
+    capped flag is convention.
+
+    ``budget_chars`` sets B absolutely; when None, B derives in-plan
+    as total_chars * budget_ratio (integer DIV — exact in both
+    engines), keeping the mixing plan scale-invariant.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus
+    (per-stratum char sums); everything after runs on the
+    strata-cardinality frame — the windows are single-task by
+    construction because language counts are small by definition, the
+    same bound as temperature_cuts. NULL strata are dropped on both
+    engines (Spark and DuckDB disagree on NULL sort order)."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    num, den = budget_ratio
+    if budget_chars is None and (num < 1 or den < 1):
+        raise ValueError(f"budget_ratio must be positive, got {budget_ratio}")
+    from pyspark.sql import Window
+
+    sizes = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(
+            F.sum(F.length(F.coalesce(F.col(text_col), F.lit(""))))
+            .cast("long")
+            .alias("n_chars")
+        )
+    )
+    tot = sizes.agg(
+        F.sum("n_chars").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n_strata"),
+    )
+    budget = (
+        F.lit(int(budget_chars)).cast("long")
+        if budget_chars is not None
+        else F.expr(f"CAST((_total * {int(num)}) DIV {int(den)} AS BIGINT)")
+    )
+    e = F.lit(int(epochs)).cast("long")
+    w = Window.orderBy("n_chars", strata_col)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_full = Window.partitionBy(F.lit(1))
+    ranked = (
+        sizes.join(F.broadcast(tot))
+        .withColumn("_budget", budget)
+        .withColumn("_k", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "_s", F.coalesce(F.sum("n_chars").over(w_prev), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "_cond",
+            (
+                F.col("n_chars") * e * (F.col("_n_strata") - F.col("_k") + 1)
+                < F.col("_budget") - e * F.col("_s")
+            ).cast("int"),
+        )
+        .withColumn("capped", F.min("_cond").over(w_run) == 1)
+        .withColumn(
+            "_capsum",
+            F.sum(F.when(F.col("capped"), F.col("n_chars")).otherwise(0))
+            .over(w_full)
+            .cast("long"),
+        )
+        .withColumn(
+            "_m",
+            F.sum(F.col("capped").cast("long")).over(w_full).cast("long"),
+        )
+    )
+    alloc_raw = F.when(
+        F.col("capped"), (F.col("n_chars") * e).cast("double")
+    ).otherwise(
+        (F.col("_budget") - e * F.col("_capsum")).cast("double")
+        / (F.col("_n_strata") - F.col("_m"))
+    )
+    from my_weather_spark.ops.timeseries import round6_portable
+
+    return ranked.select(
+        strata_col,
+        "n_chars",
+        "capped",
+        round6_portable(alloc_raw).alias("alloc_chars"),
+        round6_portable(alloc_raw / F.col("n_chars")).alias("epochs"),
+    )

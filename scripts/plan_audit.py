@@ -67,6 +67,10 @@ CARTESIAN_OK = {
     # crossjoin onto the strata-cardinality cuts frame (llm/sampling.
     # temperature_cuts) — same scalar-subquery pattern
     "temperature_mix_counts",
+    # UniMax's total/budget frame is a ONE-ROW broadcast crossjoin
+    # onto the strata-cardinality sizes frame (llm/sampling.
+    # unimax_alloc) — same scalar-subquery pattern
+    "unimax_mix_alloc",
     # vocab_topk's total-token count is a ONE-ROW broadcast crossjoin
     # onto the bounded top-k frame (llm/text.vocab_topk) — same pattern
     "vocab_top_words",

@@ -733,3 +733,79 @@ def test_curate_corpus_temperature_mix(spark):
             docs, mixing_rates={"web": 1.0}, mix_temperature_total=20,
             min_words=3,
         )
+
+
+# ----------------------------------------------------------------------
+# UniMax budget allocation
+def _ref_unimax(sizes, budget, epochs):
+    """Paper loop (Chung et al. 2023 Alg. 1): ascending (n, stratum);
+    cap at `epochs` epochs when that fits under the uniform share of
+    the remaining budget, else take the share."""
+    out = {}
+    b_rem, l_rem = float(budget), len(sizes)
+    for s, n in sorted(sizes.items(), key=lambda kv: (kv[1], kv[0])):
+        share = b_rem / l_rem
+        if n * epochs < share:
+            a, capped = float(n * epochs), True
+        else:
+            a, capped = share, False
+        out[s] = (n, capped, a, a / n)
+        b_rem -= a
+        l_rem -= 1
+    return out
+
+
+def _r6(x):
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_unimax_matches_paper_loop(spark):
+    rows = (
+        [(i, "x" * 40, "en") for i in range(50)]
+        + [(100 + i, "x" * 30, "fr") for i in range(10)]
+        + [(200 + i, "x" * 25, "de") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.lang: (r.n_chars, r.capped, r.alloc_chars, r.epochs)
+        for r in sampling.unimax_alloc(df, epochs=2).collect()
+    }
+    sizes = {"en": 2000, "fr": 300, "de": 100}
+    exp = _ref_unimax(sizes, sum(sizes.values()) * 7 // 4, 2)
+    assert got == {
+        s: (n, c, _r6(a), _r6(e)) for s, (n, c, a, e) in exp.items()
+    }
+    # the derived 7/4 budget caps the small strata, shares the rest
+    assert got["de"][1] and got["fr"][1] and not got["en"][1]
+
+
+def test_unimax_absolute_budget_and_degenerates(spark):
+    df = spark.createDataFrame(
+        [(0, "xx", "a"), (1, "yyyy", "b")], "doc_id long, text string, lang string"
+    )
+    # budget >> epochs * everything -> all capped at exactly `epochs`
+    allc = {
+        r.lang: (r.capped, r.alloc_chars, r.epochs)
+        for r in sampling.unimax_alloc(df, epochs=3, budget_chars=1000).collect()
+    }
+    assert allc == {"a": (True, 6.0, 3.0), "b": (True, 12.0, 3.0)}
+    # budget below one epoch of the smallest -> pure uniform split
+    nonec = {
+        r.lang: (r.capped, r.alloc_chars)
+        for r in sampling.unimax_alloc(df, epochs=1, budget_chars=2).collect()
+    }
+    assert nonec == {"a": (False, 1.0), "b": (False, 1.0)}
+
+
+def test_unimax_null_strata_dropped_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0, "xx", "a"), (1, "yy", None)], "doc_id long, text string, lang string"
+    )
+    out = sampling.unimax_alloc(df, epochs=1, budget_chars=10).collect()
+    assert [r.lang for r in out] == ["a"]
+    with pytest.raises(ValueError):
+        sampling.unimax_alloc(df, epochs=0)
+    with pytest.raises(ValueError):
+        sampling.unimax_alloc(df, budget_ratio=(0, 4))
