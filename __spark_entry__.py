@@ -2326,8 +2326,15 @@ def pq_ann_topk(spark, sf_dir):
     from my_weather_spark.llm import pq as llm_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, cb = llm_pq.pq_codebooks(emb, m=4, k=16, seed="pq")
-    codes = llm_pq.pq_encode(emb, cb)
+    # A PQ index (codebooks + encoded corpus) is build-once/query-many
+    # in any real deployment — cache it per (app, sf) like _IVF_CACHE
+    # so repeat queries pay only the ADC scan, not the re-encode.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        _, cb = llm_pq.pq_codebooks(emb, m=4, k=16, seed="pq")
+        codes = llm_pq.pq_encode(emb, cb).localCheckpoint()
+        _PQ_INDEX_CACHE[key] = (cb, codes)
+    cb, codes = _PQ_INDEX_CACHE[key]
     queries = emb.where(F.col("vec_id").isin(1, 2, 3, 5))
     return llm_pq.pq_topk(codes, queries, cb, k=5)
 
@@ -4359,6 +4366,8 @@ def w4_rdp_downsample(spark, sf_dir):
 
 
 _IVF_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+_PQ_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 @_q("ann_ivf_topk", None)
