@@ -127,6 +127,14 @@ def main() -> None:
     llm_sampling.temperature_sample(
         docs, 250, strata_col="lang", seed="demo"
     ).groupBy("lang").count().orderBy("lang").show()
+    # UniMax epoch-capped budget allocation (budget = 7/4 total chars)
+    llm_sampling.unimax_alloc(docs, epochs=2).orderBy("n_chars").show()
+    # learned BPE tokenizer: 8 merge rounds + per-doc token budgets
+    from my_weather_spark.llm import bpe as llm_bpe
+
+    bpe_merges, bpe_words = llm_bpe.learn_bpe(docs, n_merges=8)
+    print("bpe merges:", [m[3] for m in bpe_merges])
+    llm_bpe.token_counts(docs, bpe_words).orderBy("doc_id").show(5)
     # CCNet perplexity tiles, NB classifier verdicts, mix diagnostics
     from my_weather_spark.llm import classifier as llm_classifier
     from my_weather_spark.llm import lm as llm_lm
