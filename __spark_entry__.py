@@ -2329,12 +2329,11 @@ def pq_ann_topk(spark, sf_dir):
     # A PQ index (codebooks + encoded corpus) is build-once/query-many
     # in any real deployment — cache it per (app, sf) like _IVF_CACHE
     # so repeat queries pay only the ADC scan, not the re-encode.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PQ_INDEX_CACHE:
+    def _build():
         _, cb = llm_pq.pq_codebooks(emb, m=4, k=16, seed="pq")
-        codes = llm_pq.pq_encode(emb, cb).localCheckpoint()
-        _PQ_INDEX_CACHE[key] = (cb, codes)
-    cb, codes = _PQ_INDEX_CACHE[key]
+        return cb, llm_pq.pq_encode(emb, cb).localCheckpoint()
+
+    cb, codes = _sf_memo(_PQ_INDEX_CACHE, spark, sf_dir, _build)
     queries = emb.where(F.col("vec_id").isin(1, 2, 3, 5))
     return llm_pq.pq_topk(codes, queries, cb, k=5)
 
@@ -2744,14 +2743,17 @@ _BPE_CACHE: dict[tuple[str, str], tuple] = {}
 
 def _bpe_learned(spark, sf_dir):
     """learn_bpe once per (app, sf): both bpe queries and bench's
-    repeat runs share the T merge rounds (the _IVF_CACHE pattern)."""
+    repeat runs share the T merge rounds (the _sf_memo pattern)."""
     from my_weather_spark.llm import bpe as llm_bpe
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _BPE_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        _BPE_CACHE[key] = llm_bpe.learn_bpe(docs, n_merges=_BPE_MERGES)
-    return _BPE_CACHE[key]
+    return _sf_memo(
+        _BPE_CACHE,
+        spark,
+        sf_dir,
+        lambda: llm_bpe.learn_bpe(
+            load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+        ),
+    )
 
 
 @_q(
@@ -2814,7 +2816,8 @@ def bpe_merge_table(spark, sf_dir):
     """
     WITH s AS (
       SELECT lang, CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
-      FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+      HAVING CAST(sum(length(coalesce(text, ''))) AS BIGINT) > 0),
     t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total,
                  CAST(count(*) AS BIGINT) AS n_strata FROM s),
     r AS (
@@ -4370,6 +4373,17 @@ _IVF_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _PQ_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
 
 
+def _sf_memo(cache: dict, spark, sf_dir: str, build):
+    """Build-once-per-(application, scale dir) memo shared by the
+    index/model caches (_IVF_CACHE, _PQ_INDEX_CACHE, _BPE_CACHE):
+    bench's repeat runs pay the build cost once, a fresh process
+    rebuilds once, and two scale dirs never collide."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 @_q("ann_ivf_topk", None)
 def ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate nearest neighbors (scale path of the
@@ -4380,8 +4394,8 @@ def ann_ivf_topk(spark, sf_dir):
     SQL oracle; recall is pinned vs brute force in
     test_ivf_recall_vs_bruteforce."""
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_CACHE:
+
+    def _build():
         # Key the persisted index by a hash of the FULL normalized
         # sf_dir (two scale dirs sharing a basename must not collide,
         # and concurrent queries over different dirs must not race on
@@ -4402,16 +4416,15 @@ def ann_ivf_topk(spark, sf_dir):
         )
         cpath = os.path.join(path, "_centroids")
         if os.path.exists(os.path.join(cpath, "_SUCCESS")):
-            index = spark.read.parquet(path)
-            centroids = spark.read.parquet(cpath)
-        else:
-            centroids = similarity.ivf_centroids(emb, n_centroids=32, refine_iters=1)
-            index = similarity.ivf_build(emb, centroids, path)
-            # Persist the matching centroids LAST — their _SUCCESS is
-            # the reuse marker, so a partial build is never reused.
-            centroids.write.mode("overwrite").parquet(cpath)
-        _IVF_CACHE[key] = (index, centroids)
-    index, centroids = _IVF_CACHE[key]
+            return spark.read.parquet(path), spark.read.parquet(cpath)
+        centroids = similarity.ivf_centroids(emb, n_centroids=32, refine_iters=1)
+        index = similarity.ivf_build(emb, centroids, path)
+        # Persist the matching centroids LAST — their _SUCCESS is
+        # the reuse marker, so a partial build is never reused.
+        centroids.write.mode("overwrite").parquet(cpath)
+        return index, centroids
+
+    index, centroids = _sf_memo(_IVF_CACHE, spark, sf_dir, _build)
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(index, queries, centroids, k=3, nprobe=4)
 

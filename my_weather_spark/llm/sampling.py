@@ -23,8 +23,10 @@ are therefore honored to 1e-6 resolution.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from my_weather_spark.ops.timeseries import round6_portable
 
 TICKET_MOD = 1_000_000
 
@@ -261,14 +263,16 @@ def unimax_alloc(
     strata-cardinality frame — the windows are single-task by
     construction because language counts are small by definition, the
     same bound as temperature_cuts. NULL strata are dropped on both
-    engines (Spark and DuckDB disagree on NULL sort order)."""
+    engines (Spark and DuckDB disagree on NULL sort order), and so
+    are strata with zero countable characters — they carry nothing
+    allocatable, and the paper loop divides by their size."""
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if budget_chars is not None and budget_chars < 1:
+        raise ValueError(f"budget_chars must be >= 1, got {budget_chars}")
     num, den = budget_ratio
     if budget_chars is None and (num < 1 or den < 1):
         raise ValueError(f"budget_ratio must be positive, got {budget_ratio}")
-    from pyspark.sql import Window
-
     sizes = (
         df.filter(F.col(strata_col).isNotNull())
         .groupBy(strata_col)
@@ -277,6 +281,7 @@ def unimax_alloc(
             .cast("long")
             .alias("n_chars")
         )
+        .filter(F.col("n_chars") > 0)
     )
     tot = sizes.agg(
         F.sum("n_chars").cast("long").alias("_total"),
@@ -324,8 +329,6 @@ def unimax_alloc(
         (F.col("_budget") - e * F.col("_capsum")).cast("double")
         / (F.col("_n_strata") - F.col("_m"))
     )
-    from my_weather_spark.ops.timeseries import round6_portable
-
     return ranked.select(
         strata_col,
         "n_chars",

@@ -46,6 +46,7 @@ QUERIES = [
     "pq_ann_topk",
     "semantic_decontam_flags",
     "bpe_token_counts",
+    "unimax_mix_alloc",
 ]
 SF_DIRS = [
     "/root/testdata/sf0.001",

@@ -809,3 +809,21 @@ def test_unimax_null_strata_dropped_and_validation(spark):
         sampling.unimax_alloc(df, epochs=0)
     with pytest.raises(ValueError):
         sampling.unimax_alloc(df, budget_ratio=(0, 4))
+    with pytest.raises(ValueError):
+        sampling.unimax_alloc(df, budget_chars=0)
+    with pytest.raises(ValueError):
+        sampling.unimax_alloc(df, budget_chars=-100)
+
+
+def test_unimax_zero_char_strata_dropped(spark):
+    # a stratum whose texts are all empty/NULL carries nothing
+    # allocatable (the paper loop would divide by its size) — it must
+    # not appear in the output NOR absorb a share of the budget
+    df = spark.createDataFrame(
+        [(0, "xxxx", "a"), (1, "", "z"), (2, None, "z")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in
+           sampling.unimax_alloc(df, epochs=1, budget_chars=2).collect()}
+    assert set(out) == {"a"}
+    assert out["a"].alloc_chars == 2.0  # full budget, not half
