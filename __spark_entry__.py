@@ -3525,6 +3525,53 @@ def dup_span_stats(spark, sf_dir):
 
 
 @_q(
+    "split_leakage_stats",
+    r"""
+    WITH a AS (
+      SELECT doc_id, text,
+             CASE WHEN t < 900000 THEN 'train'
+                  WHEN t < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000000 AS t
+            FROM documents)),
+    w AS (SELECT doc_id, split,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          FROM a),
+    g AS (
+      SELECT DISTINCT doc_id, split,
+             ('0x' || substr(md5(array_to_string(ws[p:p+7], ' ')), 1, 15))::BIGINT AS h
+      FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS p)),
+    tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+    ev AS (SELECT doc_id, split FROM a WHERE split <> 'train'),
+    per AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             count(*) FILTER (WHERE tr.h IS NOT NULL) AS n_shared
+      FROM g LEFT JOIN tr ON g.h = tr.h
+      WHERE g.split <> 'train' GROUP BY g.doc_id)
+    SELECT e.doc_id, e.split,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+           coalesce(p.n_shared, 0) > 0 AS leaked
+    FROM ev e LEFT JOIN per p USING (doc_id)
+    """,
+)
+def split_leakage_stats(spark, sf_dir):
+    """Train/eval split-leakage audit: every val/test document's
+    distinct 8-gram hashes probed against the train split's gram set —
+    the check split_assign's pure-function membership makes a JOIN
+    instead of a provenance hunt (llm/decontam.split_leakage). One
+    (doc, split, gram) build pass feeds both the train-side distinct
+    and the eval-side probe on the same shuffle key (the
+    duplicate_span_stats exchange-reuse shape); the train gram set is
+    corpus-sized, so the probe is an honest shuffle join at scale
+    (AQE broadcasts it at toy scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_decontam.split_leakage(docs, n=8)
+
+
+@_q(
     "lm_perplexity_scores",
     r"""
     WITH ref AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
@@ -4650,7 +4697,12 @@ _DRIVER_PRIORITY = [
     # lm subsumption grounds), freeing its slot for the new
     # bpe_token_counts — which itself subsumes bpe_merge_table (any
     # merge-round divergence changes the per-doc token sums).
-    "dedup_exact_groups", "lsh_jaccard_near_dup",
+    # dedup_exact_groups defers to r7 on the same grounds: its
+    # md5-groupBy core is exercised by the in-window u2_merge_dedup
+    # and the lsh chain, it is pytest-pinned (test_exact_dedup) and
+    # unchanged since r4 — freeing the slot for the new
+    # split_leakage_stats.
+    "lsh_jaccard_near_dup",
     "text_language_id", "text_quality_stats",
     "pack_chunks_by_source", "bm25_relevance_scores",
     "stream_curated_front", "sessionize_users",
@@ -4670,9 +4722,10 @@ _DRIVER_PRIORITY = [
     "doc_length_percentiles_scaled", "source_jsd_divergence",
     "nb_quality_flags",
     # (d) sixth sitting — PQ ANN, embedding-space decontamination,
-    # learned BPE tokenizer, UniMax budget allocation
+    # learned BPE tokenizer, UniMax budget allocation, split-leakage
+    # audit
     "pq_ann_topk", "semantic_decontam_flags", "bpe_token_counts",
-    "unimax_mix_alloc",
+    "unimax_mix_alloc", "split_leakage_stats",
 ]
 
 

@@ -132,3 +132,68 @@ def decontaminate(
     # join strategy left to Catalyst/AQE: the dirty set is usually
     # broadcast-small but is corpus-derived, so no forced broadcast.
     return docs.join(dirty, id_col, "left_anti")
+
+
+def split_leakage(
+    df: DataFrame,
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    train_label: str = "train",
+    n: int = 8,
+    seed: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval split-leakage audit: for every document assigned to
+    a non-train split, count how many of its distinct n-gram hashes
+    also occur anywhere in the train split —
+    (id, split, n_grams, n_shared, leaked).
+
+    This is the check sampling.split_assign's contract promises
+    ("leakage checks are a join, not a provenance hunt"): because
+    split membership is a pure function of (seed, id), the audit
+    needs no provenance — it re-derives the assignment and joins.
+    Unlike contamination_flags (a FOREIGN benchmark, broadcast-small
+    by construction), both sides here are corpus-derived.
+
+    Scale shape: the (doc, split, gram) frame is built once (in-row
+    gram hashing, one narrow pass) and feeds BOTH the train-side
+    distinct and the eval-side probe on the same 8-byte shuffle key —
+    the duplicate_span_stats exchange-reuse shape. The train gram set
+    is corpus-sized, so the probe is an honest shuffle join at scale
+    (AQE broadcasts it at toy scale); eval docs with no grams survive
+    via explode_outer with n_grams = 0, leaked = false. Hash
+    collisions (~2^-60) can only over-flag — the conservative
+    direction for a leakage audit.
+    """
+    if train_label not in labels:
+        raise ValueError(f"train_label {train_label!r} not in labels {labels}")
+    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm.sampling import split_assign
+
+    assigned = split_assign(df, weights, labels, seed, id_col)
+    grams = _with_ngram_hashes(_fan_out(assigned), text_col, n, "_g").select(
+        id_col, "split", F.explode_outer("_g").alias("gram_h")
+    )
+    train_set = (
+        grams.where((F.col("split") == train_label) & F.col("gram_h").isNotNull())
+        .select("gram_h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        grams.where(F.col("split") != train_label)
+        .join(train_set, "gram_h", "left")
+        .groupBy(id_col, "split")
+        .agg(
+            F.count("gram_h").cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "split",
+        "n_grams",
+        "n_shared",
+        (F.col("n_shared") > 0).alias("leaked"),
+    )

@@ -827,3 +827,43 @@ def test_unimax_zero_char_strata_dropped(spark):
            sampling.unimax_alloc(df, epochs=1, budget_chars=2).collect()}
     assert set(out) == {"a"}
     assert out["a"].alloc_chars == 2.0  # full budget, not half
+
+
+# ----------------------------------------------------------------------
+# split-leakage audit
+def test_split_leakage_directed(spark):
+    import hashlib
+
+    def ticket(i, seed="split"):
+        return int(hashlib.md5((seed + str(i)).encode()).hexdigest()[:15], 16) % 1_000_000
+
+    def split_of(i):
+        t = ticket(i)
+        return "train" if t < 900_000 else ("val" if t < 950_000 else "test")
+
+    ids = list(range(400))
+    train_ids = [i for i in ids if split_of(i) == "train"]
+    eval_ids = [i for i in ids if split_of(i) != "train"]
+    assert train_ids and len(eval_ids) >= 3
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    rows = []
+    for i in train_ids:
+        rows.append((i, f"{shared} trainpad{i} " + " ".join(f"t{i}w{j}" for j in range(8))))
+    leak_id, clean_id, short_id = eval_ids[0], eval_ids[1], eval_ids[2]
+    for i in eval_ids:
+        if i == leak_id:
+            rows.append((i, f"evalpad{i} {shared} evaltail{i}"))
+        elif i == short_id:
+            rows.append((i, "only three words"))
+        else:
+            rows.append((i, " ".join(f"e{i}w{j}" for j in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in decontam.split_leakage(df, n=8).collect()}
+    assert set(out) == set(eval_ids)
+    assert out[leak_id].leaked and out[leak_id].n_shared == 1
+    assert not out[clean_id].leaked and out[clean_id].n_shared == 0
+    assert out[short_id].n_grams == 0 and not out[short_id].leaked
+    for i in eval_ids:
+        assert out[i].split == split_of(i)
+    with pytest.raises(ValueError):
+        decontam.split_leakage(df, train_label="nope")
