@@ -214,6 +214,10 @@ class CurateReport:
     n_after_bm25: int | None = None
     # None when the optional DSIR importance-resampling stage is off
     n_after_dsir: int | None = None
+    # None when packing uses the chars/4 estimate; otherwise the
+    # number of BPE merges actually learned (may be fewer than asked
+    # if the vocabulary ran out of adjacent pairs)
+    bpe_merges_learned: int | None = None
 
 
 def curate_corpus(
@@ -239,6 +243,7 @@ def curate_corpus(
     dsir_k: int | None = None,
     dsir_dim: int = dsir_ops.DEFAULT_DIM,
     dsir_alpha: float = 0.5,
+    bpe_tokenizer_merges: int | None = None,
     strata_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -257,7 +262,10 @@ def curate_corpus(
           -> data mixing (per-source deterministic hash rates, or
              temperature-scaled rates ∝ n^alpha via mix_temperature_total)
           -> train/val/test split assignment (hash buckets)
-          -> sequence packing of the train split (concat-and-chunk)
+          -> sequence packing of the train split (concat-and-chunk;
+             budgeted by a BPE tokenizer LEARNED on the curated
+             survivors when bpe_tokenizer_merges is set, else by the
+             chars/4 estimate)
 
     Returns (packed-and-labeled corpus, stage-count report). The output
     carries every doc that survives curation with its split label and —
@@ -387,8 +395,29 @@ def curate_corpus(
     }
 
     train = labeled.where(F.col("split") == "train")
+    # Optional learned-tokenizer budgeting: train a BPE vocabulary on
+    # the curated survivors (the corpus the model will actually see)
+    # and pack by REAL token counts instead of the chars/4 estimate.
+    # Docs with no countable words fall back to the estimate.
+    pack_token_col = "n_tokens_est"
+    n_bpe_merges = None
+    if bpe_tokenizer_merges is not None:
+        from my_weather_spark.llm import bpe as bpe_ops
+
+        bpe_merges, bpe_words = bpe_ops.learn_bpe(
+            clean, n_merges=bpe_tokenizer_merges, text_col=text_col
+        )
+        n_bpe_merges = len(bpe_merges)
+        bt = bpe_ops.token_counts(
+            clean, bpe_words, text_col=text_col, id_col=id_col
+        ).select(id_col, F.col("n_tokens").alias("_bpe_n_tokens"))
+        train = train.join(bt, id_col, "left").withColumn(
+            "_pack_tokens",
+            F.coalesce("_bpe_n_tokens", F.col("n_tokens_est")),
+        )
+        pack_token_col = "_pack_tokens"
     packed = packing.pack_chunks(
-        train, capacity=chunk_capacity, token_col="n_tokens_est",
+        train, capacity=chunk_capacity, token_col=pack_token_col,
         group_col=strata_col, text_col=text_col, id_col=id_col,
     ).select(id_col, strata_col, "chunk_start", "chunk_end", "offset_in_chunk")
     out = labeled.join(
@@ -412,5 +441,6 @@ def curate_corpus(
         n_after_nb=n_nb,
         n_after_bm25=n_bm25,
         n_after_dsir=n_dsir,
+        bpe_merges_learned=n_bpe_merges,
     )
     return out, report

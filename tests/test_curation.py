@@ -867,3 +867,40 @@ def test_split_leakage_directed(spark):
         assert out[i].split == split_of(i)
     with pytest.raises(ValueError):
         decontam.split_leakage(df, train_label="nope")
+
+
+def test_curate_corpus_bpe_token_budgeting(spark):
+    from my_weather_spark.llm import bpe as bpe_ops
+    from my_weather_spark.llm.pipeline import curate_corpus
+    from my_weather_spark.llm import packing
+
+    rows = [
+        (i, " ".join(f"word{j % 7} common text here" for j in range(6 + i % 5)), "web")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, rep = curate_corpus(
+        df, split_weights=(1.0,), chunk_capacity=64,
+        min_words=3, bpe_tokenizer_merges=4,
+    )
+    assert rep.bpe_merges_learned == 4
+    # the chunk coordinates must equal pack_chunks driven by an
+    # externally learned tokenizer over the same survivors
+    survivors = df.join(out.select("doc_id"), "doc_id")
+    _, words = bpe_ops.learn_bpe(survivors, n_merges=4)
+    tok = bpe_ops.token_counts(survivors, words).select(
+        "doc_id", F.col("n_tokens").alias("_t"))
+    exp = {
+        r.doc_id: (r.chunk_start, r.chunk_end, r.offset_in_chunk)
+        for r in packing.pack_chunks(
+            survivors.join(tok, "doc_id"), capacity=64, token_col="_t"
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.chunk_start, r.chunk_end, r.offset_in_chunk)
+        for r in out.collect()
+    }
+    assert got == exp
+    # default path is unchanged (estimate-budgeted, report field None)
+    _, rep0 = curate_corpus(df, split_weights=(1.0,), chunk_capacity=64, min_words=3)
+    assert rep0.bpe_merges_learned is None
