@@ -135,6 +135,15 @@ def main() -> None:
     bpe_merges, bpe_words = llm_bpe.learn_bpe(docs, n_merges=8)
     print("bpe merges:", [m[3] for m in bpe_merges])
     llm_bpe.token_counts(docs, bpe_words).orderBy("doc_id").show(5)
+    # train/eval split-leakage audit (split membership is a pure hash
+    # function, so the check is one join)
+    from my_weather_spark.llm import decontam as llm_decontam
+
+    leak = llm_decontam.split_leakage(docs, n=8)
+    leak.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("leaked").cast("int")).alias("n_leaked"),
+    ).orderBy("split").show()
     # CCNet perplexity tiles, NB classifier verdicts, mix diagnostics
     from my_weather_spark.llm import classifier as llm_classifier
     from my_weather_spark.llm import lm as llm_lm
