@@ -202,3 +202,41 @@ def token_counts(
             round6_portable(F.col("n_tokens") / F.col("n_words")),
         )
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize arbitrary (including UNSEEN) text with a learned merge
+    list — the inference half of the tokenizer. Appends ``out_col``,
+    an array<string> of BPE tokens for the whole text (per-word
+    symbol sequences concatenated in word order, each word ending in
+    its END_MARK-bearing token).
+
+    Seen words tokenize exactly as the training vocab (pinned in
+    tests); unseen words fall out of the same merge order, which is
+    what makes a BPE vocabulary open-ended.
+
+    Scale shape: one narrow in-row projection — each word wraps to the
+    \\x1f/\\x02 symbol encoding, the T merges apply as T chained
+    literal replaces (merge ORDER is the tokenizer; T is fixed at
+    train time, so the expression tree is static), and the results
+    split back to symbols. No shuffle, no join, no UDF.
+    """
+    words = _clean_words(F.coalesce(F.col(text_col), F.lit("")))
+
+    def tokenize_word(w: Column) -> Column:
+        s = _wrap_syms(F.concat(F.split(w, ""), F.array(F.lit(END_MARK))))
+        for _step, lhs, rhs, merged, _freq in merges:
+            pat = SEP_L + lhs + SEP_R + SEP_L + rhs + SEP_R
+            s = F.replace(s, F.lit(pat), F.lit(SEP_L + merged + SEP_R))
+        return F.split(
+            F.substring(s, F.lit(2), F.length(s) - 2), SEP_R + SEP_L
+        )
+
+    return df.withColumn(
+        out_col, F.flatten(F.transform(words, tokenize_word))
+    )

@@ -130,3 +130,30 @@ def test_empty_and_null_text_drop(spark):
 def test_n_merges_validated(spark):
     with pytest.raises(ValueError):
         bpe.learn_bpe(_docs(spark, TEXTS), n_merges=0)
+
+
+def test_bpe_apply_inference(spark):
+    docs = _docs(spark, ["low lower lowest newer new"])
+    merges, words = bpe.learn_bpe(docs, n_merges=4)
+    assert [m[3] for m in merges] == ["lo", "low", "er", "ew"]
+    # seen words tokenize exactly as the training vocab
+    seen = bpe.bpe_apply(docs, merges).collect()[0].tokens
+    vocab = {
+        r.word: r.s
+        for r in words.select("word", bpe._unwrap_syms("wstr").alias("s")).collect()
+    }
+    exp = [t for w in "low lower lowest newer new".split() for t in vocab[w]]
+    assert seen == exp
+    # UNSEEN words fall out of the same merge order
+    unseen = spark.createDataFrame(
+        [(1, "lowly now"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.tokens for r in bpe.bpe_apply(unseen, merges).collect()}
+    assert got[1] == ["low", "l", "y", "</w>", "n", "o", "w", "</w>"]
+    assert got[2] == [] and got[3] == []
+
+
+def test_bpe_apply_no_merges_is_char_split(spark):
+    df = spark.createDataFrame([(0, "ab c")], ["doc_id", "text"])
+    out = bpe.bpe_apply(df, []).collect()[0].tokens
+    assert out == ["a", "b", "</w>", "c", "</w>"]
