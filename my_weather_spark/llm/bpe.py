@@ -225,7 +225,21 @@ def bpe_apply(
     literal replaces (merge ORDER is the tokenizer; T is fixed at
     train time, so the expression tree is static), and the results
     split back to symbols. No shuffle, no join, no UDF.
+
+    The expression tree is T Replace nodes deep, so T is capped at
+    512: beyond that, plan analysis cost grows per-merge and
+    whole-stage codegen falls back to interpretation (64KB method
+    limit). Production-scale vocabularies (10k-32k merges) belong in
+    an Arrow-batched mapInPandas kernel with the merge list broadcast
+    — and corpus-internal tokenization should use the vocab join
+    (:func:`token_counts` path), which is merge-count-independent.
     """
+    if len(merges) > 512:
+        raise ValueError(
+            f"bpe_apply caps the in-row expression tree at 512 merges, "
+            f"got {len(merges)}; use a broadcast mapInPandas kernel for "
+            f"production-scale vocabularies"
+        )
     words = _clean_words(F.coalesce(F.col(text_col), F.lit("")))
 
     def tokenize_word(w: Column) -> Column:

@@ -166,6 +166,10 @@ def split_leakage(
     collisions (~2^-60) can only over-flag — the conservative
     direction for a leakage audit.
     """
+    if n < 1:
+        # n=0 would hash md5('') once per position for EVERY doc —
+        # one universal shared "gram" flagging the whole eval set
+        raise ValueError(f"n must be >= 1, got {n}")
     if train_label not in labels:
         raise ValueError(f"train_label {train_label!r} not in labels {labels}")
     from my_weather_spark.llm.dedup import _fan_out

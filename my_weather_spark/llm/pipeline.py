@@ -408,8 +408,11 @@ def curate_corpus(
             clean, n_merges=bpe_tokenizer_merges, text_col=text_col
         )
         n_bpe_merges = len(bpe_merges)
+        # tokenize only the train split — the vocabulary LEARNS on all
+        # curated survivors, but val/test are served unpacked, so
+        # counting their tokens here would be a wasted corpus fraction
         bt = bpe_ops.token_counts(
-            clean, bpe_words, text_col=text_col, id_col=id_col
+            train, bpe_words, text_col=text_col, id_col=id_col
         ).select(id_col, F.col("n_tokens").alias("_bpe_n_tokens"))
         train = train.join(bt, id_col, "left").withColumn(
             "_pack_tokens",

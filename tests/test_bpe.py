@@ -157,3 +157,10 @@ def test_bpe_apply_no_merges_is_char_split(spark):
     df = spark.createDataFrame([(0, "ab c")], ["doc_id", "text"])
     out = bpe.bpe_apply(df, []).collect()[0].tokens
     assert out == ["a", "b", "</w>", "c", "</w>"]
+
+
+def test_bpe_apply_merge_cap(spark):
+    df = spark.createDataFrame([(0, "ab")], ["doc_id", "text"])
+    fake = [(i, "a", "b", "ab", 1) for i in range(1, 514)]
+    with pytest.raises(ValueError):
+        bpe.bpe_apply(df, fake)

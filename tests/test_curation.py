@@ -904,3 +904,9 @@ def test_curate_corpus_bpe_token_budgeting(spark):
     # default path is unchanged (estimate-budgeted, report field None)
     _, rep0 = curate_corpus(df, split_weights=(1.0,), chunk_capacity=64, min_words=3)
     assert rep0.bpe_merges_learned is None
+
+
+def test_split_leakage_n_validated(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        decontam.split_leakage(df, n=0)
