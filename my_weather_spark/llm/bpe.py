@@ -229,15 +229,16 @@ def bpe_apply(
     The expression tree is T Replace nodes deep, so T is capped at
     512: beyond that, plan analysis cost grows per-merge and
     whole-stage codegen falls back to interpretation (64KB method
-    limit). Production-scale vocabularies (10k-32k merges) belong in
-    an Arrow-batched mapInPandas kernel with the merge list broadcast
-    — and corpus-internal tokenization should use the vocab join
-    (:func:`token_counts` path), which is merge-count-independent.
+    limit). Production-scale vocabularies (10k-32k merges) use
+    :func:`bpe_apply_batched` (bit-identical output, pinned in
+    tests) — and corpus-internal tokenization should use the vocab
+    join (:func:`token_counts` path), which is
+    merge-count-independent.
     """
     if len(merges) > 512:
         raise ValueError(
             f"bpe_apply caps the in-row expression tree at 512 merges, "
-            f"got {len(merges)}; use a broadcast mapInPandas kernel for "
+            f"got {len(merges)}; use bpe_apply_batched for "
             f"production-scale vocabularies"
         )
     words = _clean_words(F.coalesce(F.col(text_col), F.lit("")))
@@ -254,3 +255,84 @@ def bpe_apply(
     return df.withColumn(
         out_col, F.flatten(F.transform(words, tokenize_word))
     )
+
+
+def bpe_apply_batched(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """bpe_apply for production-scale merge lists (10k-32k merges):
+    the merge list broadcasts once and an Arrow-batched kernel runs
+    the SAME sequential greedy algorithm per word — for each merge in
+    learned order, one left-to-right non-overlapping pass — so the
+    output is bit-identical to the expression path (pinned in tests)
+    with no plan-depth or codegen limit.
+
+    Per-batch costs: distinct words memoize their segmentation (the
+    per-batch vocabulary is far smaller than the token stream), and a
+    merge is skipped in O(1) when either side is absent from the
+    word's current symbol set — for a w-symbol word only O(w) of the
+    T merges can ever fire, so the scan is T set-probes plus O(w)
+    real passes, not T passes.
+
+    Scale shape: one narrow mapInPandas projection — no shuffle, no
+    join; the broadcast is len(merges) tuples (a few MB at 32k).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [(m[1], m[2], m[3]) for m in merges]
+    )
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, {out_col} array<string>"
+
+    def _tokenize(batches):
+        mlist = bc.value
+
+        def segment(word: str) -> list[str]:
+            syms = list(word) + [END_MARK]
+            have = set(syms)
+            for lhs, rhs, merged in mlist:
+                if lhs not in have or rhs not in have:
+                    continue
+                out, i, fired = [], 0, False
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == lhs
+                        and syms[i + 1] == rhs
+                    ):
+                        out.append(merged)
+                        i += 2
+                        fired = True
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                if fired:
+                    syms = out
+                    have = set(syms)
+            return syms
+
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            toks = []
+            for t in pdf[text_col]:
+                row: list[str] = []
+                for w in (t or "").split():
+                    if not w or SEP_L in w or SEP_R in w:
+                        continue
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = segment(w)
+                    row.extend(got)
+                toks.append(row)
+            out_pdf = pdf.copy()
+            out_pdf[out_col] = toks
+            yield out_pdf
+
+    return df.mapInPandas(_tokenize, schema=schema)

@@ -164,3 +164,41 @@ def test_bpe_apply_merge_cap(spark):
     fake = [(i, "a", "b", "ab", 1) for i in range(1, 514)]
     with pytest.raises(ValueError):
         bpe.bpe_apply(df, fake)
+
+
+def test_bpe_apply_batched_matches_expression_path(spark):
+    docs = _docs(spark, TEXTS)
+    merges, _ = bpe.learn_bpe(docs, n_merges=8)
+    unseen = spark.createDataFrame(
+        [(100, "lowest cattle than aaaaa"), (101, ""), (102, None)],
+        ["doc_id", "text"],
+    )
+    both = docs.unionByName(unseen)
+    exp = {r.doc_id: r.tokens for r in bpe.bpe_apply(both, merges).collect()}
+    got = {r.doc_id: r.tokens for r in bpe.bpe_apply_batched(both, merges).collect()}
+    assert got == exp
+
+
+def test_bpe_apply_batched_large_merge_list(spark):
+    # a 600-merge list (beyond the expression path's 512 cap) learned
+    # by the pure-Python reference over a rich synthetic vocabulary —
+    # the kernel must apply the same sequential algorithm
+    import itertools
+
+    vocab = [
+        "".join(p)
+        for p in itertools.product("abcdef", repeat=5)
+    ][:800]
+    texts = [" ".join(vocab[i::40]) for i in range(40)]
+    ref_merges, ref_words = _ref_bpe(texts, 600)
+    assert len(ref_merges) == 600
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.tokens
+        for r in bpe.bpe_apply_batched(df, ref_merges).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = [tok for w in t.split() for tok in ref_words[w]]
+        assert got[i] == exp
