@@ -116,51 +116,188 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Candidate rows collected per learning round; the batch is a prefix
+# of this ranked list, so K only caps the best case (observed batch
+# max ~16 on a 22k-word corpus).
+_BATCH_CANDIDATES = 64
+
+# Rounds the last learn_bpe call took (introspection for tests and
+# telemetry; one round = one candidates job + one stats job).
+LAST_LEARN_ROUNDS = 0
+
+
+def _select_batch(cands, right_max, left_max, boundary, limit):
+    """The maximal PREFIX of the ranked candidate list that is provably
+    the next len(batch) picks of sequential greedy BPE.
+
+    Sequential greedy recounts after every merge; applying several
+    top-ranked merges in one pass is exact only when no earlier merge
+    in the batch can perturb the ranking a later one was selected
+    under. The naive rule (accept while pairwise symbol-disjoint) is
+    NOT exact: merging (a,b) creates new pairs (x,ab)/(ab,y) whose
+    counts can exceed a later disjoint candidate's count, so greedy
+    would pick the created pair first (observed on real text — first
+    divergence at merge 23 on a 22k-word corpus). Sound rule, each
+    candidate j > 0 accepted only if ALL hold:
+
+    - symbols disjoint: lhs/rhs/merged not among any earlier batch
+      member's {lhs, rhs, merged} (counts of disjoint pairs are
+      invariant under the earlier merges, and no textual aliasing of
+      created symbols can double-feed one pair key);
+    - c_j > boundary (the K-th collected count): any uncollected pair
+      has count <= boundary, so none can outrank the candidate;
+    - c_j > g, where g = max over earlier accepted (a,b) of
+      max(right_max[a], left_max[b]): a pair created by merging (a,b)
+      is (x,ab), (ab,y) or (ab,ab); each occurrence maps 1:1 onto a
+      round-start occurrence of (x,a), (b,y) or (b,a) respectively,
+      so its count is bounded by the largest round-start pair count
+      ending in a or starting in b;
+    - the earlier merged strings have NO round-start presence as
+      symbols (o-collision): if "ab" already existed as a symbol,
+      created pairs land on top of existing (x,"ab") counts and the
+      single-key bound above no longer caps the sum — stop the batch
+      at such a merge (rare: requires two merge paths to the same
+      string).
+
+    A self-pair (a,a) ends the batch naturally: left_max[a] includes
+    (a,a) itself, so g >= its own count blocks every later candidate.
+    The first candidate is greedy's argmax by definition and is always
+    accepted.
+    """
+    used: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    g = 0
+    for j, (lhs, rhs, c) in enumerate(cands):
+        if len(batch) >= limit:
+            break
+        merged = lhs + rhs
+        if j > 0 and (
+            lhs in used
+            or rhs in used
+            or merged in used
+            or c <= boundary
+            or c <= g
+        ):
+            break
+        batch.append((lhs, rhs, c))
+        used |= {lhs, rhs, merged}
+        g = max(g, right_max.get(lhs, 0), left_max.get(rhs, 0))
+        if max(left_max.get(merged, 0), right_max.get(merged, 0)) > 0:
+            break
+    return batch
+
+
+def _pair_frame(words: DataFrame) -> DataFrame:
+    """(lhs, rhs, pair_freq): adjacent-symbol pair counts over the
+    vocab frame, weighted by word frequency — one narrow explode plus
+    one map-side-combined aggregate per round."""
+    syms = words.select("freq", _unwrap_syms("wstr").alias("s"))
+    return (
+        syms.filter(F.size("s") >= 2)
+        .select(
+            "freq",
+            F.slice("s", F.lit(1), F.size("s") - 1).alias("la"),
+            F.slice("s", F.lit(2), F.size("s") - 1).alias("ra"),
+        )
+        .select("freq", F.explode(F.arrays_zip("la", "ra")).alias("p"))
+        .groupBy(F.col("p.la").alias("lhs"), F.col("p.ra").alias("rhs"))
+        .agg(F.sum("freq").cast("long").alias("pair_freq"))
+    )
+
+
 def learn_bpe(
     docs: DataFrame, n_merges: int = 6, text_col: str = "text"
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Learn n_merges BPE merges; returns (merges, words) where merges
     is [(step, lhs, rhs, merged, pair_freq), ...] — bounded driver
-    metadata, one row per round, the kmeans-centroid pattern — and
+    metadata, a few rows per round, the kmeans-centroid pattern — and
     words is the vocab frame with wstr rewritten through every merge.
+
+    Merge rounds are BATCHED: each round collects the top-K candidate
+    pairs plus their neighbor-count stats (two small driver jobs) and
+    applies the longest provably-greedy-equivalent prefix in one
+    projection (see :func:`_select_batch` for the exactness proof).
+    The merge list is bit-identical to one-merge-per-round greedy —
+    pinned against the pure-Python replay in tests — while the round
+    count drops with vocabulary richness: measured 1.5x on a 31-word
+    toy corpus, 2.8x on 2.4k words, 4.5x on 22k words of real text.
+    A production 32k-merge vocabulary over a web corpus (1e8+ distinct
+    words, flatter pair distribution) lands in the thousands of
+    rounds, not 32k sequential driver jobs; the lineage is truncated
+    with a LAZY localCheckpoint per round so truncation piggybacks on
+    the next round's job instead of costing its own.
 
     Stops early (fewer rows) if the vocabulary runs out of adjacent
     pairs before n_merges — callers that oracle-match against a fixed
     unrolled replay must pick n_merges small enough that this cannot
     trigger at any tested scale."""
+    global LAST_LEARN_ROUNDS
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     words = word_vocab(docs, text_col).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
-        syms = words.select("freq", _unwrap_syms("wstr").alias("s"))
-        pairs = (
-            syms.filter(F.size("s") >= 2)
-            .select(
-                "freq",
-                F.slice("s", F.lit(1), F.size("s") - 1).alias("la"),
-                F.slice("s", F.lit(2), F.size("s") - 1).alias("ra"),
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
+        pairs = _pair_frame(words).persist()
+        try:
+            cands = [
+                (r.lhs, r.rhs, r.pair_freq)
+                for r in pairs.orderBy(
+                    F.desc("pair_freq"), "lhs", "rhs"
+                )
+                .limit(_BATCH_CANDIDATES)
+                .collect()
+            ]
+            if not cands:
+                break
+            # neighbor stats for the guard, exact over the FULL pair
+            # table (the candidate list alone under-counts them):
+            # right_max[s] = max count of pairs ending in s,
+            # left_max[s] = max count of pairs starting with s —
+            # queried only at the <=192 symbols the candidates touch,
+            # one unioned aggregate job over the persisted frame.
+            a_syms = sorted({c[0] for c in cands})
+            b_syms = sorted({c[1] for c in cands})
+            m_syms = sorted({c[0] + c[1] for c in cands})
+
+            def _agg(kind: str, key: str, syms: list[str]) -> DataFrame:
+                return (
+                    pairs.filter(F.col(key).isin(syms))
+                    .groupBy(F.col(key).alias("sym"))
+                    .agg(F.max("pair_freq").alias("v"))
+                    .select(F.lit(kind).alias("kind"), "sym", "v")
+                )
+
+            stats = (
+                _agg("r", "rhs", a_syms)
+                .unionByName(_agg("l", "lhs", b_syms))
+                .unionByName(_agg("l", "lhs", m_syms))
+                .unionByName(_agg("r", "rhs", m_syms))
+                .collect()
             )
-            .select("freq", F.explode(F.arrays_zip("la", "ra")).alias("p"))
-            .groupBy(
-                F.col("p.la").alias("lhs"), F.col("p.ra").alias("rhs")
+        finally:
+            pairs.unpersist()
+        right_max = {r.sym: r.v for r in stats if r.kind == "r"}
+        left_max: dict[str, int] = {}
+        for r in stats:
+            if r.kind == "l":
+                left_max[r.sym] = max(left_max.get(r.sym, 0), r.v)
+        boundary = (
+            cands[-1][2] if len(cands) >= _BATCH_CANDIDATES else -1
+        )
+        batch = _select_batch(
+            cands, right_max, left_max, boundary, n_merges - len(merges)
+        )
+        wcol = F.col("wstr")
+        for lhs, rhs, c in batch:
+            merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, c))
+            pat = SEP_L + lhs + SEP_R + SEP_L + rhs + SEP_R
+            wcol = F.replace(
+                wcol, F.lit(pat), F.lit(SEP_L + lhs + rhs + SEP_R)
             )
-            .agg(F.sum("freq").cast("long").alias("pair_freq"))
-        )
-        best = (
-            pairs.orderBy(F.desc("pair_freq"), "lhs", "rhs")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        b = best[0]
-        merged = b.lhs + b.rhs
-        merges.append((step, b.lhs, b.rhs, merged, b.pair_freq))
-        pat = SEP_L + b.lhs + SEP_R + SEP_L + b.rhs + SEP_R
-        words = words.withColumn(
-            "wstr", F.replace("wstr", F.lit(pat), F.lit(SEP_L + merged + SEP_R))
-        ).localCheckpoint()
+        words = words.withColumn("wstr", wcol).localCheckpoint(eager=False)
+    LAST_LEARN_ROUNDS = rounds
     return merges, words
 
 
@@ -182,7 +319,16 @@ def token_counts(
     budget under the learned vocabulary. One corpus explode joined to
     the vocab's per-word symbol count (small side — AQE broadcasts it
     here, shuffles at true vocab scale); documents with no countable
-    words carry no row (both engines drop them in the explode)."""
+    words carry no row (both engines drop them in the explode).
+
+    PRECONDITION: ``docs`` must be (a subset of) the corpus ``words``
+    was learned on. The join is inner, so a word absent from the
+    vocab silently drops from both n_words and n_tokens — that is
+    exact for the training corpus (every cleaned word is in the
+    vocab by construction) but undercounts on out-of-vocab text. For
+    arbitrary/unseen text use :func:`bpe_apply` /
+    :func:`bpe_apply_batched`, which tokenize OOV words through the
+    merge order instead of a vocab lookup."""
     n = words.select("word", F.size(_unwrap_syms("wstr")).alias("n_syms"))
     d = docs.select(
         id_col,
@@ -280,18 +426,31 @@ def bpe_apply_batched(
     Scale shape: one narrow mapInPandas projection — no shuffle, no
     join; the broadcast is len(merges) tuples (a few MB at 32k).
     """
-    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(
         [(m[1], m[2], m[3]) for m in merges]
     )
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    )
-    schema = f"{fields}, {out_col} array<string>"
+    # StructType-built schema (not a DDL string) so column names that
+    # would need backtick quoting survive; an existing out_col is
+    # replaced in place, mirroring bpe_apply's withColumn semantics.
+    tok_field = StructField(out_col, ArrayType(StringType()))
+    fields = [
+        tok_field if f.name == out_col else f for f in df.schema.fields
+    ]
+    if out_col not in df.columns:
+        fields.append(tok_field)
+    schema = StructType(fields)
 
     def _tokenize(batches):
+        import re
+
+        # Java \s+ semantics ([ \t\n\x0b\f\r]), NOT str.split(): Python
+        # splits on all Unicode whitespace (\xa0, U+2000-U+200A,
+        # \x1c-\x1f, ...) which would desynchronize this kernel from
+        # the F.split(r"\s+") expression path on real web text.
+        java_ws = re.compile("[ \t\n\x0b\f\r]+")
         mlist = bc.value
 
         def segment(word: str) -> list[str]:
@@ -323,7 +482,7 @@ def bpe_apply_batched(
             toks = []
             for t in pdf[text_col]:
                 row: list[str] = []
-                for w in (t or "").split():
+                for w in java_ws.split(t or ""):
                     if not w or SEP_L in w or SEP_R in w:
                         continue
                     got = memo.get(w)
