@@ -15,14 +15,15 @@ mass: unseen prefixes fall back to 1/V). Scores are mean log-prob per
 bigram (natural log) and perplexity exp(-mean).
 
 Scale shape (corpus ~100 TB, reference ~MBs — same asymmetry as
-decontamination): the model tables are reference-derived and SMALL by
-construction — both are broadcast; the corpus side explodes its
-bigrams into the broadcast probe and collapses back with one map-side
-combined aggregation. One narrow corpus pass, no corpus shuffle except
-the per-doc aggregate. V (reference vocabulary size) stays IN-PLAN as
-a one-row broadcast crossjoin — no driver action blocks the plan —
-and the prefix-count table derives from the bigram table (c1 = Σ_w2
-c12 by definition), so the reference corpus explodes once, not twice.
+decontamination): the model is reference-derived and SMALL by
+construction — ONE broadcast table (w1, c1, map w2 -> c12) fusing the
+bigram and prefix counts in a single groupBy(w1), so the corpus side
+probes one broadcast join (not two) and collapses back with one
+map-side combined aggregation. One narrow corpus pass, no corpus
+shuffle except the per-doc aggregate. V (reference vocabulary size)
+stays IN-PLAN as a one-row broadcast crossjoin — no driver action
+blocks the plan — and the reference corpus' bigram explode runs once
+(c1 = Σ_w2 c12 by definition, derived from the bigram table).
 
 Float determinism: the per-doc sum of log-probs is order-dependent at
 ~1e-15 relative; outputs round to 6 decimals (engine convention), far
@@ -43,11 +44,25 @@ def _word_col(text_col: str):
     return _words(F.col(text_col))
 
 
-def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _doc_bigrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_empty: bool = False,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, w1, w2) — one row per bigram occurrence, words bound to a
     column before the sliding transform (the quadratic-HOF gotcha, see
-    llm/decontam._ngram_hashes' perf contract)."""
-    b = df.select(F.col(id_col), _word_col(text_col).alias("_w"))
+    llm/decontam._ngram_hashes' perf contract).
+
+    With ``keep_empty`` a document under 2 words emits ONE sentinel
+    row (NULL w1/w2) instead of vanishing, so a downstream
+    groupBy(id) keeps every document and the scoring plan needs no
+    join back to the id list — one fewer join stage and one fewer
+    corpus scan."""
+    b = df.select(
+        F.col(id_col), *carry_cols, _word_col(text_col).alias("_w")
+    )
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("_w") - 1),
         lambda p: F.struct(
@@ -55,23 +70,46 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.element_at("_w", p + 1).alias("w2"),
         ),
     )
-    # sequence(1, k) DESCENDS for k < 1 — docs under 2 words have none
+    empty_t = "array<struct<w1:string,w2:string>>"
+    if keep_empty:
+        fallback = F.array(F.lit(None)).cast(empty_t)
+    else:
+        # sequence(1, k) DESCENDS for k < 1 — short docs have none
+        fallback = F.array().cast(empty_t)
     return b.select(
         id_col,
+        *carry_cols,
         F.explode(
-            F.when(F.size("_w") >= 2, pairs).otherwise(
-                F.array().cast("array<struct<w1:string,w2:string>>")
-            )
+            F.when(F.size("_w") >= 2, pairs).otherwise(fallback)
         ).alias("_bg"),
-    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    ).select(
+        id_col,
+        *carry_cols,
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
+    )
 
 
-def _prefixes_from_bigrams(bigrams: DataFrame) -> DataFrame:
-    # c1(w1) = count of w1 as bigram prefix = Σ_w2 c12 BY DEFINITION —
-    # derived from the (small) bigram table instead of re-aggregating
-    # the reference corpus, so the reference's bigram explode runs
-    # once per broadcast, not twice.
-    return bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+def _model_frame(
+    ref: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(w1, c1, _m): the add-alpha bigram model as ONE broadcast
+    table — c1(w1) = prefix count (= Σ_w2 c12 by definition) and
+    _m = map w2 -> c12, fused in a single groupBy(w1) so the scoring
+    side probes one broadcast join instead of two (bigram + prefix
+    tables separately cost an extra broadcast exchange and join
+    stage per query). The reference's bigram explode still runs
+    once; the second shuffle is over the small bigram table."""
+    bg_ref = _doc_bigrams(ref, text_col, id_col)
+    bigrams = bg_ref.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    return bigrams.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.map_from_entries(F.collect_list(F.struct("w2", "c12"))).alias(
+            "_m"
+        ),
+    )
 
 
 def _vocab_row(ref: DataFrame, text_col: str) -> DataFrame:
@@ -90,45 +128,58 @@ def perplexity_scores(
     alpha: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, n_bigrams, avg_logp, ppl) per document.
+    """(id, *carry_cols, n_bigrams, avg_logp, ppl) per document.
+
+    ``carry_cols`` ride through the bigram explode and the per-doc
+    group keys, so callers needing extra per-doc columns (ppl_buckets
+    and its group column) avoid a second corpus scan + join back.
 
     avg_logp = mean natural-log bigram probability under the
     reference add-alpha model (rounded 6); ppl = exp(-avg_logp)
     (rounded 4). Documents with fewer than 2 words keep NULL scores.
-    Both model tables broadcast; V rides as a 1-row broadcast
-    crossjoin (scalar-subquery pattern) so no driver action blocks
-    the plan; the corpus never shuffles except the per-document
-    aggregate.
+    The fused model table broadcasts once; V rides as a 1-row
+    broadcast crossjoin (scalar-subquery pattern) so no driver action
+    blocks the plan; the corpus never shuffles except the
+    per-document aggregate.
     """
-    bg_ref = _doc_bigrams(ref, text_col, id_col)
-    bigrams = bg_ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    prefixes = _prefixes_from_bigrams(bigrams)
+    model = _model_frame(ref, text_col, id_col)
     vocab = _vocab_row(ref, text_col)
-    bg = _doc_bigrams(docs, text_col, id_col)
+    # keep_empty sentinel rows stand in for <2-word docs, so the
+    # per-doc aggregate below keeps every document and no join back
+    # to the id list is needed (sentinels score NULL and count 0)
+    bg = _doc_bigrams(
+        docs, text_col, id_col, keep_empty=True, carry_cols=carry_cols
+    )
     scored = (
-        bg.join(F.broadcast(bigrams), ["w1", "w2"], "left")
-        .join(F.broadcast(prefixes), "w1", "left")
+        bg.join(F.broadcast(model), "w1", "left")
         .join(F.broadcast(vocab))
         .select(
             id_col,
-            F.log(
-                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("_V"))
+            *carry_cols,
+            "w1",
+            F.when(
+                F.col("w1").isNotNull(),
+                F.log(
+                    (
+                        F.coalesce(
+                            F.element_at("_m", F.col("w2")), F.lit(0)
+                        )
+                        + F.lit(alpha)
+                    )
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + F.lit(alpha) * F.col("_V")
+                    )
+                ),
             ).alias("_lp"),
         )
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+    return scored.groupBy(id_col, *carry_cols).agg(
+        F.count("w1").cast("long").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("avg_logp"),
-    )
-    # left join keeps <2-word docs (no bigram rows) as NULL scores
-    ids = docs.select(id_col)
-    return ids.join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        "avg_logp",
-        F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+        F.round(F.exp(-F.round(F.avg("_lp"), 6)), 4).alias("ppl"),
     )
 
 
@@ -184,16 +235,19 @@ def ppl_buckets(
         raise ValueError(f"need exactly k={k} labels, got {len(labels)}")
     from my_weather_spark.ops import ranking
 
-    scores = perplexity_scores(docs, ref, alpha, text_col, id_col)
     gc = group_col or "_g"
-    base = docs.select(id_col, *([group_col] if group_col else []))
-    if group_col is None:
-        base = base.withColumn(gc, F.lit("ALL"))
+    src = docs if group_col else docs.withColumn(gc, F.lit("ALL"))
     label_arr = F.array(*[F.lit(l) for l in labels])
-    # checkpoint the scored corpus ONCE: both consumers below (the
-    # bucketing pass and the final outer join) would otherwise re-run
-    # the whole LM scoring chain — the dsir scored-keys rule
-    scored = base.join(scores, id_col).localCheckpoint()
+    # the group column rides THROUGH the scoring pass (carry_cols), so
+    # no second corpus scan + join back is needed; checkpoint the
+    # scored corpus ONCE: both consumers below (the bucketing pass and
+    # the final outer join) would otherwise re-run the whole LM
+    # scoring chain — the dsir scored-keys rule. LAZY so
+    # materialization piggybacks on the first consumer's job instead
+    # of costing a blocking job of its own.
+    scored = perplexity_scores(
+        src, ref, alpha, text_col, id_col, carry_cols=(gc,)
+    ).localCheckpoint(eager=False)
     if distributed:
         ranked = ranking.grouped_row_number(
             scored.where(F.col("ppl").isNotNull()), gc, ["ppl", id_col]
