@@ -209,28 +209,38 @@ class TsStore:
         out.write.partitionBy(*PARTITION_COLS).option(
             "partitionOverwriteMode", "dynamic"
         ).mode("overwrite").parquet(self.path)
-        self._update_catalog(deduped, replace=False, source=source)
+        # catalog rows for the touched partitions recompute from the
+        # checkpointed post-merge content (out), not the batch alone:
+        # a replaced point's old stats must leave the sidecar too
+        self._update_catalog(out, replace=False, source=source, touched=touched)
 
     # -- catalog sidecar ---------------------------------------------------
-    # One row per (series_id, source): data_period_start/end, created,
-    # modified. Maintained at store() time with MONOTONE merges
-    # (min/min/max/max), which are idempotent under re-ingest and
-    # retries, so find(fast=True) answers the reference's TsInfo fields
-    # in O(n_series) instead of scanning the data (at 100 TB a find()
-    # scan reads every partition). The sidecar is hive-partitioned by
-    # ``source``, and the hot path — the merge-mode store() that a
-    # micro-batch cadence hits every cycle — rewrites ONLY the touched
-    # source's partition (dynamic partition overwrite): per-cycle
-    # catalog work is O(series in that source), not O(all series in
-    # the store). The rare whole-catalog rewrites (whole-series
-    # replace, fresh store, legacy flat-layout migration) use a static
-    # overwrite, which also clears pre-partitioning flat files. The
-    # sidecar lives BESIDE the data root, not inside it: the
-    # whole-series replace path writes the dataset with a STATIC
-    # overwrite, which truncates everything under the root — a nested
-    # sidecar would be wiped mid-update. The sidecar is derived state:
-    # a torn write is repaired by rebuild_catalog(), never by trusting
-    # it blindly.
+    # One row per (series_id, source, date) — the exact unit the data
+    # path rewrites — holding data_period_start/end, created, modified,
+    # n_points and dt_hist (the within-partition histogram of
+    # microsecond point spacings). Maintained at store() time by
+    # RECOMPUTING the touched partitions' rows from the post-merge data
+    # (idempotent: same landed data -> same stats) and keeping every
+    # other row, so find(fast=True) answers the reference's TsInfo
+    # fields — now INCLUDING n_points and delta_t — in O(catalog rows)
+    # instead of scanning the data (at 100 TB a find() scan reads every
+    # partition). Cross-partition spacings are reconstructed at read
+    # time from consecutive rows' (max_ts, next min_ts); see find().
+    # The sidecar is hive-partitioned by ``source``, and the hot path —
+    # the merge-mode store() that a micro-batch cadence hits every
+    # cycle — rewrites ONLY the touched source's partition (dynamic
+    # partition overwrite): per-cycle catalog work is O(series-dates in
+    # that source), not O(the whole store). The rare whole-catalog
+    # rewrites (whole-series replace, fresh store, legacy-layout
+    # migration) use a static overwrite, which also clears
+    # pre-partitioning flat files. The sidecar lives BESIDE the data
+    # root, not inside it: the whole-series replace path writes the
+    # dataset with a STATIC overwrite, which truncates everything under
+    # the root — a nested sidecar would be wiped mid-update. The
+    # sidecar is derived state: a torn write is repaired by
+    # rebuild_catalog(), never by trusting it blindly; a pre-v2 sidecar
+    # (per-series grain, no stats columns) triggers the same
+    # rebuild-from-data migration.
     @property
     def _catalog_path(self) -> str:
         return self.path.rstrip("/") + "_catalog"
@@ -243,12 +253,43 @@ class TsStore:
 
     @staticmethod
     def _summarize(df: DataFrame) -> DataFrame:
-        return df.groupBy("series_id", "source").agg(
+        """Per-(series_id, source, date) sidecar rows from landed data:
+        period min/max, ingest min/max, n_points (non-null values, the
+        exact path's count("value")) and dt_hist — the histogram of
+        microsecond spacings between consecutive ts WITHIN the
+        partition (NULL for single-point partitions). The window and
+        both aggregates key on the partition columns, so this is
+        O(batch) work aligned with the data write's own shuffle."""
+        keys = ["series_id", "source", "date"]
+        w = W.partitionBy(*keys).orderBy("ts")
+        gaps = df.select(
+            *keys,
+            "ts",
+            "value",
+            "ingest_time",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+                "_gap"
+            ),
+        )
+        stats = gaps.groupBy(*keys).agg(
             F.min("ts").alias("data_period_start"),
             F.max("ts").alias("data_period_end"),
             F.min("ingest_time").alias("created"),
             F.max("ingest_time").alias("modified"),
+            F.count("value").cast("long").alias("n_points"),
         )
+        hist = (
+            gaps.where(F.col("_gap").isNotNull())
+            .groupBy(*keys, "_gap")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+            .groupBy(*keys)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("_gap", "_n"))
+                ).alias("dt_hist")
+            )
+        )
+        return stats.join(hist, keys, "left")
 
     def _catalog_schema(self):
         from pyspark.sql import types as T
@@ -257,12 +298,29 @@ class TsStore:
             [
                 T.StructField("series_id", T.StringType()),
                 T.StructField("source", T.StringType()),
+                T.StructField("date", T.DateType()),
                 T.StructField("data_period_start", T.TimestampType()),
                 T.StructField("data_period_end", T.TimestampType()),
                 T.StructField("created", T.TimestampType()),
                 T.StructField("modified", T.TimestampType()),
+                T.StructField("n_points", T.LongType()),
+                T.StructField(
+                    "dt_hist", T.MapType(T.LongType(), T.LongType())
+                ),
             ]
         )
+
+    def _catalog_is_v2(self) -> bool:
+        """True when the on-disk sidecar carries the v2 per-date stats
+        columns; a v1 sidecar (per-series grain) reads as stale and is
+        rebuilt from data (schema inference is a metadata-only read)."""
+        try:
+            names = set(
+                self.spark.read.parquet(self._catalog_path).schema.fieldNames()
+            )
+        except Exception:
+            return False
+        return {"date", "n_points", "dt_hist"} <= names
 
     def _catalog_is_partitioned(self) -> bool:
         jvm = self.spark._jvm
@@ -286,34 +344,45 @@ class TsStore:
 
     def _update_catalog(
         self,
-        deduped: DataFrame,
+        landed: DataFrame,
         replace: bool,
         fresh: bool = False,
         source: str | None = None,
+        touched: DataFrame | None = None,
     ) -> None:
-        # ``deduped`` is the batch AFTER merge_dedup (store() collapses
-        # it once, checkpointed): the summary must reflect what actually
-        # LANDS — an intra-batch losing row's ingest_time must not leak
-        # into created/modified (it would make find(fast=True) disagree
-        # with the exact scan). Cross-batch the monotone min/max merge
-        # keeps idempotence.
-        batch = self._summarize(deduped)
+        # ``landed`` is what the data write actually landed for the
+        # partitions it rewrote: the checkpointed post-merge content of
+        # the touched (source, date) partitions on the merge path, or
+        # the deduped batch on the fresh/replace paths (where the batch
+        # IS the complete new content of its series). Recomputing the
+        # touched rows from landed data — instead of monotone-merging
+        # summaries — keeps every stat exact under point replacement
+        # (a replaced row's old ingest_time/spacing must not linger)
+        # and stays idempotent: same landed data -> same rows.
+        batch = self._summarize(landed)
         if fresh or not self._catalog_exists():
             # fresh store: any pre-existing sidecar describes data that
             # was deleted out of band — replace it wholesale.
             self._write_catalog(batch, dynamic=False)
             return
-        legacy = not self._catalog_is_partitioned()
+        if not self._catalog_is_partitioned() or not self._catalog_is_v2():
+            # one-time migration (pre-partitioning flat layout, or a
+            # v1 per-series sidecar without the stats columns): the
+            # data — already written at this point — is the complete
+            # truth, so rebuild from it; the static overwrite also
+            # clears the old-layout files.
+            self.rebuild_catalog()
+            return
         old = self.spark.read.schema(self._catalog_schema()).parquet(
             self._catalog_path
         )
         if replace:
             # whole-series replace: the old rows of the incoming
-            # series are dropped, not merged (their min/max vouch
-            # for data that no longer exists). Series may exist under
-            # OTHER sources too, so this path rewrites the whole
-            # catalog (static) — it mirrors the data path, which is
-            # itself a full static overwrite on replace.
+            # series are dropped, not merged (they vouch for data that
+            # no longer exists). Series may exist under OTHER sources
+            # too, so this path rewrites the whole catalog (static) —
+            # it mirrors the data path, which is itself a full static
+            # overwrite on replace.
             old = old.join(
                 F.broadcast(batch.select("series_id").distinct()),
                 "series_id",
@@ -321,38 +390,27 @@ class TsStore:
             )
             self._write_catalog(old.unionByName(batch), dynamic=False)
             return
-        if legacy:
-            # one-time migration: merge everything and static-overwrite
-            # so the flat pre-partitioning files are cleared.
-            self._write_catalog(
-                self._summarize_catalog(old.unionByName(batch)), dynamic=False
-            )
-            return
         # merge path (the micro-batch hot path): only the touched
         # source's partition is read (partition-pruned by the filter —
         # a store() batch carries exactly one literal source, passed
         # through as a string so no job runs to discover it) and only
         # it is rewritten (dynamic overwrite) — every other source's
-        # sidecar file stays byte-identical on disk.
+        # sidecar file stays byte-identical on disk. Within it, rows
+        # for the touched (source, date) combos are replaced by the
+        # recomputed batch rows; untouched dates' rows are kept as-is.
         if source is not None:
-            touched = [source]
+            srcs = [source]
         else:
-            touched = [
-                r["source"] for r in deduped.select("source").distinct().collect()
+            srcs = [
+                r["source"] for r in landed.select("source").distinct().collect()
             ]
-        old_touched = old.where(F.col("source").isin(touched))
-        self._write_catalog(
-            self._summarize_catalog(old_touched.unionByName(batch)), dynamic=True
+        old_touched = old.where(F.col("source").isin(srcs))
+        if touched is None:
+            touched = landed.select(*PARTITION_COLS).distinct()
+        keep = old_touched.join(
+            F.broadcast(touched), PARTITION_COLS, "left_anti"
         )
-
-    @staticmethod
-    def _summarize_catalog(cat: DataFrame) -> DataFrame:
-        return cat.groupBy("series_id", "source").agg(
-            F.min("data_period_start").alias("data_period_start"),
-            F.max("data_period_end").alias("data_period_end"),
-            F.min("created").alias("created"),
-            F.max("modified").alias("modified"),
-        )
+        self._write_catalog(keep.unionByName(batch), dynamic=True)
 
     def rebuild_catalog(self) -> None:
         """Recompute the catalog sidecar from the data — the recovery
@@ -477,12 +535,20 @@ class TsStore:
         — plus n_points as an engine extra.
 
         ``fast=True`` answers from the catalog sidecar maintained at
-        store() time — O(n_series), no data scan; exactly the
+        store() time — O(catalog rows), no data scan; exactly the
         reference's repository-metadata semantics (its data_period and
-        created/modified also come from tracked metadata, not a scan).
-        The two engine extras the sidecar doesn't track come back NULL
-        on the fast path: delta_t (the reference puts NaN here too)
-        and n_points. The default exact path scans the data.
+        created/modified also come from tracked metadata, not a scan),
+        and since the v2 sidecar it returns n_points and delta_t too:
+        n_points sums the per-(source, date) counts; delta_t combines
+        the stored within-partition spacing histograms with the
+        boundary spacings reconstructed from consecutive partitions'
+        (max_ts, next min_ts) — exact whenever a series' partitions
+        don't interleave in time. If they DO interleave (the same
+        series carries time-overlapping data under two sources — the
+        concatenation order is then not the ts order), fast delta_t
+        falls back to NULL rather than guessing (the reference's
+        metadata find() puts NaN there always, so NULL is
+        reference-faithful). The default exact path scans the data.
 
         delta_t (exact path) is the per-series mode of point spacing
         (dt_mode — the store knows the actual cadence). point_fx and
@@ -494,8 +560,8 @@ class TsStore:
         from my_weather_spark.ops.timeseries import dt_mode
 
         if fast:
-            if not self._catalog_exists():
-                # pre-sidecar store: one-time migration scan
+            if not self._catalog_exists() or not self._catalog_is_v2():
+                # pre-sidecar or pre-v2 store: one-time migration scan
                 self.rebuild_catalog()
             cat_df = self.spark.read.schema(self._catalog_schema()).parquet(
                 self._catalog_path
@@ -504,22 +570,67 @@ class TsStore:
                 cat_df = cat_df.where(F.col("source") == source)
             if pattern is not None:
                 cat_df = cat_df.where(F.col("series_id").rlike(pattern))
+            # order a series' partition rows by period start: when they
+            # don't interleave, the full ts-sorted point sequence is
+            # exactly their concatenation, so total spacings = stored
+            # within-partition histograms + one boundary gap per
+            # consecutive row pair (next min_ts - prev max_ts)
+            worder = W.partitionBy("series_id").orderBy(
+                "data_period_start", "data_period_end", "source", "date"
+            )
+            r = cat_df.withColumn(
+                "_bgap",
+                F.unix_micros("data_period_start")
+                - F.unix_micros(F.lag("data_period_end").over(worder)),
+            )
             # aggregate by series only (a series stored under several
             # sources merges, exactly like the exact path's groupBy)
-            info = cat_df.groupBy(F.col("series_id").alias("name")).agg(
+            base = r.groupBy(F.col("series_id").alias("name")).agg(
                 F.min("data_period_start").alias("data_period_start"),
                 F.max("data_period_end").alias("data_period_end"),
                 F.min("created").alias("created"),
                 F.max("modified").alias("modified"),
-            ).select(
+                F.sum("n_points").cast("long").alias("n_points"),
+                F.max(F.col("_bgap") < 0).alias("_interleaved"),
+            )
+            within = r.select(
+                "series_id", F.explode("dt_hist").alias("_gap", "_n")
+            )
+            bounds = r.where(F.col("_bgap") >= 0).select(
+                "series_id",
+                F.col("_bgap").alias("_gap"),
+                F.lit(1).cast("long").alias("_n"),
+            )
+            wmode = W.partitionBy("series_id").orderBy(
+                F.desc("_cnt"), F.asc("_gap")
+            )
+            modes = (
+                within.unionByName(bounds)
+                .groupBy("series_id", "_gap")
+                .agg(F.sum("_n").alias("_cnt"))
+                .withColumn("_rn", F.row_number().over(wmode))
+                .where(F.col("_rn") == 1)
+                .select(
+                    F.col("series_id").alias("name"),
+                    # exact-path delta_t is dt_mode_seconds: micros/1e6
+                    (F.col("_gap") / F.lit(1_000_000.0))
+                    .cast("double")
+                    .alias("_dt"),
+                )
+            )
+            info = base.join(modes, "name", "left").select(
                 "name",
                 "data_period_start",
                 "data_period_end",
                 "created",
                 "modified",
-                F.lit(None).cast("long").alias("n_points"),
-                # exact-path delta_t is dt_mode_seconds (double)
-                F.lit(None).cast("double").alias("delta_t"),
+                "n_points",
+                F.when(
+                    F.coalesce(F.col("_interleaved"), F.lit(False)),
+                    F.lit(None).cast("double"),
+                )
+                .otherwise(F.col("_dt"))
+                .alias("delta_t"),
             )
         else:
             df = self._read_all()

@@ -379,9 +379,10 @@ def test_find_fast_catalog_sidecar(spark, tmp_path):
             assert fast[sid][f] == exact[sid][f], (sid, f)
     assert fast[sid_a]["created"] == _dt(1000).replace(tzinfo=None)
     assert fast[sid_a]["modified"] == _dt(2000).replace(tzinfo=None)
-    # fast path leaves the scan-derived extras NULL
-    assert fast[sid_a]["n_points"] is None and fast[sid_a]["delta_t"] is None
-    assert exact[sid_a]["n_points"] == 4
+    # v2 sidecar answers the scan-derived extras too, exactly
+    assert fast[sid_a]["n_points"] == exact[sid_a]["n_points"] == 4
+    assert fast[sid_a]["delta_t"] == exact[sid_a]["delta_t"]
+    assert fast[sid_b]["n_points"] == 1 and fast[sid_b]["delta_t"] is None
 
     # re-ingesting the same batch is a no-op on the sidecar (idempotent)
     store.store(df2, source="src1", ingest_time=_dt(2000))
@@ -408,6 +409,69 @@ def test_find_fast_catalog_sidecar(spark, tmp_path):
     # which equals the tracked values in this engine (store() stamps
     # every row) — asserted so the recovery path stays equivalent
     assert fast4[sid_b]["created"] == fast[sid_b]["created"]
+
+
+def test_find_fast_equals_exact_tsinfo(spark, tmp_path):
+    """The v2 sidecar's fast path must return the IDENTICAL TsInfo row
+    set as the exact data scan — including n_points and delta_t —
+    across date-partition boundaries, under point replacement, and
+    after a rebuild; a time-interleaved multi-source series falls back
+    to NULL delta_t (reference-faithful: its metadata find() reports
+    NaN there always)."""
+    from datetime import timedelta
+
+    store = TsStore(spark, str(tmp_path / "parity_store"))
+    day = 86400
+    # series m: hourly cadence crossing a date boundary (23:00, 00:00,
+    # 01:00, 03:00) -> mode 3600 needs the cross-partition gap
+    rows_m = [("m", _dt(day - 3600), 1.0), ("m", _dt(day), 2.0),
+              ("m", _dt(day + 3600), 3.0), ("m", _dt(day + 3 * 3600), 4.0)]
+    # series s: single point (no spacings -> NULL delta_t both paths)
+    rows_s = [("s", _dt(0), 9.0)]
+    df1 = spark.createDataFrame(
+        rows_m + rows_s, "series_id string, ts timestamp, value double"
+    )
+    store.store(df1, source="src1", ingest_time=_dt(1000))
+    # replace a point of m with a newer ingest (same ts, new value):
+    # the replaced row's ingest must leave BOTH paths' created
+    df2 = spark.createDataFrame(
+        [("m", _dt(day), 2.5)], "series_id string, ts timestamp, value double"
+    )
+    store.store(df2, source="src1", ingest_time=_dt(2000))
+
+    def rows(fast):
+        return {
+            r["name"]: {
+                k: r[k]
+                for k in ("data_period_start", "data_period_end", "created",
+                          "modified", "n_points", "delta_t")
+            }
+            for r in store.find(fast=fast).collect()
+        }
+
+    exact, fast = rows(False), rows(True)
+    assert fast == exact
+    assert fast["m"]["n_points"] == 4 and fast["m"]["delta_t"] == 3600.0
+    assert fast["s"]["n_points"] == 1 and fast["s"]["delta_t"] is None
+
+    # rebuild-from-data reproduces the same sidecar answers
+    store.rebuild_catalog()
+    assert rows(True) == exact
+
+    # interleaved sources: same series, time-overlapping data under a
+    # second source -> exact path still computes a mode over the merged
+    # ts order; fast path must refuse (NULL), not guess
+    df3 = spark.createDataFrame(
+        [("m", _dt(day + 1800), 5.0), ("m", _dt(day + 5400), 6.0)],
+        "series_id string, ts timestamp, value double",
+    )
+    store.store(df3, source="src2", ingest_time=_dt(3000))
+    exact2, fast2 = rows(False), rows(True)
+    assert fast2["m"]["n_points"] == exact2["m"]["n_points"] == 6
+    assert exact2["m"]["delta_t"] == 1800.0
+    assert fast2["m"]["delta_t"] is None
+    for f in ("data_period_start", "data_period_end", "created", "modified"):
+        assert fast2["m"][f] == exact2["m"][f], f
 
 
 def test_catalog_sidecar_partitioned_by_source(spark, tmp_path):
