@@ -190,3 +190,92 @@ def test_jpeg_uniform_identity_property(v, bw, bh):
     exp = int(np.clip(np.floor(q * 16 / 8 + 0.5) + 128, 0, 255))
     assert out.shape == img.shape
     assert (out == exp).all()
+
+
+# ----------------------------------------------------------------------
+# Batched-BPE selection guard (llm/bpe._select_batch): the batch must
+# be EXACTLY the next len(batch) picks of sequential greedy BPE — the
+# soundness proof is subtle (created-pair bounds, merged-string
+# collisions), so hammer it against a brute-force greedy simulator on
+# random small corpora. Pure Python on both sides (no Spark session):
+# the simulator mirrors word_vocab/learn_bpe's pair counting exactly.
+def _pair_counts(words, freq):
+    import collections
+
+    pc = collections.Counter()
+    for w, syms in words.items():
+        f = freq[w]
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += f
+    return pc
+
+
+def _apply_merge(words, l, r):
+    m = l + r
+    out = {}
+    for w, syms in words.items():
+        if l in syms and r in syms:
+            ns, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    ns.append(m)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            out[w] = tuple(ns)
+        else:
+            out[w] = syms
+    return out
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_select_batch_matches_sequential_greedy(freq, n_merges, K):
+    from my_weather_spark.llm.bpe import _select_batch
+
+    words = {w: tuple(w) + ("</w>",) for w in freq}
+    got, done = [], 0
+    while done < n_merges:
+        pc = _pair_counts(words, freq)
+        if not pc:
+            break
+        ranked = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        cands = [(l, r, c) for (l, r), c in ranked[:K]]
+        boundary = ranked[K - 1][1] if len(ranked) >= K else -1
+        right_max, left_max = {}, {}
+        for (l, r), c in pc.items():
+            right_max[r] = max(right_max.get(r, 0), c)
+            left_max[l] = max(left_max.get(l, 0), c)
+        batch = _select_batch(
+            cands, right_max, left_max, boundary, n_merges - done
+        )
+        assert batch, "first candidate must always be accepted"
+        for l, r, c in batch:
+            got.append((l, r, c))
+            words = _apply_merge(words, l, r)
+        done += len(batch)
+    # brute-force sequential greedy over the same corpus
+    words = {w: tuple(w) + ("</w>",) for w in freq}
+    exact = []
+    for _ in range(n_merges):
+        pc = _pair_counts(words, freq)
+        if not pc:
+            break
+        (l, r), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        exact.append((l, r, c))
+        words = _apply_merge(words, l, r)
+    assert got == exact
