@@ -251,13 +251,24 @@ class TsStore:
         p = jvm.org.apache.hadoop.fs.Path(self._catalog_path)
         return p.getFileSystem(conf).exists(p)
 
-    @staticmethod
-    def _summarize(df: DataFrame) -> DataFrame:
+    # Distinct-spacing cap per (series, source, date) sidecar row: a
+    # REGULAR series carries 1-5 distinct spacings per day; an
+    # IRREGULAR one (event streams, random timestamps) approaches one
+    # per point, which would grow the sidecar toward data size at
+    # 100 TB. Above the cap the histogram is dropped (NULL) and
+    # find(fast) reports NULL delta_t for the series — honest: the
+    # mode of near-unique spacings is noise, and the reference's
+    # metadata find() reports NaN delta_t always.
+    DT_HIST_CAP = 1024
+
+    @classmethod
+    def _summarize(cls, df: DataFrame) -> DataFrame:
         """Per-(series_id, source, date) sidecar rows from landed data:
         period min/max, ingest min/max, n_points (non-null values, the
-        exact path's count("value")) and dt_hist — the histogram of
-        microsecond spacings between consecutive ts WITHIN the
-        partition (NULL for single-point partitions). The window and
+        exact path's count("value")), n_spacings (distinct spacing
+        count) and dt_hist — the histogram of microsecond spacings
+        between consecutive ts WITHIN the partition (NULL for
+        single-point partitions and above DT_HIST_CAP). The window and
         both aggregates key on the partition columns, so this is
         O(batch) work aligned with the data write's own shuffle."""
         keys = ["series_id", "source", "date"]
@@ -284,12 +295,23 @@ class TsStore:
             .agg(F.count(F.lit(1)).cast("long").alias("_n"))
             .groupBy(*keys)
             .agg(
+                F.count(F.lit(1)).cast("long").alias("n_spacings"),
                 F.map_from_entries(
                     F.collect_list(F.struct("_gap", "_n"))
-                ).alias("dt_hist")
+                ).alias("_full_hist"),
+            )
+            .select(
+                *keys,
+                "n_spacings",
+                F.when(
+                    F.col("n_spacings") <= cls.DT_HIST_CAP,
+                    F.col("_full_hist"),
+                ).alias("dt_hist"),
             )
         )
-        return stats.join(hist, keys, "left")
+        return stats.join(hist, keys, "left").withColumn(
+            "n_spacings", F.coalesce(F.col("n_spacings"), F.lit(0).cast("long"))
+        )
 
     def _catalog_schema(self):
         from pyspark.sql import types as T
@@ -304,6 +326,7 @@ class TsStore:
                 T.StructField("created", T.TimestampType()),
                 T.StructField("modified", T.TimestampType()),
                 T.StructField("n_points", T.LongType()),
+                T.StructField("n_spacings", T.LongType()),
                 T.StructField(
                     "dt_hist", T.MapType(T.LongType(), T.LongType())
                 ),
@@ -320,7 +343,7 @@ class TsStore:
             )
         except Exception:
             return False
-        return {"date", "n_points", "dt_hist"} <= names
+        return {"date", "n_points", "n_spacings", "dt_hist"} <= names
 
     def _catalog_is_partitioned(self) -> bool:
         jvm = self.spark._jvm
@@ -591,7 +614,13 @@ class TsStore:
                 F.min("created").alias("created"),
                 F.max("modified").alias("modified"),
                 F.sum("n_points").cast("long").alias("n_points"),
-                F.max(F.col("_bgap") < 0).alias("_interleaved"),
+                # NULL delta_t fallbacks: partitions interleave in
+                # time (concatenation order is not ts order), or a
+                # partition overflowed DT_HIST_CAP (histogram dropped)
+                F.max(
+                    (F.col("_bgap") < 0)
+                    | (F.col("n_spacings") > self.DT_HIST_CAP)
+                ).alias("_interleaved"),
             )
             within = r.select(
                 "series_id", F.explode("dt_hist").alias("_gap", "_n")

@@ -474,6 +474,39 @@ def test_find_fast_equals_exact_tsinfo(spark, tmp_path):
         assert fast2["m"][f] == exact2["m"][f], f
 
 
+def test_find_fast_caps_irregular_spacing_histogram(spark, tmp_path):
+    """An irregular series (every spacing distinct) must not grow the
+    sidecar toward data size: above DT_HIST_CAP distinct spacings the
+    histogram is dropped and fast delta_t falls back to NULL (the mode
+    of near-unique spacings is noise; the reference reports NaN there
+    always). Every other field stays exact."""
+    from datetime import timedelta
+
+    store = TsStore(spark, str(tmp_path / "cap_store"))
+    n = TsStore.DT_HIST_CAP + 6
+    base = _dt(0)
+    t, rows = 0, []
+    for i in range(n):
+        rows.append(("irr", base + timedelta(microseconds=t), float(i)))
+        t += (i + 1)  # spacings 1,2,3,... us — all distinct
+    df = spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double"
+    )
+    store.store(df, source="src1", ingest_time=_dt(1000))
+    exact = store.find().collect()[0]
+    fast = store.find(fast=True).collect()[0]
+    assert fast["n_points"] == exact["n_points"] == n
+    assert exact["delta_t"] == 1e-06  # tie-break toward smallest
+    assert fast["delta_t"] is None  # capped: histogram dropped
+    for f in ("data_period_start", "data_period_end", "created", "modified"):
+        assert fast[f] == exact[f], f
+    # the sidecar row itself must carry no histogram
+    cat = spark.read.schema(store._catalog_schema()).parquet(
+        store._catalog_path
+    ).collect()[0]
+    assert cat["n_spacings"] == n - 1 and cat["dt_hist"] is None
+
+
 def test_catalog_sidecar_partitioned_by_source(spark, tmp_path):
     """The sidecar is hive-partitioned by source and a merge-mode
     store() rewrites ONLY the touched source's partition — an
