@@ -36,9 +36,11 @@ Scale shape (100 TB corpus, V distinct words, T merges):
   round re-reads the compact (word, freq, wstr) form, not a T-deep
   replace plan.
 - Per round: one narrow pair-explode + map-side-combined count over
-  the vocab frame, one TakeOrderedAndProject argmax (a single row of
-  bounded driver metadata, the kmeans centroid pattern), one narrow
-  replace. No join, no window, no shuffle of anything corpus-sized.
+  the vocab frame, ONE fused driver job collecting the top-K candidate
+  pairs plus per-symbol neighbor maxima (bounded driver metadata, the
+  kmeans centroid pattern; all branches reuse the pair exchange), one
+  narrow replace batch. No join, no window, no shuffle of anything
+  corpus-sized.
 - ``token_counts`` re-tokenizes the corpus by joining exploded doc
   words to the learned per-word symbol counts: vocab side is small ->
   AQE broadcasts it at toy scale, shuffles both sides at true vocab
@@ -122,7 +124,7 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
 _BATCH_CANDIDATES = 64
 
 # Rounds the last learn_bpe call took (introspection for tests and
-# telemetry; one round = one candidates job + one stats job).
+# telemetry; one round = one fused candidates+stats driver job).
 LAST_LEARN_ROUNDS = 0
 
 
@@ -214,9 +216,11 @@ def learn_bpe(
     words is the vocab frame with wstr rewritten through every merge.
 
     Merge rounds are BATCHED: each round collects the top-K candidate
-    pairs plus their neighbor-count stats (two small driver jobs) and
-    applies the longest provably-greedy-equivalent prefix in one
-    projection (see :func:`_select_batch` for the exactness proof).
+    pairs plus their neighbor-count stats (ONE fused driver job — the
+    candidate and stats branches share the pair-aggregate exchange via
+    ReusedExchange) and applies the longest provably-greedy-equivalent
+    prefix in one projection (see :func:`_select_batch` for the
+    exactness proof).
     The merge list is bit-identical to one-merge-per-round greedy —
     pinned against the pure-Python replay in tests — while the round
     count drops with vocabulary richness: measured 1.5x on a 31-word
@@ -239,50 +243,59 @@ def learn_bpe(
     rounds = 0
     while len(merges) < n_merges:
         rounds += 1
-        pairs = _pair_frame(words).persist()
-        try:
-            cands = [
-                (r.lhs, r.rhs, r.pair_freq)
-                for r in pairs.orderBy(
-                    F.desc("pair_freq"), "lhs", "rhs"
-                )
-                .limit(_BATCH_CANDIDATES)
-                .collect()
-            ]
-            if not cands:
-                break
-            # neighbor stats for the guard, exact over the FULL pair
-            # table (the candidate list alone under-counts them):
-            # right_max[s] = max count of pairs ending in s,
-            # left_max[s] = max count of pairs starting with s —
-            # queried only at the <=192 symbols the candidates touch,
-            # one unioned aggregate job over the persisted frame.
-            a_syms = sorted({c[0] for c in cands})
-            b_syms = sorted({c[1] for c in cands})
-            m_syms = sorted({c[0] + c[1] for c in cands})
-
-            def _agg(kind: str, key: str, syms: list[str]) -> DataFrame:
-                return (
-                    pairs.filter(F.col(key).isin(syms))
-                    .groupBy(F.col(key).alias("sym"))
-                    .agg(F.max("pair_freq").alias("v"))
-                    .select(F.lit(kind).alias("kind"), "sym", "v")
-                )
-
-            stats = (
-                _agg("r", "rhs", a_syms)
-                .unionByName(_agg("l", "lhs", b_syms))
-                .unionByName(_agg("l", "lhs", m_syms))
-                .unionByName(_agg("r", "rhs", m_syms))
-                .collect()
+        # ONE driver job per round: the ranked candidate prefix and the
+        # per-symbol neighbor maxima (right_max[s] = max count of pairs
+        # ending in s, left_max[s] = max count of pairs starting with
+        # s) union into one collect. All three branches consume the
+        # SAME pair-aggregate exchange, so Spark's ReusedExchange runs
+        # the vocab explode + partial aggregate once and the extra
+        # branches read only the shuffled pair frame (no persist, no
+        # broadcast boundary to defeat the reuse — the q21 lesson).
+        # The maxima are collected for EVERY symbol rather than just
+        # the candidates' neighbors: symbol count is bounded by
+        # alphabet + merges-so-far (~33k rows at a production 32k
+        # vocabulary), still driver metadata, and it keeps the stats
+        # branch independent of the candidate list so one action
+        # suffices.
+        pairs = _pair_frame(words)
+        cand_rows = (
+            pairs.orderBy(F.desc("pair_freq"), "lhs", "rhs")
+            .limit(_BATCH_CANDIDATES)
+            .select(
+                F.lit("c").alias("kind"),
+                F.col("lhs").alias("s1"),
+                F.col("rhs").alias("s2"),
+                F.col("pair_freq").alias("v"),
             )
-        finally:
-            pairs.unpersist()
-        right_max = {r.sym: r.v for r in stats if r.kind == "r"}
-        left_max: dict[str, int] = {}
-        for r in stats:
-            if r.kind == "l":
-                left_max[r.sym] = max(left_max.get(r.sym, 0), r.v)
+        )
+
+        def _max_rows(kind: str, key: str) -> DataFrame:
+            return (
+                pairs.groupBy(F.col(key).alias("s1"))
+                .agg(F.max("pair_freq").alias("v"))
+                .select(
+                    F.lit(kind).alias("kind"),
+                    "s1",
+                    F.lit(None).cast("string").alias("s2"),
+                    "v",
+                )
+            )
+
+        rows = (
+            cand_rows.unionByName(_max_rows("r", "rhs"))
+            .unionByName(_max_rows("l", "lhs"))
+            .collect()
+        )
+        # union output order is not the branch's sort order; the
+        # ranking is total, so re-sorting driver-side reproduces it.
+        cands = sorted(
+            ((r.s1, r.s2, r.v) for r in rows if r.kind == "c"),
+            key=lambda c: (-c[2], c[0], c[1]),
+        )
+        if not cands:
+            break
+        right_max = {r.s1: r.v for r in rows if r.kind == "r"}
+        left_max = {r.s1: r.v for r in rows if r.kind == "l"}
         boundary = (
             cands[-1][2] if len(cands) >= _BATCH_CANDIDATES else -1
         )
