@@ -3875,6 +3875,60 @@ def pack_chunks_by_source(spark, sf_dir):
     return llm_packing.pack_chunks(docs, capacity=512)
 
 
+# pack_bins capacity: sized so the sf0.01 corpus spreads across several
+# harmonic size classes (docs well under, near, and over one bin).
+_PACK_BIN_CAPACITY = 2048
+
+
+@_q(
+    "pack_bins_by_source",
+    _bpe_oracle_ctes(_BPE_MERGES)
+    + f""",
+    n AS (SELECT word, len(string_split(substr(wstr, 2, length(wstr) - 2),
+                                        chr(2) || chr(31))) AS n_syms
+          FROM w{_BPE_MERGES}),
+    d AS (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                    x -> x <> '' AND NOT contains(x, chr(31))
+                                         AND NOT contains(x, chr(2)))) AS word
+          FROM documents),
+    tc AS (SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens
+           FROM d JOIN n USING (word) GROUP BY doc_id),
+    s AS (SELECT tc.doc_id, documents.source, tc.n_tokens,
+                 CAST(CASE WHEN tc.n_tokens > {_PACK_BIN_CAPACITY} THEN 0
+                      ELSE {_PACK_BIN_CAPACITY} // greatest(tc.n_tokens, CAST(1 AS BIGINT))
+                      END AS BIGINT) AS size_class
+          FROM tc JOIN documents USING (doc_id)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source, size_class
+                                       ORDER BY doc_id) AS rn FROM s)
+    SELECT doc_id, source, n_tokens, size_class,
+           CAST(CASE WHEN size_class = 0 THEN rn - 1
+                ELSE (rn - 1) // size_class END AS BIGINT) AS bin_in_class
+    FROM r
+    """,
+)
+def pack_bins_by_source(spark, sf_dir):
+    """Tokenizer-aware whole-document bin packing: per-doc token
+    budgets under the REAL learned BPE vocabulary (the bpe_token_counts
+    chain) feed harmonic size-class bin assignment
+    (llm/packing.pack_bins — Lee & Lee 1985; no sequential bin state,
+    one (group, class) exchange). The oracle re-learns the vocabulary
+    AND replays the packing arithmetic, so the whole chain —
+    tokenizer training, token counting, bin assignment — is
+    hash-verified end to end. Oversize docs get size_class 0 singleton
+    bins (flagged, caller-decided)."""
+    from my_weather_spark.llm import bpe as llm_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, words = _bpe_learned(spark, sf_dir)
+    tc = llm_bpe.token_counts(docs, words).select("doc_id", "n_tokens")
+    return llm_packing.pack_bins(
+        tc.join(docs.select("doc_id", "source"), "doc_id"),
+        capacity=_PACK_BIN_CAPACITY,
+        token_col="n_tokens",
+    )
+
+
 @_q(
     "corpus_stats",
     """
@@ -4658,7 +4712,11 @@ _DRIVER_PRIORITY = [
     "mixed_interpretation_expand", "resample_time_weighted",
     "instant_interpolation", "range_join_error_window",
     "u1_extend_union", "order_restore", "topk_orders_per_segment",
-    "value_deciles", "w5_sliding_count", "text_fingerprint",
+    "value_deciles", "w5_sliding_count",
+    # (d) new this round — first driver check. text_fingerprint
+    # (pure in-row expression, pytest-golden + doc-length-probe
+    # pinned, r5-green) deferred to r8 for the slot.
+    "pack_bins_by_source",
 ]
 
 

@@ -244,6 +244,7 @@ def curate_corpus(
     dsir_dim: int = dsir_ops.DEFAULT_DIM,
     dsir_alpha: float = 0.5,
     bpe_tokenizer_merges: int | None = None,
+    packing_mode: str = "chunks",
     strata_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -262,21 +263,29 @@ def curate_corpus(
           -> data mixing (per-source deterministic hash rates, or
              temperature-scaled rates ∝ n^alpha via mix_temperature_total)
           -> train/val/test split assignment (hash buckets)
-          -> sequence packing of the train split (concat-and-chunk;
-             budgeted by a BPE tokenizer LEARNED on the curated
-             survivors when bpe_tokenizer_merges is set, else by the
-             chars/4 estimate)
+          -> sequence packing of the train split (packing_mode
+             "chunks": concat-and-chunk, docs may straddle a boundary;
+             "bins": whole-document harmonic bin packing, no doc ever
+             splits — the SFT shape; budgeted by a BPE tokenizer
+             LEARNED on the curated survivors when
+             bpe_tokenizer_merges is set, else by the chars/4
+             estimate)
 
     Returns (packed-and-labeled corpus, stage-count report). The output
     carries every doc that survives curation with its split label and —
-    for train docs — chunk coordinates (null for val/test, which are
-    served unpacked).
+    for train docs — pack coordinates (chunk_start/chunk_end/
+    offset_in_chunk for "chunks", size_class/bin_in_class for "bins";
+    null for val/test, which are served unpacked).
 
     Stage order is the one a 100 TB run wants: each stage shrinks the
     corpus before the next touches it, the benchmark side broadcasts,
     and mixing/splits are narrow in-row filters. Deterministic
     end-to-end: same input, seeds, and rates -> byte-identical output.
     """
+    if packing_mode not in ("chunks", "bins"):
+        raise ValueError(
+            f"packing_mode must be 'chunks' or 'bins', got {packing_mode!r}"
+        )
     clean, clean_report = clean_corpus(
         docs, text_col=text_col, id_col=id_col, **clean_kwargs
     )
@@ -419,16 +428,26 @@ def curate_corpus(
             F.coalesce("_bpe_n_tokens", F.col("n_tokens_est")),
         )
         pack_token_col = "_pack_tokens"
-    packed = packing.pack_chunks(
-        train, capacity=chunk_capacity, token_col=pack_token_col,
-        group_col=strata_col, text_col=text_col, id_col=id_col,
-    ).select(id_col, strata_col, "chunk_start", "chunk_end", "offset_in_chunk")
+    if packing_mode == "chunks":
+        packed = packing.pack_chunks(
+            train, capacity=chunk_capacity, token_col=pack_token_col,
+            group_col=strata_col, text_col=text_col, id_col=id_col,
+        ).select(id_col, strata_col, "chunk_start", "chunk_end", "offset_in_chunk")
+        # chunk ids are per pack group: total = sum over groups of max+1
+        per_group = packed.groupBy(strata_col).agg(
+            (F.max("chunk_end") + 1).alias("n")
+        )
+    elif packing_mode == "bins":
+        packed = packing.pack_bins(
+            train, capacity=chunk_capacity, token_col=pack_token_col,
+            group_col=strata_col, text_col=text_col, id_col=id_col,
+        ).select(id_col, strata_col, "size_class", "bin_in_class")
+        # bins are identified per (group, class): total = distinct count
+        per_group = packed.groupBy(strata_col).agg(
+            F.count_distinct("size_class", "bin_in_class").alias("n")
+        )
     out = labeled.join(
         packed.drop(strata_col), id_col, "left"
-    )
-    # chunk ids are per pack group: total = sum over groups of max+1
-    per_group = packed.groupBy(strata_col).agg(
-        (F.max("chunk_end") + 1).alias("n")
     )
     n_chunks = per_group.agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
 

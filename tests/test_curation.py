@@ -168,6 +168,78 @@ def test_pack_chunks_validation_and_default_tokens(spark):
     assert row["n_tokens"] == 2  # ceil(8 / 4)
 
 
+def test_pack_bins_layout(spark):
+    # capacity 100: harmonic classes k = floor(100 / t), k docs per bin
+    rows = [
+        (0, "g", 60),   # class 1 -> its own bin 0
+        (1, "g", 55),   # class 1 -> bin 1
+        (2, "g", 40),   # class 2 -+ bin 0 of class 2
+        (3, "g", 34),   # class 2 -+
+        (4, "g", 45),   # class 2 -> bin 1 (third class-2 doc)
+        (5, "g", 10),   # class 10 -> bin 0
+        (6, "g", 150),  # oversize -> class 0, singleton bin 0
+        (7, "g", 180),  # oversize -> class 0, singleton bin 1
+        (8, "h", 40),   # group h packs independently
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = {
+        r["doc_id"]: r
+        for r in packing.pack_bins(df, capacity=100, token_col="n_tok").collect()
+    }
+    assert (out[0]["size_class"], out[0]["bin_in_class"]) == (1, 0)
+    assert (out[1]["size_class"], out[1]["bin_in_class"]) == (1, 1)
+    assert (out[2]["size_class"], out[2]["bin_in_class"]) == (2, 0)
+    assert (out[3]["size_class"], out[3]["bin_in_class"]) == (2, 0)
+    assert (out[4]["size_class"], out[4]["bin_in_class"]) == (2, 1)
+    assert (out[5]["size_class"], out[5]["bin_in_class"]) == (10, 0)
+    assert (out[6]["size_class"], out[6]["bin_in_class"]) == (0, 0)
+    assert (out[7]["size_class"], out[7]["bin_in_class"]) == (0, 1)
+    assert (out[8]["size_class"], out[8]["bin_in_class"]) == (2, 0)
+
+
+def test_pack_bins_invariants_and_scaled_parity(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, "s%d" % (i % 3), rng.randint(1, 300)) for i in range(240)
+    ] + [(240, "s0", 0)]  # zero-token doc: clamped to one slot
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    packed = packing.pack_bins(df, capacity=100, token_col="n_tok").collect()
+
+    # the scaled (ranged-sort) path is bit-identical to the window path
+    scaled = packing.pack_bins(
+        df, capacity=100, token_col="n_tok", scaled=True
+    ).collect()
+    assert sorted(map(tuple, scaled), key=lambda t: t[0]) == sorted(
+        map(tuple, packed), key=lambda t: t[0]
+    )
+
+    zero = next(r for r in packed if r["doc_id"] == 240)
+    assert zero["n_tokens"] == 0 and zero["size_class"] == 100
+
+    bins: dict[tuple, list] = {}
+    for r in packed:
+        bins.setdefault(
+            (r["source"], r["size_class"], r["bin_in_class"]), []
+        ).append(r)
+    last = {}
+    for (src, k, b), docs in bins.items():
+        last[(src, k)] = max(last.get((src, k), -1), b)
+    for (src, k, b), docs in bins.items():
+        if k == 0:
+            # oversize docs: flagged singletons, never dropped
+            assert len(docs) == 1 and docs[0]["n_tokens"] > 100
+            continue
+        fill = sum(max(r["n_tokens"], 1) for r in docs)
+        assert len(docs) <= k and fill <= 100
+        if b < last[(src, k)]:  # every bin but the last per class is full
+            assert len(docs) == k and fill * (k + 1) > 100 * k
+
+    with pytest.raises(ValueError):
+        packing.pack_bins(df, capacity=0, token_col="n_tok")
+
+
 # ----------------------------------------------------------------------
 # end-to-end curation pipeline
 def test_curate_corpus_end_to_end(spark):
@@ -206,6 +278,36 @@ def test_curate_corpus_end_to_end(spark):
     assert got[3]["chunk_start"] == 0 and got[3]["offset_in_chunk"] == 0
     assert got[4]["offset_in_chunk"] == got[3]["n_tokens_est"]
     assert rep.n_chunks >= 2  # at least one chunk per source stream
+
+
+def test_curate_corpus_bin_packing_mode(spark):
+    from my_weather_spark.llm.pipeline import curate_corpus
+
+    rows = [
+        (0, "completely different words about spark engines scaling large data very well", "web"),
+        (1, "another long and unique training document with plenty of words inside it", "web"),
+        (2, "third unique document holding enough words to pass the quality gate", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, rep = curate_corpus(
+        docs,
+        split_weights=(1.0,),
+        min_words=5,
+        packing_mode="bins",
+        chunk_capacity=30,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {0, 1, 2}
+    # bins mode emits bin coordinates, not chunk coordinates
+    assert "size_class" in out.columns and "chunk_start" not in out.columns
+    # ~19 est. tokens per doc, capacity 30 -> class 1 singleton bins
+    assert all(r["size_class"] == 1 for r in got.values())
+    assert {got[0]["bin_in_class"], got[1]["bin_in_class"]} == {0, 1}
+    assert got[2]["bin_in_class"] == 0  # books packs independently
+    assert rep.n_chunks == 3
+
+    with pytest.raises(ValueError):
+        curate_corpus(docs, packing_mode="shelves")
 
 
 def test_curate_corpus_split_weights_must_cover(spark):
