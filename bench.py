@@ -52,6 +52,17 @@ def main() -> None:
     # run-to-run spread), not the plan. The full pass also absorbs the
     # one-off per-session builds (IVF index, CC labels, stream drains)
     # so timed reps measure the steady-state serving path.
+    def jvm_gc():
+        # The JVM half of the hygiene: ContextCleaner frees shuffle
+        # files / broadcast blocks only when the JVM actually GCs, and
+        # the default periodic GC (30 min) never fires mid-run — the
+        # session ages across ~400 query executions without this.
+        # Always OUTSIDE the timed windows.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     for wfn in qs.values():
         wfn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         # Release this query's py4j plan refs before the next one:
@@ -61,6 +72,7 @@ def main() -> None:
         # (measured 3-4x inflation on late-running queries). The
         # collect runs OUTSIDE every timed window.
         gc.collect()
+    jvm_gc()
 
     # 3 reps per query: this container shows 2-4x run-to-run timing
     # noise on identical plans (see BASELINE.md). The headline stays
@@ -74,6 +86,7 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps[name].append(round(time.perf_counter() - t0, 3))
             gc.collect()  # see warmup note — outside the timed window
+            jvm_gc()
 
     timings = {name: min(ts) for name, ts in reps.items()}
     medians = {name: sorted(ts)[len(ts) // 2] for name, ts in reps.items()}

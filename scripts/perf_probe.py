@@ -68,12 +68,26 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
+    def jvm_gc():
+        # Python gc.collect() only queues py4j finalizers; the JVM side
+        # frees accumulated shuffle files / broadcast blocks when
+        # Spark's ContextCleaner sees a JVM GC — which, at the default
+        # spark.cleaner.periodicGC.interval of 30 min, never happens
+        # inside a sweep. A 125-query session ages measurably without
+        # this (whole-sweep Spark totals inflated ~15% late-session);
+        # always called OUTSIDE the timed windows.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     # full warmup pass (JIT/codegen; see bench.py rationale)
     for n in names:
         qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
         gc.collect()
         if n in oracles:
             con.execute(oracles[n]).fetchall()
+    jvm_gc()
 
     rows = []
     for n in names:
@@ -94,6 +108,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 con.execute(oracles[n]).fetchall()
                 ot.append(time.perf_counter() - t0)
+        jvm_gc()
         s, o = min(st), (min(ot) if ot else float("nan"))
         rows.append((n, s, o))
         print("%-32s spark %6.2f  oracle %6.2f  ratio %5.2fx"
