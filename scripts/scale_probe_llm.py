@@ -34,6 +34,7 @@ QUERIES = [
     "temperature_mix_counts",
     "decontam_flags",
     "pack_chunks_by_source",
+    "pack_bins_by_source",
     "range_join_error_window",
     "mm_frame_sample",
     "approx_distinct_users",
