@@ -52,12 +52,22 @@ def main() -> None:
     # run-to-run spread), not the plan. The full pass also absorbs the
     # one-off per-session builds (IVF index, CC labels, stream drains)
     # so timed reps measure the steady-state serving path.
-    def jvm_gc():
-        # The JVM half of the hygiene: ContextCleaner frees shuffle
-        # files / broadcast blocks only when the JVM actually GCs, and
-        # the default periodic GC (30 min) never fires mid-run — the
-        # session ages across ~400 query executions without this.
-        # Always OUTSIDE the timed windows.
+    # The JVM half of the hygiene: ContextCleaner frees shuffle files /
+    # broadcast blocks only when the JVM actually GCs, and the default
+    # periodic GC (30 min) never fires mid-run — the session ages
+    # across ~400 query executions without this. But a FULL GC after
+    # EVERY query measurably slows the next one (~7% per-block in a
+    # same-session A/B: the following query re-pays young-gen growth
+    # and buffer re-inflation), so fire every 8th query instead —
+    # cleaner backlog stays bounded at ~1/16 the per-query cost.
+    # Always OUTSIDE the timed windows.
+    _gc_tick = 0
+
+    def jvm_gc(force: bool = False) -> None:
+        nonlocal _gc_tick
+        _gc_tick += 1
+        if not force and _gc_tick % 8:
+            return
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
@@ -72,7 +82,7 @@ def main() -> None:
         # (measured 3-4x inflation on late-running queries). The
         # collect runs OUTSIDE every timed window.
         gc.collect()
-    jvm_gc()
+    jvm_gc(force=True)
 
     # 3 reps per query: this container shows 2-4x run-to-run timing
     # noise on identical plans (see BASELINE.md). The headline stays

@@ -68,14 +68,22 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    def jvm_gc():
-        # Python gc.collect() only queues py4j finalizers; the JVM side
-        # frees accumulated shuffle files / broadcast blocks when
-        # Spark's ContextCleaner sees a JVM GC — which, at the default
-        # spark.cleaner.periodicGC.interval of 30 min, never happens
-        # inside a sweep. A 125-query session ages measurably without
-        # this (whole-sweep Spark totals inflated ~15% late-session);
-        # always called OUTSIDE the timed windows.
+    # Python gc.collect() only queues py4j finalizers; the JVM side
+    # frees accumulated shuffle files / broadcast blocks when Spark's
+    # ContextCleaner sees a JVM GC — which, at the default
+    # spark.cleaner.periodicGC.interval of 30 min, never happens
+    # inside a sweep. A 125-query session ages measurably without
+    # this (whole-sweep Spark totals inflated ~15% late-session).
+    # But a FULL GC after EVERY query slows the NEXT query ~7%
+    # (same-session A/B, both directions measured), so fire every 8th
+    # query: backlog stays bounded at ~1/16 the per-query cost.
+    # Always called OUTSIDE the timed windows.
+    _gc_tick = [0]
+
+    def jvm_gc(force: bool = False) -> None:
+        _gc_tick[0] += 1
+        if not force and _gc_tick[0] % 8:
+            return
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
@@ -87,7 +95,7 @@ def main() -> None:
         gc.collect()
         if n in oracles:
             con.execute(oracles[n]).fetchall()
-    jvm_gc()
+    jvm_gc(force=True)
 
     rows = []
     for n in names:
