@@ -56,17 +56,22 @@ def main() -> None:
     # broadcast blocks only when the JVM actually GCs, and the default
     # periodic GC (30 min) never fires mid-run — the session ages
     # across ~400 query executions without this. But a FULL GC after
-    # EVERY query measurably slows the next one (~7% per-block in a
-    # same-session A/B: the following query re-pays young-gen growth
-    # and buffer re-inflation), so fire every 8th query instead —
-    # cleaner backlog stays bounded at ~1/16 the per-query cost.
-    # Always OUTSIDE the timed windows.
+    # EVERY execution measurably slows the next one (~7% per-block in
+    # a same-session A/B: the following query re-pays young-gen growth
+    # and buffer re-inflation), so fire every 5th timed execution —
+    # the exact cadence the A/B measured as indistinguishable from
+    # never-GC speed while still bounding the cleaner backlog (only
+    # ~1/5 of queries run right after a full GC, diluting the ~7%
+    # next-query penalty to ~1.4%, under the noise floor). The tick
+    # unit is ONE TIMED SPARK EXECUTION (same unit in perf_probe.py —
+    # keep them aligned; the backlog grows per execution, not per
+    # query name). Always OUTSIDE the timed windows.
     _gc_tick = 0
 
     def jvm_gc(force: bool = False) -> None:
         nonlocal _gc_tick
         _gc_tick += 1
-        if not force and _gc_tick % 8:
+        if not force and _gc_tick % 5:
             return
         try:
             spark.sparkContext._jvm.System.gc()

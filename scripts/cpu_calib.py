@@ -7,26 +7,53 @@ apart are not comparable in absolute seconds, and even same-sitting
 Spark/DuckDB ratios shift when drift hits the two engines' thread
 profiles differently. Running this immediately before/after a
 perf_probe sweep stamps the window: the st_ms / mt_ms numbers are
-pure CPU (no JVM, no disk), so a sweep recorded at st_ms ~2x the
-reference window's is known-slow and its absolute totals should not
-be compared across sittings.
+pure CPU (no JVM, no disk), so the sweep's absolute totals can be
+discounted when the stamp says the window was degraded.
+
+Reading the stamp (matches BASELINE.md's drift protocol): degradation
+keys on **mt32_ms** — observed drift lands almost entirely on the
+all-threads side, which is exactly where Spark's 32 threads pay and
+single-connection-per-query DuckDB pays less. st_ms is the secondary
+sanity check that the probe itself ran normally.
+
+BLAS pinning: thread-pool env vars are forced to 1 BEFORE numpy
+loads, so _single_thread is truly one thread and _multi_thread is 32
+Python threads each running single-threaded BLAS — without this the
+readings measure the ambient OpenBLAS/OMP pool configuration, not
+container speed (measured: unpinned mt32 read 1530-2333 ms of pool
+oversubscription where the pinned workload reads ~570-610 ms).
+Import-order contract: keep the environ lines above `import numpy`.
 
 Usage: python scripts/cpu_calib.py
-Reference window (round 7, third sitting, recorded in NOTES.md):
-see the sweep log entry that cites this script.
+Reference window (round 7, third sitting, pinned-BLAS): st ~270-300
+ms, mt32 ~570-610 ms healthy. Degraded-window thresholds under
+pinning are still being learned — treat mt32 sustained >= 1.5x the
+reference as a degraded stamp and record the reading beside any
+sweep it stamps.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-import numpy as np
+for _v in (
+    "OMP_NUM_THREADS",
+    "OPENBLAS_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "BLIS_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+):
+    os.environ[_v] = "1"
+
+import numpy as np  # noqa: E402  (after the thread pinning above)
 
 
 def _single_thread() -> float:
-    """Pure-python + small-numpy mix, one thread, ~1-2 s nominal."""
+    """Pure-python + small-numpy mix, one thread; ~230-250 ms in the
+    round-7 reference window (best of 3)."""
     t0 = time.perf_counter()
     acc = 0
     for i in range(2_000_000):
@@ -39,7 +66,8 @@ def _single_thread() -> float:
 
 
 def _multi_thread(n: int = 32) -> float:
-    """n concurrent numpy matmuls (releases the GIL), ~1 s nominal."""
+    """n concurrent single-threaded-BLAS matmul chains; ~1.5-1.8 s in
+    the round-7 reference window (best of 3)."""
     rng = np.random.default_rng(7)
     mats = [rng.standard_normal((384, 384)) for _ in range(n)]
 

@@ -74,15 +74,19 @@ def main() -> None:
     # spark.cleaner.periodicGC.interval of 30 min, never happens
     # inside a sweep. A 125-query session ages measurably without
     # this (whole-sweep Spark totals inflated ~15% late-session).
-    # But a FULL GC after EVERY query slows the NEXT query ~7%
-    # (same-session A/B, both directions measured), so fire every 8th
-    # query: backlog stays bounded at ~1/16 the per-query cost.
-    # Always called OUTSIDE the timed windows.
+    # But a FULL GC after EVERY execution slows the NEXT one ~7%
+    # (same-session A/B), so fire every 5th timed Spark execution —
+    # the cadence the A/B measured as matching never-GC speed while
+    # still bounding the cleaner backlog (~1/5 of executions pay the
+    # ~7% post-GC penalty -> ~1.4%, under the noise floor). The tick
+    # unit is ONE TIMED SPARK EXECUTION, aligned with bench.py (with
+    # reps=3 that is one GC per ~1.7 queries — the backlog grows per
+    # execution, not per query name). Always OUTSIDE timed windows.
     _gc_tick = [0]
 
     def jvm_gc(force: bool = False) -> None:
         _gc_tick[0] += 1
-        if not force and _gc_tick[0] % 8:
+        if not force and _gc_tick[0] % 5:
             return
         try:
             spark.sparkContext._jvm.System.gc()
@@ -112,11 +116,11 @@ def main() -> None:
             # queries). Steady-state hygiene, not a timing exclusion —
             # the collect runs outside the timed window of the NEXT rep.
             gc.collect()
+            jvm_gc()
             if n in oracles:
                 t0 = time.perf_counter()
                 con.execute(oracles[n]).fetchall()
                 ot.append(time.perf_counter() - t0)
-        jvm_gc()
         s, o = min(st), (min(ot) if ot else float("nan"))
         rows.append((n, s, o))
         print("%-32s spark %6.2f  oracle %6.2f  ratio %5.2fx"
