@@ -98,28 +98,67 @@ def _model_frame(
     _m = map w2 -> c12, fused in a single groupBy(w1) so the scoring
     side probes one broadcast join instead of two (bigram + prefix
     tables separately cost an extra broadcast exchange and join
-    stage per query). The reference's bigram explode still runs
-    once; the second shuffle is over the small bigram table."""
-    bg_ref = _doc_bigrams(ref, text_col, id_col)
-    bigrams = bg_ref.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
-    return bigrams.groupBy("w1").agg(
-        F.sum("c12").alias("c1"),
-        F.map_from_entries(F.collect_list(F.struct("w2", "c12"))).alias(
-            "_m"
+    stage per query).
+
+    The explode emits ONE ROW PER WORD OCCURRENCE — (word, next word)
+    for all but the last word of a doc, (word, NULL) for the last —
+    instead of one row per bigram. NULL-w2 rows contribute nothing to
+    c1 or _m (a word appearing ONLY doc-final gets c1=0 and an empty
+    map, which scores identically to being absent from the model:
+    both sides of the coalesce produce the same add-alpha value), but
+    they make every distinct reference word a w1 group — so the
+    vocabulary size V is exactly the model frame's ROW COUNT + 1 and
+    `_vocab_row` needs no second reference scan or distinct shuffle
+    (it was ~0.23 s of pure ref-side stage floor per query at toy
+    scale, and one full reference tokenization at any scale)."""
+    b = ref.select(_word_col(text_col).alias("_w"))
+    n = F.size("_w")
+    # (w_p, w_{p+1} or NULL); ANSI guard: element_at past the end
+    # THROWS in vanilla Spark 4 sessions, so the last pair's w2 comes
+    # from an explicit when(). sequence(1, 0) DESCENDS — empty docs
+    # fall back to an empty array (they contribute no words).
+    pairs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda p: F.struct(
+            F.element_at("_w", p).alias("w1"),
+            F.when(p < n, F.element_at("_w", p + 1)).alias("w2"),
         ),
     )
-
-
-def _vocab_row(ref: DataFrame, text_col: str) -> DataFrame:
-    # V = |reference vocab| + 1 (UNK) as a ONE-ROW frame, kept in-plan
-    # (broadcast crossjoin) instead of a blocking driver count():
-    # one fewer action, and the scoring plan stays a single job.
-    return (
-        ref.select(F.explode(_word_col(text_col)).alias("w"))
-        .agg((F.count_distinct("w") + 1).alias("_V"))
+    empty_t = "array<struct<w1:string,w2:string>>"
+    occ = b.select(
+        F.explode(
+            F.when(n >= 1, pairs).otherwise(F.array().cast(empty_t))
+        ).alias("_bg")
+    ).select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    pair_counts = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
     )
+    # collect_list skips NULL elements, so the when() drops the
+    # NULL-w2 sentinel rows from the map; their c12 likewise stays
+    # out of the prefix count.
+    return pair_counts.groupBy("w1").agg(
+        F.sum(
+            F.when(F.col("w2").isNotNull(), F.col("c12")).otherwise(0)
+        ).alias("c1"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("w2").isNotNull(), F.struct("w2", "c12")
+                )
+            )
+        ).alias("_m"),
+    )
+
+
+def _vocab_row(model: DataFrame) -> DataFrame:
+    # V = |reference vocab| + 1 (UNK) as a ONE-ROW frame, kept in-plan
+    # (broadcast crossjoin) instead of a blocking driver count().
+    # The model frame has exactly one row per distinct reference word
+    # (_model_frame's NULL-w2 sentinel guarantees doc-final words
+    # appear as w1 too), so V is its row count + 1 — no separate
+    # reference scan. The caller checkpoints the model so this second
+    # consumer reads the materialized frame, not a re-derived chain.
+    return model.agg((F.count(F.lit(1)) + 1).alias("_V"))
 
 
 def perplexity_scores(
@@ -144,8 +183,15 @@ def perplexity_scores(
     blocks the plan; the corpus never shuffles except the
     per-document aggregate.
     """
-    model = _model_frame(ref, text_col, id_col)
-    vocab = _vocab_row(ref, text_col)
+    # LAZY checkpoint: the model frame has two consumers (the
+    # broadcast join and the vocab-size row) — without it the whole
+    # ref chain re-derives per consumer (ReusedExchange does not
+    # cross the BroadcastExchange boundary). Materializes inside the
+    # first consumer's job, costing no job of its own.
+    model = _model_frame(ref, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    vocab = _vocab_row(model)
     # keep_empty sentinel rows stand in for <2-word docs, so the
     # per-doc aggregate below keeps every document and no join back
     # to the id list is needed (sentinels score NULL and count 0)
