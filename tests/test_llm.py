@@ -1033,6 +1033,34 @@ def test_lm_perplexity_scores_and_filter(spark):
     assert kept == [1]
 
 
+def test_lm_final_only_word_scores_like_absent(spark):
+    """A word appearing ONLY doc-final in the reference gets a model
+    row with c1=0 and an empty map (the fused vocab-from-model build),
+    which must score exactly like a word absent from the model:
+    log(alpha / (alpha * V)). Pins the _model_frame NULL-sentinel
+    invariant, and that V counts doc-final-only words in the vocab."""
+    import math
+
+    from my_weather_spark.llm import lm
+
+    # 'omega' occurs only as the final word of every ref doc; 'ghost'
+    # never occurs. V = |{the, cat, sat, omega}| + 1 = 5.
+    ref = spark.createDataFrame(
+        [(1, "the cat sat omega"), (2, "cat the sat omega")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "omega omega"), (2, "ghost ghost")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in lm.perplexity_scores(docs, ref).collect()}
+    # both docs are one bigram whose prefix has no outgoing bigrams:
+    # P = (0 + 0.5) / (0 + 0.5 * 5) for the final-only word and the
+    # absent word alike
+    expect = round(math.log(0.5 / (0.5 * 5)), 6)
+    assert rows[1]["avg_logp"] == expect
+    assert rows[1]["avg_logp"] == rows[2]["avg_logp"]
+
+
 def test_duplicate_span_stats_and_drop(spark):
     from my_weather_spark.llm import dedup
 
