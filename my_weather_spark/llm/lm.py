@@ -285,16 +285,16 @@ def ppl_buckets(
     src = docs if group_col else docs.withColumn(gc, F.lit("ALL"))
     label_arr = F.array(*[F.lit(l) for l in labels])
     # the group column rides THROUGH the scoring pass (carry_cols), so
-    # no second corpus scan + join back is needed; checkpoint the
-    # scored corpus ONCE: both consumers below (the bucketing pass and
-    # the final outer join) would otherwise re-run the whole LM
-    # scoring chain — the dsir scored-keys rule. LAZY so
-    # materialization piggybacks on the first consumer's job instead
-    # of costing a blocking job of its own.
+    # no second corpus scan + join back is needed
     scored = perplexity_scores(
         src, ref, alpha, text_col, id_col, carry_cols=(gc,)
-    ).localCheckpoint(eager=False)
+    )
     if distributed:
+        # checkpoint the scored corpus ONCE: the bucketing pass and
+        # the final outer join would otherwise re-run the whole LM
+        # scoring chain — the dsir scored-keys rule. LAZY so
+        # materialization piggybacks on the first consumer's job.
+        scored = scored.localCheckpoint(eager=False)
         ranked = ranking.grouped_row_number(
             scored.where(F.col("ppl").isNotNull()), gc, ["ppl", id_col]
         )
@@ -304,18 +304,34 @@ def ppl_buckets(
                 label_arr, ranking.ntile_col_expr("grn", "n_group", k)
             ).alias("bucket"),
         )
+        out = scored.join(buckets, id_col, "left")
     else:
+        # Single window pass, no checkpoint, no join back: NULL-ppl
+        # docs sort LAST within their group (isNull() ascending), so
+        # scored docs hold row numbers 1..m where m = count(ppl) over
+        # the group (count ignores NULLs) — exactly the ranks the
+        # filtered ntile(k) would assign — and ntile_col_expr turns
+        # (rank, m) into the identical tile by integer arithmetic.
+        # NULL-ppl docs keep a NULL bucket via the when().
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(gc).orderBy("ppl", id_col)
-        buckets = (
-            scored.where(F.col("ppl").isNotNull())
-            .select(
-                id_col,
-                F.element_at(label_arr, F.ntile(k).over(w)).alias("bucket"),
-            )
+        w = W.partitionBy(gc).orderBy(
+            F.col("ppl").isNull(), "ppl", id_col
         )
-    out = scored.join(buckets, id_col, "left")
+        out = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_m", F.count("ppl").over(W.partitionBy(gc)))
+            .withColumn(
+                "bucket",
+                F.when(
+                    F.col("ppl").isNotNull(),
+                    F.element_at(
+                        label_arr, ranking.ntile_col_expr("_rn", "_m", k)
+                    ),
+                ),
+            )
+            .drop("_rn", "_m")
+        )
     if group_col is None:
         out = out.drop(gc)
     return out
