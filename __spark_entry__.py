@@ -4668,55 +4668,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's oracle check covers only the FIRST 50 registry entries
-# per round (queries() iterates insertion order). Round-7 window: (a)
-# the r7 deferral list promised in round 6 (NOTES.md / VERDICT.md) —
-# the 26 stale r4-greens deferred across two sittings plus the
-# windowed bases whose _scaled twins took earlier slots — heads the
-# window: stale greens are the only correctness exposure left; (b)
-# the queries whose kernels changed THIS round (batched BPE learning,
-# fused bigram LM model, sidecar v2 behind the store paths) re-prove
-# their hashes; (c) the stalest r5-greens not re-proved since, across
-# operator classes (aggregates, resample/interpolation, windows,
-# ordering, range join, unions, heartbeat, fingerprint). The r6-green
-# set (1 round fresh) rotates out; judge-re-proved rows (q3, asof
-# pair, w1, pivot) sit out one more round.
+# per round (queries() iterates insertion order). Round-8 window
+# (VERDICT r7 item 1 — staleness rotation is the only correctness
+# exposure left): (a) the 19 round-6 greens now two rounds stale (the
+# round-6 LLM batch); (b) the judge-re-proved r6 set that sat out r7
+# (q3, the asof pair, the w1 pair, pivot) — judge spot-runs are not
+# driver-recorded, so these get their CORRECTNESS_rN row back; (c)
+# every remaining r5-green not re-proved since round 5 — the whole
+# stratum fits, so nothing from r5 stays stale after this round; (d)
+# three stale-r6 TPC-H multi-join plans (broadcast-join / market-share
+# / profit shapes) with the rest of the TPC-H block rotating in r9.
+# Out this round: the full r7-green set (1 round fresh) and the
+# rows-only trio ann_ivf/srp/stream_ingest (covered by the r8
+# hash-pinning fixtures in tests/test_rows_only_pins.py — a stronger
+# check than the driver's rows-only count).
 _DRIVER_PRIORITY = [
-    # (a) the r7 deferral list — stalest first-class exposure
-    "simhash_docs", "minhash_signatures", "minhash_lsh_pairs",
-    "knn_bruteforce", "cosine_threshold_pairs",
-    "jaccard_pairs_by_source", "text_hashed_bow", "corpus_stats",
-    "sample_stratified_counts", "split_assign_counts",
-    "training_order_head", "set_except_nations", "set_intersect_nations",
-    "f7_format_tiles", "f2_ascii_clean", "f8_threshold_bins",
-    "part_size_bins", "a6_bool_aggregates", "text_token_stats",
-    "j4_fuzzy_match", "f4_url_roundtrip", "f1_camel_to_snake",
-    "p4_scheme_routing", "pii_redaction", "dedup_exact_groups",
-    "doc_length_percentiles",
-    # (b) changed-this-round kernels — re-prove post-change.
-    # bpe_token_counts + bpe_merge_table re-prove the batched merge
-    # selection end to end (any divergence in the learned merge list
-    # changes both the table rows and the per-doc token sums);
-    # lm_perplexity_scores + both ccnet rows re-prove the fused
-    # one-broadcast bigram model; u2_merge_dedup + p1_period_filter
-    # re-prove the store write/scan paths around the sidecar-v2
-    # catalog change.
-    "bpe_token_counts", "bpe_merge_table",
-    "lm_perplexity_scores", "ccnet_ppl_buckets", "ccnet_ppl_buckets_scaled",
-    "u2_merge_dedup", "p1_period_filter",
-    # (c) stalest r5-greens, one per operator class where twins share
-    # an oracle (the base re-proves the twin's math; _scaled twins
-    # that carry their own machinery keep their own slot)
-    "a1_series_stats", "a4_dt_mode", "heartbeat_series",
-    "p2_measurement_projection", "p5_empty_guard",
-    "w2_end_extension_scaled", "w3_staircase",
-    "mixed_interpretation_expand", "resample_time_weighted",
-    "instant_interpolation", "range_join_error_window",
-    "u1_extend_union", "order_restore", "topk_orders_per_segment",
-    "value_deciles", "w5_sliding_count",
-    # (d) new this round — first driver check. text_fingerprint
-    # (pure in-row expression, pytest-golden + doc-length-probe
-    # pinned, r5-green) deferred to r8 for the slot.
-    "pack_bins_by_source",
+    # (a) round-6 greens, two rounds stale — stalest oracle exposure
+    "pq_ann_topk", "semantic_decontam_flags", "unimax_mix_alloc",
+    "split_leakage_stats", "semdedup_kept", "dsir_selected",
+    "kmeans_clusters", "gopher_quality_flags", "temperature_mix_counts",
+    "vocab_top_words", "source_jsd_divergence", "nb_quality_flags",
+    "bm25_relevance_scores", "dup_span_stats", "near_dup_components",
+    "simhash_hamming_pairs", "lsh_jaccard_near_dup", "sessionize_users",
+    "stream_curated_front",
+    # (b) judge-re-proved r6 rows returning to the driver record
+    "q3_shipping_priority", "asof_join_views", "asof_join_views_scaled",
+    "w1_lag_delta", "w1_lag_delta_scaled", "pivot_daily_event_values",
+    # (c) the complete remaining r5 stratum (last driver check round 5)
+    "above_customer_avg_orders", "decontam_flags",
+    "distinct_users_per_type", "instant_interpolation_scaled",
+    "json_props_extract", "line_boilerplate_clean",
+    "mixed_interpretation_resample", "mm_frame_sample",
+    "mm_jpeg_image_stats", "mm_payload_stats", "mm_wav_audio_stats",
+    "q1_pricing_summary", "q21_lone_returned_supplier", "resample_hourly",
+    "resample_time_weighted_scaled", "running_total",
+    "running_total_scaled", "text_fingerprint", "text_repetition_stats",
+    "value_deciles_scaled", "w2_end_extension", "w5_sliding_count_scaled",
+    # (d) stale-r6 TPC-H multi-join representatives
+    "q5_region_revenue", "q8_market_share", "q9_profit_by_nation_year",
 ]
 
 

@@ -281,6 +281,15 @@ def learn_bpe(
                 )
             )
 
+        # Driver-row tradeoff (ADVICE r7, accepted): the two max
+        # branches cover EVERY symbol, not just the <=_BATCH_CANDIDATES
+        # candidate-adjacent ones, so driver rows per round grow with
+        # merges-so-far (~2 x vocab rows/round; ~66k at a 32k-merge
+        # vocabulary — a few MB). That keeps the round at ONE Spark
+        # job; if driver pressure ever shows at production merge
+        # counts, filter both branches by the candidate symbol set
+        # (still one unioned collect) at the cost of re-coupling the
+        # stats to the candidate list.
         rows = (
             cand_rows.unionByName(_max_rows("r", "rhs"))
             .unionByName(_max_rows("l", "lhs"))

@@ -98,6 +98,10 @@ def pack_bins(
     whether to truncate or fall back to :func:`pack_chunks` for them.
     Zero/negative token counts are clamped to 1 for classing (a doc
     occupies at least one slot); ``n_tokens`` reports the raw count.
+    NULL counts (NULL ``text_col`` under the chars/4 estimate, or a
+    NULL ``token_col`` value) are coalesced to 0 first, so they take
+    the documented zero path (one slot, ``n_tokens`` = 0) instead of
+    propagating NULL through the classing arithmetic.
 
     ``scaled=True`` swaps the per-(group, class) ranking window for
     ops.ranking.grouped_row_number's ranged global sort — same rows
@@ -110,6 +114,11 @@ def pack_bins(
         tokens = F.ceil(F.length(F.col(text_col)) / 4).cast("long")
     else:
         tokens = F.col(token_col).cast("long")
+    # NULL -> 0 BEFORE the clamp: greatest() skips NULLs, so a NULL
+    # count would otherwise class like a 1-token doc while reporting
+    # n_tokens NULL (ADVICE r7); coalescing makes NULL identical to
+    # the documented zero case.
+    tokens = F.coalesce(tokens, F.lit(0))
     eff = F.greatest(tokens, F.lit(1))
     size_class = (
         F.when(eff > capacity, F.lit(0))

@@ -52,8 +52,11 @@ import numpy as np  # noqa: E402  (after the thread pinning above)
 
 
 def _single_thread() -> float:
-    """Pure-python + small-numpy mix, one thread; ~230-250 ms in the
-    round-7 reference window (best of 3)."""
+    """Pure-python + small-numpy mix, one thread; ~270-300 ms in the
+    round-7 pinned-BLAS reference window (best of 3) — same window the
+    module docstring quotes. (An earlier pre-pinning draft read
+    ~230-250 ms because the ambient pool parallelized the numpy part.)
+    """
     t0 = time.perf_counter()
     acc = 0
     for i in range(2_000_000):
@@ -66,8 +69,11 @@ def _single_thread() -> float:
 
 
 def _multi_thread(n: int = 32) -> float:
-    """n concurrent single-threaded-BLAS matmul chains; ~1.5-1.8 s in
-    the round-7 reference window (best of 3)."""
+    """n concurrent single-threaded-BLAS matmul chains; ~570-610 ms in
+    the round-7 pinned-BLAS reference window (best of 3) — same window
+    the module docstring quotes. (The ~1.5-2.3 s readings in round-7
+    NOTES were the pre-pinning draft measuring pool oversubscription,
+    not container speed.)"""
     rng = np.random.default_rng(7)
     mats = [rng.standard_normal((384, 384)) for _ in range(n)]
 

@@ -218,6 +218,26 @@ def test_pack_bins_invariants_and_scaled_parity(spark):
     zero = next(r for r in packed if r["doc_id"] == 240)
     assert zero["n_tokens"] == 0 and zero["size_class"] == 100
 
+    # NULL counts take the documented zero path (ADVICE r7): a NULL
+    # token_col value and a NULL text under the chars/4 estimate both
+    # report n_tokens 0 and class like a 1-token doc.
+    nulls = spark.createDataFrame(
+        [(1, "s0", None, None), (2, "s0", 8, "eight ch")],
+        "doc_id long, source string, n_tok long, text string",
+    )
+    by_id = {
+        r["doc_id"]: r
+        for r in packing.pack_bins(nulls, capacity=10, token_col="n_tok").collect()
+    }
+    assert by_id[1]["n_tokens"] == 0 and by_id[1]["size_class"] == 10
+    assert by_id[2]["n_tokens"] == 8 and by_id[2]["size_class"] == 1
+    by_id = {
+        r["doc_id"]: r
+        for r in packing.pack_bins(nulls, capacity=10).collect()  # chars/4
+    }
+    assert by_id[1]["n_tokens"] == 0 and by_id[1]["size_class"] == 10
+    assert by_id[2]["n_tokens"] == 2 and by_id[2]["size_class"] == 5
+
     bins: dict[tuple, list] = {}
     for r in packed:
         bins.setdefault(
