@@ -551,6 +551,7 @@ class TsStore:
         source: str | None = None,
         catalog: DataFrame | None = None,
         fast: bool = False,
+        exact_fallback: bool = True,
     ) -> DataFrame:
         """Full per-series TsInfo derived from the store, matching the
         reference's field set (repository.py:293-301): name, point_fx,
@@ -568,10 +569,20 @@ class TsStore:
         (max_ts, next min_ts) — exact whenever a series' partitions
         don't interleave in time. If they DO interleave (the same
         series carries time-overlapping data under two sources — the
-        concatenation order is then not the ts order), fast delta_t
-        falls back to NULL rather than guessing (the reference's
-        metadata find() puts NaN there always, so NULL is
-        reference-faithful). The default exact path scans the data.
+        concatenation order is then not the ts order), or a partition
+        overflowed DT_HIST_CAP, the sidecar alone cannot answer: with
+        ``exact_fallback=True`` (the default) fast delta_t is
+        recomputed for JUST those series by a data scan pruned to
+        their (source, date) partitions (broadcast the partition list
+        so dynamic partition pruning keeps the scan proportional to
+        the fallback subset, not the store), making fast delta_t
+        exact-equal to the scan path for every series. With
+        ``exact_fallback=False`` those series report NULL delta_t
+        with zero data reads — the reference's metadata find() puts
+        NaN there always, so NULL is reference-faithful; use it when
+        the store is dominated by irregular (capped) series and a
+        metadata-only answer is the point. The default exact path
+        scans the data.
 
         delta_t (exact path) is the per-series mode of point spacing
         (dt_mode — the store knows the actual cadence). point_fx and
@@ -614,13 +625,15 @@ class TsStore:
                 F.min("created").alias("created"),
                 F.max("modified").alias("modified"),
                 F.sum("n_points").cast("long").alias("n_points"),
-                # NULL delta_t fallbacks: partitions interleave in
-                # time (concatenation order is not ts order), or a
-                # partition overflowed DT_HIST_CAP (histogram dropped)
+                # series the sidecar cannot answer exactly: partitions
+                # interleave in time (concatenation order is not ts
+                # order), or a partition overflowed DT_HIST_CAP
+                # (histogram dropped) — routed to the pruned exact
+                # scan (exact_fallback) or to NULL delta_t
                 F.max(
                     (F.col("_bgap") < 0)
                     | (F.col("n_spacings") > self.DT_HIST_CAP)
-                ).alias("_interleaved"),
+                ).alias("_needs_scan"),
             )
             within = r.select(
                 "series_id", F.explode("dt_hist").alias("_gap", "_n")
@@ -647,7 +660,38 @@ class TsStore:
                     .alias("_dt"),
                 )
             )
-            info = base.join(modes, "name", "left").select(
+            info = base.join(modes, "name", "left")
+            if exact_fallback:
+                # recompute delta_t for JUST the series the sidecar
+                # can't answer: scan pruned to their (source, date)
+                # partitions — the partition list is O(fallback
+                # series' partitions) and broadcast, so dynamic
+                # partition pruning keeps reads proportional to the
+                # fallback subset, not the store. The series
+                # semi-join is corpus-derived (left to AQE).
+                fb = base.where(F.col("_needs_scan")).select(
+                    F.col("name").alias("series_id")
+                )
+                fb_parts = (
+                    r.join(fb, "series_id", "left_semi")
+                    .select(*PARTITION_COLS)
+                    .distinct()
+                )
+                fb_data = (
+                    self._read_all()
+                    .join(F.broadcast(fb_parts), PARTITION_COLS, "left_semi")
+                    .join(fb, "series_id", "left_semi")
+                )
+                exact_modes = dt_mode(fb_data).select(
+                    F.col("series_id").alias("name"),
+                    F.col("dt_mode_seconds").alias("_dt_exact"),
+                )
+                info = info.join(exact_modes, "name", "left")
+            else:
+                info = info.withColumn(
+                    "_dt_exact", F.lit(None).cast("double")
+                )
+            info = info.select(
                 "name",
                 "data_period_start",
                 "data_period_end",
@@ -655,8 +699,8 @@ class TsStore:
                 "modified",
                 "n_points",
                 F.when(
-                    F.coalesce(F.col("_interleaved"), F.lit(False)),
-                    F.lit(None).cast("double"),
+                    F.coalesce(F.col("_needs_scan"), F.lit(False)),
+                    F.col("_dt_exact"),
                 )
                 .otherwise(F.col("_dt"))
                 .alias("delta_t"),

@@ -1,0 +1,68 @@
+"""Self-consistency pins for the six rows-only registry queries
+(VERDICT r7 item 5).
+
+These queries have no portable SQL twin, so the driver's oracle check
+records only a row count for them — but each is DETERMINISTIC per
+engine build (verified: two fresh-process runs of
+scripts/pin_rows_only.py produced identical fingerprints at both
+scales). Pinning the canonical result hash here catches silent drift
+the same way oracle hashes do for the other 126 queries. The hash is
+order-insensitive (columns sorted by name, rows sorted after driver-
+style cell canonicalization — my_weather_spark/fingerprint.py), so a
+pin failure means VALUES changed, not partitioning or task order.
+
+If a pin fails after an intentional kernel change: re-run
+  python scripts/pin_rows_only.py   (twice — identical output both
+runs, or the query is nondeterministic and must NOT be re-pinned),
+and update the table with the new fingerprints in the same commit as
+the kernel change, stating why the values moved.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from my_weather_spark.fingerprint import result_fingerprint
+
+PINS = {
+    ("w4_rdp_downsample", "/root/testdata/sf0.001"):
+        "c6a39c5b7254716529fc6873e333badb08f76e06ce9c253ae3445bdfb057e385",
+    ("w2_end_extension_raw", "/root/testdata/sf0.001"):
+        "69b9bd1826a399092a357e3fcf39c28ae49f21e5274ba44063aa421052a5c341",
+    ("approx_distinct_users", "/root/testdata/sf0.001"):
+        "6e06523365fe07b8fd7c52d0275d9c383db7f9b5dd8e220e0dd1121e6b3cb261",
+    ("srp_cosine_near_dup", "/root/testdata/sf0.001"):
+        "5e6f6fd51296d2b69cde972c4f8438007b2b81309b7a42c6eca4aa1b8089191a",
+    ("ann_ivf_topk", "/root/testdata/sf0.001"):
+        "034715d7a6225a20b9d300535cba858294420d354d98f9084255967a54b38840",
+    ("stream_ingest_accepted", "/root/testdata/sf0.001"):
+        "1d66a21ec406f5484f7bb3f18ee3332f867cca4edb40d85d26a4d6a185d90f47",
+    ("w4_rdp_downsample", "/root/testdata/sf0.01"):
+        "081f907c37b9504f38bdc706a8c45a30d6a9d3ef1c13aabe5d09dff78a01e22f",
+    ("w2_end_extension_raw", "/root/testdata/sf0.01"):
+        "90a89c4200cf6323d2f7f05bfc0ac829d8092900e0eeeb04e02c2b3024c69a37",
+    ("approx_distinct_users", "/root/testdata/sf0.01"):
+        "77976b4674cbecfc79583115f880d3c2f63216124dce51f6aa397ff53cd81831",
+    ("srp_cosine_near_dup", "/root/testdata/sf0.01"):
+        "f13786e7088f40798a3f471c15bd9c90296afd6db0a1d13229864151b47168c8",
+    ("ann_ivf_topk", "/root/testdata/sf0.01"):
+        "f561570a8752885be1c99140f0099a0d0e5a9f7fd9b51ec7a7a94b652dff5c98",
+    ("stream_ingest_accepted", "/root/testdata/sf0.01"):
+        "f4dea04f241ccad3b8f44611c73a12c673601b3beb055393e052e7678fb4ea6a",
+}
+
+
+@pytest.mark.parametrize(
+    "name,sf_dir",
+    sorted(PINS),
+    ids=[f"{n}-{d.rsplit('/', 1)[1]}" for n, d in sorted(PINS)],
+)
+def test_rows_only_fingerprint_pin(spark, name, sf_dir):
+    df = entrymod.queries()[name](spark, sf_dir)
+    fp = result_fingerprint(df)
+    assert fp == PINS[(name, sf_dir)], (
+        f"{name}@{sf_dir}: result fingerprint drifted — if the kernel "
+        f"changed intentionally, re-pin via scripts/pin_rows_only.py "
+        f"(run twice; see module docstring). got {fp}"
+    )

@@ -415,9 +415,10 @@ def test_find_fast_equals_exact_tsinfo(spark, tmp_path):
     """The v2 sidecar's fast path must return the IDENTICAL TsInfo row
     set as the exact data scan — including n_points and delta_t —
     across date-partition boundaries, under point replacement, and
-    after a rebuild; a time-interleaved multi-source series falls back
-    to NULL delta_t (reference-faithful: its metadata find() reports
-    NaN there always)."""
+    after a rebuild; a time-interleaved multi-source series gets its
+    delta_t from the pruned exact-scan fallback (exact-equal), or NULL
+    with exact_fallback=False (reference-faithful: its metadata find()
+    reports NaN there always)."""
     from datetime import timedelta
 
     store = TsStore(spark, str(tmp_path / "parity_store"))
@@ -459,8 +460,10 @@ def test_find_fast_equals_exact_tsinfo(spark, tmp_path):
     assert rows(True) == exact
 
     # interleaved sources: same series, time-overlapping data under a
-    # second source -> exact path still computes a mode over the merged
-    # ts order; fast path must refuse (NULL), not guess
+    # second source -> the sidecar alone can't order the merged ts
+    # sequence, so fast delta_t comes from the pruned exact-scan
+    # fallback and must EQUAL the exact path (VERDICT r7 item 4);
+    # exact_fallback=False keeps the zero-read NULL answer
     df3 = spark.createDataFrame(
         [("m", _dt(day + 1800), 5.0), ("m", _dt(day + 5400), 6.0)],
         "series_id string, ts timestamp, value double",
@@ -469,17 +472,28 @@ def test_find_fast_equals_exact_tsinfo(spark, tmp_path):
     exact2, fast2 = rows(False), rows(True)
     assert fast2["m"]["n_points"] == exact2["m"]["n_points"] == 6
     assert exact2["m"]["delta_t"] == 1800.0
-    assert fast2["m"]["delta_t"] is None
-    for f in ("data_period_start", "data_period_end", "created", "modified"):
-        assert fast2["m"][f] == exact2["m"][f], f
+    assert fast2["m"]["delta_t"] == 1800.0
+    assert fast2 == exact2
+    # the untouched single-source series s must NOT pay the fallback
+    # (still answered purely from the sidecar histograms)
+    assert fast2["s"]["delta_t"] is None and fast2["s"]["n_points"] == 1
+    meta = {
+        r["name"]: r
+        for r in store.find(fast=True, exact_fallback=False).collect()
+    }
+    assert meta["m"]["delta_t"] is None
+    for f in ("data_period_start", "data_period_end", "created",
+              "modified", "n_points"):
+        assert meta["m"][f] == exact2["m"][f], f
 
 
 def test_find_fast_caps_irregular_spacing_histogram(spark, tmp_path):
     """An irregular series (every spacing distinct) must not grow the
     sidecar toward data size: above DT_HIST_CAP distinct spacings the
-    histogram is dropped and fast delta_t falls back to NULL (the mode
-    of near-unique spacings is noise; the reference reports NaN there
-    always). Every other field stays exact."""
+    histogram is dropped, and fast delta_t comes from the pruned
+    exact-scan fallback (exact-equal) — or NULL with
+    exact_fallback=False, the zero-read metadata answer (the reference
+    reports NaN there always). Every other field stays exact."""
     from datetime import timedelta
 
     store = TsStore(spark, str(tmp_path / "cap_store"))
@@ -497,7 +511,9 @@ def test_find_fast_caps_irregular_spacing_histogram(spark, tmp_path):
     fast = store.find(fast=True).collect()[0]
     assert fast["n_points"] == exact["n_points"] == n
     assert exact["delta_t"] == 1e-06  # tie-break toward smallest
-    assert fast["delta_t"] is None  # capped: histogram dropped
+    assert fast["delta_t"] == 1e-06  # capped: exact-scan fallback
+    meta = store.find(fast=True, exact_fallback=False).collect()[0]
+    assert meta["delta_t"] is None  # capped + no fallback: honest NULL
     for f in ("data_period_start", "data_period_end", "created", "modified"):
         assert fast[f] == exact[f], f
     # the sidecar row itself must carry no histogram
