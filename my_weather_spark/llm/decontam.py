@@ -93,12 +93,19 @@ def contamination_flags(
     ``n_contaminated`` counts DISTINCT doc n-grams that occur anywhere
     in the benchmark; ``contaminated`` is true at >= ``min_hits``.
     The benchmark side broadcasts; corpus n-grams explode only into the
-    broadcast-hash-join probe (no shuffle of the corpus).
+    broadcast-hash-join probe (no shuffle of the corpus). The corpus is
+    fanned out first: the md5 gram pass is CPU-heavy but byte-small, so
+    a few-file input would otherwise plan a near-serial scan (the
+    floor-probe r8 reading was 6 single-task stages, 3.4 s of wall on
+    one core at sf0.1) — at 100 TB the input already has thousands of
+    partitions and the fan-out is a no-op.
     """
+    from my_weather_spark.llm.dedup import _fan_out
+
     bench = F.broadcast(
         benchmark_ngrams(benchmark, n, text_col).withColumn("_hit", F.lit(1))
     )
-    grams = _with_ngram_hashes(docs, text_col, n, "_g").select(
+    grams = _with_ngram_hashes(_fan_out(docs), text_col, n, "_g").select(
         id_col, F.size("_g").alias("n_grams"), F.explode_outer("_g").alias("gram_h")
     )
     return (

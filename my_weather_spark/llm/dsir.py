@@ -230,10 +230,17 @@ def importance_weights(
     is a slice of ``docs`` (single-scan model) or a DataFrame when it
     is external (two scans). The corpus is tokenized ONCE either way:
     the feature frame is checkpointed and feeds both the model
-    aggregate and the scoring fold."""
+    aggregate and the scoring fold. The corpus is fanned out before
+    tokenization: the split+md5 pass is CPU-heavy but byte-small, so a
+    few-file input would otherwise serialize it on a handful of cores
+    (the floor-probe r8 reading was 10 near-single-task stages at
+    sf0.1); at 100 TB inputs already carry thousands of partitions and
+    the fan-out is a no-op."""
+    from my_weather_spark.llm.dedup import _fan_out
+
     flag = [target.alias("_is_t")] if isinstance(target, Column) else []
     feats = (
-        _with_feature_buckets(docs, text_col, dim)
+        _with_feature_buckets(_fan_out(docs), text_col, dim)
         .select(id_col, *flag, "_fb")
         .localCheckpoint()
     )

@@ -5,14 +5,24 @@ measured apples-to-apples in the same container window).
 
 Usage: python scripts/perf_probe.py q1 q2 ... [--sf DIR] [--reps N]
        python scripts/perf_probe.py --all        (every oracle-matched query)
+       python scripts/perf_probe.py --all --json RATIO_r08.json
 
 Prints per-query: spark best-of-N, oracle best-of-N, ratio.
+
+--json writes the whole sweep as ONE driver-readable artifact: totals,
+headline ratio, the ex-sanctioned ratio (same math quoted in NOTES /
+BASELINE.md — the sanctioned outlier table's members excluded), the
+per-query numbers, and pinned-BLAS cpu_calib stamps taken in
+subprocesses immediately before and after the sweep (a subprocess
+because cpu_calib must pin thread pools BEFORE numpy loads).
 """
 
 from __future__ import annotations
 
 import gc
+import json
 import os
+import subprocess
 import sys
 import time
 
@@ -28,12 +38,45 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# BASELINE.md "Sanctioned per-query ratio outliers": queries whose
+# toy-scale Spark/DuckDB ratio is structurally unrepresentative, each
+# with a documented design reason that disappears or reverses at the
+# 100 TB design point. The *_scaled suffix covers exactly the
+# distributed twins enumerated there (their windowed bases share the
+# same oracle at ~1x; the twins pay ranged-sort insurance by design).
+SANCTIONED_EXACT = {
+    "mm_jpeg_image_stats",      # Spark entropy-decodes; oracle reads metadata
+    "simhash_hamming_pairs",    # fused kernel, ~5 fixed stage floors
+    "q21_lone_returned_supplier",  # exchange-count floor, fusion reverted
+}
+
+
+def is_sanctioned(name: str) -> bool:
+    return name.endswith("_scaled") or name in SANCTIONED_EXACT
+
+
+def calib_stamp() -> dict | None:
+    """Run scripts/cpu_calib.py in a fresh subprocess (its BLAS
+    pinning must precede numpy import) and return the parsed line."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "cpu_calib.py")],
+            capture_output=True, text=True, timeout=120,
+        ).stdout
+        for line in out.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
 
 def main() -> None:
     argv = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = 3
     names: list[str] = []
+    json_path: str | None = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -43,12 +86,16 @@ def main() -> None:
         elif a == "--reps":
             reps = int(argv[i + 1])
             i += 2
+        elif a == "--json":
+            json_path = argv[i + 1]
+            i += 2
         elif a == "--all":
             names = ["--all"]
             i += 1
         else:
             names.append(a)
             i += 1
+    calib_before = calib_stamp() if json_path else None
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -131,6 +178,46 @@ def main() -> None:
     to = sum(r[2] for r in rows if r[2] == r[2])
     print("\nTOTAL spark %.2f s   oracle %.2f s   ratio %.2fx  (%d queries, best-of-%d, %s)"
           % (ts, to, ts / to if to else float("nan"), len(rows), reps, sf_dir))
+
+    ex = [r for r in rows if not is_sanctioned(r[0]) and r[2] == r[2]]
+    xs = sum(r[1] for r in ex)
+    xo = sum(r[2] for r in ex)
+    print("EX-SANCTIONED spark %.2f s   oracle %.2f s   ratio %.2fx  (%d queries)"
+          % (xs, xo, xs / xo if xo else float("nan"), len(ex)))
+
+    if json_path:
+        artifact = {
+            "metric": "spark_duckdb_ratio",
+            "sf": sf_dir,
+            "reps": reps,
+            "n_queries": len(rows),
+            "spark_total_sec": round(ts, 2),
+            "oracle_total_sec": round(to, 2),
+            "ratio": round(ts / to, 3) if to else None,
+            "ex_sanctioned": {
+                "n_queries": len(ex),
+                "spark_total_sec": round(xs, 2),
+                "oracle_total_sec": round(xo, 2),
+                "ratio": round(xs / xo, 3) if xo else None,
+                "excluded": sorted(
+                    r[0] for r in rows if is_sanctioned(r[0])
+                ),
+            },
+            "cpu_calib_before": calib_before,
+            "cpu_calib_after": calib_stamp(),
+            "queries": {
+                r[0]: {
+                    "spark_sec": round(r[1], 3),
+                    "oracle_sec": round(r[2], 3) if r[2] == r[2] else None,
+                    "sanctioned": is_sanctioned(r[0]),
+                }
+                for r in rows
+            },
+        }
+        with open(json_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+            f.write("\n")
+        print(f"wrote {json_path}")
 
 
 if __name__ == "__main__":
