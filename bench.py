@@ -33,10 +33,36 @@ def _sf_label(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _calib() -> list[float] | None:
+    """[st_ms, mt32_ms] from scripts/cpu_calib.py in a fresh
+    subprocess (its BLAS pinning must precede numpy import there).
+    Stamps the container window INSIDE the bench artifact so a
+    degraded-window record is recognizable without NOTES archaeology
+    (BASELINE.md drift protocol; absolute seconds in this container
+    drift 1.5-3x between sittings on identical code)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "cpu_calib.py")],
+            capture_output=True, text=True, timeout=120,
+        ).stdout
+        for line in out.splitlines():
+            if line.startswith("{"):
+                rec = json.loads(line)
+                return [rec["st_ms"], rec["mt32_ms"]]
+    except Exception:
+        pass
+    return None
+
+
 def main() -> None:
     # Console progress bars write to stdout and can leave "[Stage ..]"
     # fragments on the same line as the JSON record — the driver parses
     # stdout, so keep it clean.
+    calib_before = _calib()  # stamp BEFORE Spark competes for cores
     spark = get_spark(
         app_name="my_weather_spark_bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -106,6 +132,7 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in reps.items()}
     medians = {name: sorted(ts)[len(ts) // 2] for name, ts in reps.items()}
     total = round(sum(timings.values()), 3)
+    calib_after = _calib()
     full = {
         "metric": "total wall-clock of all declared queries (noop sink, best of 3)",
         "value": total,
@@ -115,6 +142,9 @@ def main() -> None:
         "total_median": round(sum(medians.values()), 3),
         "sf": _sf_label(SF_DIR),
         "n_queries": len(timings),
+        # pinned-BLAS [st_ms, mt32_ms]; healthy ref ~[270-300, 570-610]
+        "calib_before": calib_before,
+        "calib_after": calib_after,
     }
     # Full record: one line on stdout + a sidecar file for readers of
     # the repo (the driver's log keeps only the LAST ~2000 chars). The
@@ -147,6 +177,8 @@ def main() -> None:
             "total_median": round(sum(medians.values()), 3),
             "sf": _sf_label(SF_DIR),
             "n_queries": len(timings),
+            "calib_before": calib_before,
+            "calib_after": calib_after,
         }
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) < 1950:
@@ -164,6 +196,8 @@ def main() -> None:
             "total_median": round(sum(medians.values()), 3),
             "sf": _sf_label(SF_DIR),
             "n_queries": len(timings),
+            "calib_before": calib_before,
+            "calib_after": calib_after,
         }
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

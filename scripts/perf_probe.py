@@ -48,6 +48,13 @@ SANCTIONED_EXACT = {
     "mm_jpeg_image_stats",      # Spark entropy-decodes; oracle reads metadata
     "simhash_hamming_pairs",    # fused kernel, ~5 fixed stage floors
     "q21_lone_returned_supplier",  # exchange-count floor, fusion reverted
+    # r8 floor-probe decompositions (BASELINE.md round-8 table): the
+    # honest-shuffle quartet's data-proportional work is at-or-under
+    # ~2x its oracle; the >2x headline is fixed stage floor.
+    "split_leakage_stats",      # floor share 0.96, work/oracle 0.15x
+    "dup_span_stats",           # floor 1.24 s, work/oracle 1.7x (perturbed 4x)
+    "decontam_flags",           # floor share 0.94 post-fan-out-fix
+    "dsir_selected",            # floor share 0.96 post-fan-out-fix
 }
 
 
