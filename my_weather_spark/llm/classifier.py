@@ -40,8 +40,14 @@ def _featured(
     """(id, _is_p, _fb) — one tokenization pass over the corpus.
     nb_scores checkpoints this frame so the model aggregate and the
     scoring fold both read it instead of re-running the split+grams
-    chain (tokenization is the dominant cost of the whole op)."""
-    return _with_feature_buckets(docs, text_col, dim).select(
+    chain (tokenization is the dominant cost of the whole op). The
+    corpus fans out first (llm/dedup._fan_out): the split+md5 pass is
+    CPU-heavy but byte-small, so a few-file input would otherwise run
+    it near-serial (the r8 floor probe found dsir's identical scan on
+    one task); no-op at production partition counts."""
+    from my_weather_spark.llm.dedup import _fan_out
+
+    return _with_feature_buckets(_fan_out(docs), text_col, dim).select(
         F.col(id_col), pos.alias("_is_p"), "_fb"
     )
 

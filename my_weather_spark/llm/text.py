@@ -388,7 +388,9 @@ def bm25_scores(
     terms = list(dict.fromkeys(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    bound = df.withColumn("_bm25_ws", _words(F.col(text_col)))
+    # fan out before the per-term HOF passes: CPU-heavy, byte-small
+    # (the r8 single-task-scan class; no-op at real partition counts)
+    bound = _fan_out(df).withColumn("_bm25_ws", _words(F.col(text_col)))
     ws = F.col("_bm25_ws")
     def _tf(term: str) -> Column:
         # closure via parameter, NOT a lambda default arg: a second
@@ -529,7 +531,9 @@ def strata_divergence(
     broadcast-crossjoined back (scalar-subquery pattern). Strata with
     zero words carry no distribution and are absent from the output.
     """
-    wh = df.select(
+    # fan out before the explode (r8 single-task-scan class): the
+    # split+md5 map side otherwise runs on the input's few partitions
+    wh = _fan_out(df).select(
         F.col(strata_col), F.explode(_words(F.col(text_col))).alias("_w")
     )
     bucket = (
@@ -688,9 +692,12 @@ def _gopher_bound(
     min_alpha_word_ratio: float = 0.8,
     min_req_stopwords: int = 2,
 ):
-    """Shared expression builder: (bound df, metric columns, raw keep)."""
+    """Shared expression builder: (bound df, metric columns, raw keep).
+    Fans the corpus out first (r8 single-task-scan class: the word/
+    line array passes are CPU-heavy, byte-small; no-op at real
+    partition counts) — covers gopher_quality AND gopher_filter."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    bound = df.withColumn("_gq_ws", _words(t)).withColumn(
+    bound = _fan_out(df).withColumn("_gq_ws", _words(t)).withColumn(
         "_gq_lines",
         F.filter(F.split(t, "\n"), lambda l: F.trim(l) != ""),
     )
@@ -767,6 +774,11 @@ def vocab_topk(
     from pyspark.sql import Window
 
     counts = (
+        # NO _fan_out here, deliberately (r8 A/B: 0.60 -> 0.75 s —
+        # the added raw-text exchange costs more than the split
+        # parallelism buys; the explode's map-side partial agg
+        # already bounds the serial section, unlike the md5-heavy
+        # gram/feature scans where the fan-out won 1.3-2.6x)
         df.withColumn("_vt_ws", _words(F.coalesce(F.col(text_col), F.lit(""))))
         .select(F.explode("_vt_ws").alias("word"))
         .groupBy("word")
