@@ -3464,6 +3464,9 @@ def line_boilerplate_clean(spark, sf_dir):
     one explode + one (line, doc)-distinct count; only the tiny
     above-threshold line set joins back (AQE broadcast)."""
     docs = load_table(spark, sf_dir, "documents")
+    # NO _fan_out, deliberately (r8 A/B: 1.15 -> 1.28 s — the line
+    # derivation is too light to pay for the extra exchange; same
+    # verdict as vocab_topk, opposite of the md5-heavy gram scans).
     # Bind the word array to a real column BEFORE the line-building
     # transform: a lambda that references the derived split+filter
     # expression re-evaluates it per line (the quadratic-HOF gotcha,
