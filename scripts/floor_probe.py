@@ -71,25 +71,40 @@ def build_scaled_dir(spark, perturb: bool = False) -> str:
     span recurs SCALE times), which shifts data characteristics, not
     just volume, for frequency-filtered plans like dup_span_stats."""
     root = tempfile.mkdtemp(prefix="mws_floor_")
-    for t in TABLES:
-        if t == "documents":
-            continue
-        os.symlink(f"{SF_DIR}/{t}.parquet", f"{root}/{t}.parquet")
     from pyspark.sql import functions as F
 
-    base = load_table(spark, SF_DIR, "documents")
-    parts = []
-    for i in range(SCALE):
-        p = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * REKEY_OFFSET))
-        if perturb and i > 0:
-            p = p.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", "$1q%d" % i)
-            )
-        parts.append(p)
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    df.write.mode("overwrite").parquet(f"{root}/documents.parquet")
+    # (table, [re-keyed columns]) — fact tables scale SCALE-x with
+    # join keys offset in lockstep so every FK still resolves
+    # (l_orderkey matches its copy's o_orderkey; o_custkey stays
+    # within the unscaled customer dim, preserving join fan-in per
+    # customer — dims are the broadcast side and stay fixed, which is
+    # exactly how a 100 TB TPC-H grows).
+    scaled_cols = {
+        "documents": ["doc_id"],
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+        "events": ["event_id"],
+    }
+    for t in TABLES:
+        if t in scaled_cols:
+            continue
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{root}/{t}.parquet")
+    for t, keys in scaled_cols.items():
+        base = load_table(spark, SF_DIR, t)
+        parts = []
+        for i in range(SCALE):
+            p = base
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(i * REKEY_OFFSET))
+            if perturb and i > 0 and t == "documents":
+                p = p.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", "$1q%d" % i)
+                )
+            parts.append(p)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{root}/{t}.parquet")
     return root
 
 
