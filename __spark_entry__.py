@@ -2648,8 +2648,10 @@ def gopher_quality_flags(spark, sf_dir):
     382 of 500 pass respectively; combined keep 291/500 — the
     synthetic vocab contains only 'the' of the 8 required stop words,
     so the paper's >=2 would pin keep constant-false); the rest are
-    the paper's defaults. One narrow in-row projection (llm/text.py
-    gopher_quality) — zero shuffles; predicates compare raw IEEE
+    the paper's defaults. One in-row projection (llm/text.py
+    gopher_quality) after the r8 fan-out repartition (the only
+    exchange — a no-op at production partition counts); predicates
+    compare raw IEEE
     ratios, emitted ratio columns are round6_portable (int-over-int
     rationals, the r6 tie class)."""
     docs = load_table(spark, sf_dir, "documents")

@@ -33,13 +33,14 @@ def _sf_label(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _calib() -> list[float] | None:
-    """[st_ms, mt32_ms] from scripts/cpu_calib.py in a fresh
-    subprocess (its BLAS pinning must precede numpy import there).
-    Stamps the container window INSIDE the bench artifact so a
-    degraded-window record is recognizable without NOTES archaeology
-    (BASELINE.md drift protocol; absolute seconds in this container
-    drift 1.5-3x between sittings on identical code)."""
+def calib_record() -> dict | None:
+    """The cpu_calib JSON record, from a fresh subprocess (its BLAS
+    pinning must precede numpy import there). Shared by bench and
+    scripts/perf_probe.py — the ONE place that knows how to invoke and
+    parse scripts/cpu_calib.py. Stamps the container window INSIDE the
+    artifacts so a degraded-window record is recognizable without
+    NOTES archaeology (BASELINE.md drift protocol; absolute seconds in
+    this container drift 1.5-3x between sittings on identical code)."""
     import subprocess
 
     try:
@@ -51,11 +52,16 @@ def _calib() -> list[float] | None:
         ).stdout
         for line in out.splitlines():
             if line.startswith("{"):
-                rec = json.loads(line)
-                return [rec["st_ms"], rec["mt32_ms"]]
+                return json.loads(line)
     except Exception:
         pass
     return None
+
+
+def _calib() -> list[float] | None:
+    """Compact [st_ms, mt32_ms] projection for the bench JSON lines."""
+    rec = calib_record()
+    return [rec["st_ms"], rec["mt32_ms"]] if rec else None
 
 
 def main() -> None:

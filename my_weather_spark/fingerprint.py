@@ -29,6 +29,10 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            # guard BEFORE int(v): int(inf) raises OverflowError.
+            # Spark's non-ANSI double math can emit infinities (x/0.0)
+            return "Infinity" if v > 0 else "-Infinity"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.9g}"

@@ -630,7 +630,8 @@ def gopher_quality(
     doubles both engines); emitted ratio COLUMNS are round6_portable
     (integer-over-integer rationals — the r6 tie class).
 
-    Scale shape: zero shuffles — one projection; word/line arrays and
+    Scale shape: one projection after the _fan_out repartition (the
+    only exchange, a no-op at real partition counts); word/line arrays and
     the lowered word array are bound to real columns first (PERF
     CONTRACT, llm/decontam._ngram_hashes), every lambda touches only
     its argument.

@@ -255,10 +255,11 @@ class TsStore:
     # REGULAR series carries 1-5 distinct spacings per day; an
     # IRREGULAR one (event streams, random timestamps) approaches one
     # per point, which would grow the sidecar toward data size at
-    # 100 TB. Above the cap the histogram is dropped (NULL) and
-    # find(fast) reports NULL delta_t for the series — honest: the
-    # mode of near-unique spacings is noise, and the reference's
-    # metadata find() reports NaN delta_t always.
+    # 100 TB. Above the cap the histogram is dropped (NULL); find(fast)
+    # then recovers delta_t via the pruned exact-scan fallback (the
+    # r8 default) or reports NULL with exact_fallback=False — the
+    # reference's metadata find() reports NaN delta_t always, so the
+    # zero-read NULL remains reference-faithful.
     DT_HIST_CAP = 1024
 
     @classmethod
@@ -559,7 +560,9 @@ class TsStore:
         — plus n_points as an engine extra.
 
         ``fast=True`` answers from the catalog sidecar maintained at
-        store() time — O(catalog rows), no data scan; exactly the
+        store() time — O(catalog rows), and NO data scan (not even
+        file listing) unless an O(catalog) existence probe finds
+        series the sidecar cannot answer exactly; exactly the
         reference's repository-metadata semantics (its data_period and
         created/modified also come from tracked metadata, not a scan),
         and since the v2 sidecar it returns n_points and delta_t too:
@@ -661,7 +664,15 @@ class TsStore:
                 )
             )
             info = base.join(modes, "name", "left")
-            if exact_fallback:
+            # Existence probe FIRST (one O(catalog) job): the common
+            # store has no interleaved/capped series, and the pure
+            # metadata path must then stay scan-free — without this
+            # guard the fallback subtree would still list the data
+            # root's files at planning time on every find(fast).
+            needs_scan = exact_fallback and (
+                base.where(F.col("_needs_scan")).limit(1).count() > 0
+            )
+            if needs_scan:
                 # recompute delta_t for JUST the series the sidecar
                 # can't answer: scan pruned to their (source, date)
                 # partitions — the partition list is O(fallback
@@ -669,6 +680,12 @@ class TsStore:
                 # partition pruning keeps reads proportional to the
                 # fallback subset, not the store. The series
                 # semi-join is corpus-derived (left to AQE).
+                # BOUNDARY: the pruning needs the hive layout this
+                # store writes (partitionBy source/date). On a
+                # legacy flat layout (pre-migration) the semi-join
+                # still filters CORRECTLY but prunes no files — run
+                # rebuild_catalog()/migration first if fast-path scan
+                # cost matters there.
                 fb = base.where(F.col("_needs_scan")).select(
                     F.col("name").alias("series_id")
                 )

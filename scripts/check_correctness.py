@@ -16,7 +16,6 @@ locally without running Spark.
 
 from __future__ import annotations
 
-import math
 import sys
 import os
 import time
@@ -35,19 +34,11 @@ TABLES = [
 ]
 
 
-def canon_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.9g}"
-    if hasattr(v, "isoformat"):
-        s = v.isoformat()
-        return s.replace("+00:00", "")
-    return str(v)
+# ONE canonicalization contract for the whole repo: the fingerprint
+# module owns it (it also pins the rows-only fixtures), this harness
+# imports it — the two must never diverge, and the shared version
+# guards NaN/Infinity before the int() fast path.
+from my_weather_spark.fingerprint import canon_cell  # noqa: E402
 
 
 def canon_rows(cols, rows):

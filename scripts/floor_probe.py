@@ -49,7 +49,11 @@ import __spark_entry__ as entrymod
 from my_weather_spark.session import get_spark
 from my_weather_spark.tables import load_table
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# abspath: the per-table symlinks below resolve RELATIVE TO THE LINK'S
+# DIRECTORY (the tmp scaled dir), so a relative SF_DIR would dangle
+SF_DIR = os.path.abspath(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+)
 QUARTET = ["split_leakage_stats", "dup_span_stats", "decontam_flags", "dsir_selected"]
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -139,6 +143,12 @@ def job_stats(spark, group: str) -> dict:
 
 
 def exchange_count(df) -> int:
+    """Exchange operators in the query's INITIAL physical plan — an
+    upper bound, not the final adaptive plan: the instrumented noop
+    write runs its own QueryExecution, so ``df``'s own plan here is
+    unexecuted and AQE rewrites (broadcast conversions, coalesced
+    exchanges) are not reflected. Stage/task counts in job_stats are
+    the executed-run ground truth; this field is supplementary."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange")
 

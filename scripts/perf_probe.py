@@ -22,7 +22,6 @@ from __future__ import annotations
 import gc
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -62,20 +61,9 @@ def is_sanctioned(name: str) -> bool:
     return name.endswith("_scaled") or name in SANCTIONED_EXACT
 
 
-def calib_stamp() -> dict | None:
-    """Run scripts/cpu_calib.py in a fresh subprocess (its BLAS
-    pinning must precede numpy import) and return the parsed line."""
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__), "cpu_calib.py")],
-            capture_output=True, text=True, timeout=120,
-        ).stdout
-        for line in out.splitlines():
-            if line.startswith("{"):
-                return json.loads(line)
-    except Exception:
-        pass
-    return None
+# bench.py owns the run-cpu_calib-in-a-subprocess-and-parse logic;
+# import it so a cpu_calib output change is fixed in one place.
+from bench import calib_record as calib_stamp  # noqa: E402
 
 
 def main() -> None:

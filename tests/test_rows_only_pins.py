@@ -53,6 +53,19 @@ PINS = {
 }
 
 
+def test_canon_cell_handles_non_finite_floats():
+    # int(inf) raises OverflowError — the guard must come first, and
+    # scripts/check_correctness.py imports THIS canon_cell, so the
+    # driver-style comparison inherits the same guarantee.
+    from my_weather_spark.fingerprint import canon_cell
+
+    assert canon_cell(float("inf")) == "Infinity"
+    assert canon_cell(float("-inf")) == "-Infinity"
+    assert canon_cell(float("nan")) == "NaN"
+    assert canon_cell(2.0) == "2"
+    assert canon_cell(2.5) == "2.5"
+
+
 @pytest.mark.parametrize(
     "name,sf_dir",
     sorted(PINS),
