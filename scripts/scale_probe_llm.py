@@ -59,7 +59,11 @@ SF_DIRS = [
 def main() -> None:
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="scale_probe_llm")
+    # progress bars share stdout and clobber JSON lines mid-write
+    spark = get_spark(
+        app_name="scale_probe_llm",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     qs = entrymod.queries()
     for name in QUERIES:
         for sf_dir in SF_DIRS:
