@@ -4600,9 +4600,14 @@ def stream_curated_front(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(600):
+        # 1800s: fresh-session drain is ~10s, but an aged no-GC JVM
+        # degrades heavy plans up to ~10x (NOTES) — the timeout must
+        # survive a worst-case-aged session, not just a fresh one.
+        # bench.py additionally drains both streams FIRST and treats
+        # an overrun as log-and-skip (round-8 postmortem).
+        if not q.awaitTermination(1800):
             q.stop()
-            raise RuntimeError("curated stream drain did not finish in 600s")
+            raise RuntimeError("curated stream drain did not finish in 1800s")
         _CURATED_STREAM_CACHE[key] = root
     root = _CURATED_STREAM_CACHE[key]
     out = spark.read.schema(
@@ -4654,9 +4659,14 @@ def stream_ingest_accepted(spark, sf_dir):
             schema=schema,
             max_files_per_trigger=64,
         )
-        if not q.awaitTermination(600):
+        # 1800s: 74.2s measured fresh-session drain at sf0.1; the r8
+        # driver bench blew the old 600s limit from an aged no-GC JVM
+        # (8.5->80s degradation on multi-exchange plans per NOTES'
+        # 10-rep probe). The margin must cover worst-case session
+        # aging; bench.py also pre-drains this query on the fresh JVM.
+        if not q.awaitTermination(1800):
             q.stop()
-            raise RuntimeError("stream_ingest drain did not finish in 600s")
+            raise RuntimeError("stream_ingest drain did not finish in 1800s")
         _STREAM_INGEST_CACHE[key] = root
     root = _STREAM_INGEST_CACHE[key]
     store = SignatureStore(spark, f"{root}/sig", jaccard_threshold=0.8)
@@ -4673,44 +4683,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's oracle check covers only the FIRST 50 registry entries
-# per round (queries() iterates insertion order). Round-8 window
-# (VERDICT r7 item 1 — staleness rotation is the only correctness
-# exposure left): (a) the 19 round-6 greens now two rounds stale (the
-# round-6 LLM batch); (b) the judge-re-proved r6 set that sat out r7
-# (q3, the asof pair, the w1 pair, pivot) — judge spot-runs are not
-# driver-recorded, so these get their CORRECTNESS_rN row back; (c)
-# every remaining r5-green not re-proved since round 5 — the whole
-# stratum fits, so nothing from r5 stays stale after this round; (d)
-# three stale-r6 TPC-H multi-join plans (broadcast-join / market-share
-# / profit shapes) with the rest of the TPC-H block rotating in r9.
-# Out this round: the full r7-green set (1 round fresh) and the
-# rows-only trio ann_ivf/srp/stream_ingest (covered by the r8
-# hash-pinning fixtures in tests/test_rows_only_pins.py — a stronger
-# check than the driver's rows-only count).
+# per round (queries() iterates insertion order). Round-9 window
+# (VERDICT r8 item 4 — rotate onto the now-stalest greens): (a) EVERY
+# oracle-able query last driver-checked in round 6 — three rounds
+# stale by r9: the TPC-H q2/q4/q6/q7/q10-q20/q22 block, the
+# cube/rollup/semi/anti group, f5_monthly_orders, and the r6 LLM/mm
+# tail (26 names — nothing r6-stale survives this round); (b) 24 of
+# the 50 r7 greens that sat out r8 (two rounds stale), leading with
+# the verdict-named ones (order_restore, the f-family, u1/u2, the
+# staircase pair) and filling with the dedup/similarity/text kernels
+# and timeseries aggregates. The remaining 26 r7 greens are r10
+# rotation debt. Out this round: all r8-checked names (1 round fresh)
+# and the rows-only set (covered by the sf0.001/0.01 hash pins in
+# tests/test_rows_only_pins.py — stronger than the driver's rows-only
+# count; stream_ingest_accepted additionally sf0.1-pinned this round).
 _DRIVER_PRIORITY = [
-    # (a) round-6 greens, two rounds stale — stalest oracle exposure
-    "pq_ann_topk", "semantic_decontam_flags", "unimax_mix_alloc",
-    "split_leakage_stats", "semdedup_kept", "dsir_selected",
-    "kmeans_clusters", "gopher_quality_flags", "temperature_mix_counts",
-    "vocab_top_words", "source_jsd_divergence", "nb_quality_flags",
-    "bm25_relevance_scores", "dup_span_stats", "near_dup_components",
-    "simhash_hamming_pairs", "lsh_jaccard_near_dup", "sessionize_users",
-    "stream_curated_front",
-    # (b) judge-re-proved r6 rows returning to the driver record
-    "q3_shipping_priority", "asof_join_views", "asof_join_views_scaled",
-    "w1_lag_delta", "w1_lag_delta_scaled", "pivot_daily_event_values",
-    # (c) the complete remaining r5 stratum (last driver check round 5)
-    "above_customer_avg_orders", "decontam_flags",
-    "distinct_users_per_type", "instant_interpolation_scaled",
-    "json_props_extract", "line_boilerplate_clean",
-    "mixed_interpretation_resample", "mm_frame_sample",
-    "mm_jpeg_image_stats", "mm_payload_stats", "mm_wav_audio_stats",
-    "q1_pricing_summary", "q21_lone_returned_supplier", "resample_hourly",
-    "resample_time_weighted_scaled", "running_total",
-    "running_total_scaled", "text_fingerprint", "text_repetition_stats",
-    "value_deciles_scaled", "w2_end_extension", "w5_sliding_count_scaled",
-    # (d) stale-r6 TPC-H multi-join representatives
-    "q5_region_revenue", "q8_market_share", "q9_profit_by_nation_year",
+    # (a) round-6 greens, three rounds stale — the full stratum
+    "q2_min_cost_supplier", "q4_late_shipment_priority",
+    "q6_forecast_revenue", "q7_nation_trade", "q10_returned_revenue",
+    "q11_important_stock", "q12_ship_delay_priority",
+    "q13_order_count_histogram", "q14_promo_share", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_bracket_revenue", "q20_promo_part_suppliers",
+    "q22_idle_customer_balance",
+    "rollup_order_priority", "cube_events", "semi_join_suppliers",
+    "anti_join_customers", "f5_monthly_orders",
+    "text_quality_stats", "text_language_id", "mm_ppm_image_stats",
+    "doc_length_percentiles_scaled", "pack_chunks_by_source",
+    # (b) r7 greens two rounds stale — verdict-named first
+    "order_restore", "f1_camel_to_snake", "f2_ascii_clean",
+    "f4_url_roundtrip", "f7_format_tiles", "f8_threshold_bins",
+    "u1_extend_union", "u2_merge_dedup", "w3_staircase",
+    "mixed_interpretation_expand",
+    "topk_orders_per_segment", "p1_period_filter", "a1_series_stats",
+    "a4_dt_mode", "w5_sliding_count", "value_deciles",
+    "heartbeat_series", "j4_fuzzy_match", "dedup_exact_groups",
+    "minhash_signatures", "minhash_lsh_pairs", "jaccard_pairs_by_source",
+    "simhash_docs", "knn_bruteforce",
 ]
 
 

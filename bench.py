@@ -59,9 +59,11 @@ def calib_record() -> dict | None:
 
 
 def _calib() -> list[float] | None:
-    """Compact [st_ms, mt32_ms] projection for the bench JSON lines."""
+    """Compact [st_ms, mt32_ms] projection for the bench JSON lines.
+    .get(): a cpu_calib output-format drift must degrade the stamp to
+    None, never crash the whole bench at startup (r8 ADVICE)."""
     rec = calib_record()
-    return [rec["st_ms"], rec["mt32_ms"]] if rec else None
+    return [rec.get("st_ms"), rec.get("mt32_ms")] if rec else None
 
 
 def main() -> None:
@@ -110,8 +112,33 @@ def main() -> None:
         except Exception:
             pass
 
-    for wfn in qs.values():
-        wfn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Warmup ORDER and HYGIENE (round-8 postmortem — BENCH_r08 was
+    # rc=1/parsed=null): the two real-streaming queries each run a
+    # one-off drain with a hard awaitTermination timeout, and
+    # stream_ingest_accepted sat LAST in registry order, reaching its
+    # drain after ~131 executions with zero JVM GC (the jvm_gc cadence
+    # below previously covered only the timed reps). NOTES' 10-rep
+    # probe shows no-GC sessions degrading 8.5->80s on multi-exchange
+    # plans — enough to eat the 8x margin of a 74s fresh-session drain
+    # and blow the timeout, nulling the whole artifact. Three fixes:
+    # (a) drain the stream builds FIRST on the fresh JVM, (b) run the
+    # every-5th jvm_gc cadence inside the warmup loop too, (c) a query
+    # that still fails is logged to stderr and SKIPPED — one slow
+    # build must never raise out of main and zero the other 131
+    # measurements. (The drain timeout itself was also raised to
+    # 1800s in __spark_entry__.py.)
+    _STREAMS = ("stream_ingest_accepted", "stream_curated_front")
+    warm_order = [n for n in _STREAMS if n in qs] + [
+        n for n in qs if n not in _STREAMS
+    ]
+    failed: dict[str, str] = {}
+    for name in warm_order:
+        try:
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # log-and-skip: never null the artifact
+            failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] WARMUP FAILED, skipping {name}: {failed[name]}",
+                  file=sys.stderr)
         # Release this query's py4j plan refs before the next one:
         # localCheckpoint blocks stay pinned until the Python-side
         # DataFrame is collected, and the deferred finalizers let
@@ -119,6 +146,7 @@ def main() -> None:
         # (measured 3-4x inflation on late-running queries). The
         # collect runs OUTSIDE every timed window.
         gc.collect()
+        jvm_gc()
     jvm_gc(force=True)
 
     # 3 reps per query: this container shows 2-4x run-to-run timing
@@ -126,17 +154,30 @@ def main() -> None:
     # min-of-reps (the standard noise-resistant microbenchmark
     # estimator); per-query medians are reported alongside so the
     # noise floor itself is visible in the record.
-    reps: dict[str, list[float]] = {name: [] for name in qs}
+    reps: dict[str, list[float]] = {
+        name: [] for name in qs if name not in failed
+    }
     for _rep in range(3):
-        for name, fn in qs.items():
+        for name in list(reps):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            try:
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # log-and-skip (see warmup note)
+                failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"[bench] REP FAILED, dropping {name}: {failed[name]}",
+                      file=sys.stderr)
+                del reps[name]
+                continue
             reps[name].append(round(time.perf_counter() - t0, 3))
             gc.collect()  # see warmup note — outside the timed window
             jvm_gc()
 
-    timings = {name: min(ts) for name, ts in reps.items()}
-    medians = {name: sorted(ts)[len(ts) // 2] for name, ts in reps.items()}
+    timings = {name: min(ts) for name, ts in reps.items() if ts}
+    medians = {
+        name: sorted(ts)[len(ts) // 2] for name, ts in reps.items() if ts
+    }
     total = round(sum(timings.values()), 3)
     calib_after = _calib()
     full = {
@@ -148,6 +189,9 @@ def main() -> None:
         "total_median": round(sum(medians.values()), 3),
         "sf": _sf_label(SF_DIR),
         "n_queries": len(timings),
+        # log-and-skip casualties (normally {}): name -> first error.
+        # A non-empty map means `value` under-covers the registry.
+        "failed": failed,
         # pinned-BLAS [st_ms, mt32_ms]; healthy ref ~[270-300, 570-610]
         "calib_before": calib_before,
         "calib_after": calib_after,
@@ -183,6 +227,7 @@ def main() -> None:
             "total_median": round(sum(medians.values()), 3),
             "sf": _sf_label(SF_DIR),
             "n_queries": len(timings),
+            "failed": sorted(failed),
             "calib_before": calib_before,
             "calib_after": calib_after,
         }
@@ -202,6 +247,7 @@ def main() -> None:
             "total_median": round(sum(medians.values()), 3),
             "sf": _sf_label(SF_DIR),
             "n_queries": len(timings),
+            "failed": sorted(failed),
             "calib_before": calib_before,
             "calib_after": calib_after,
         }
