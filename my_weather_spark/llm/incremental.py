@@ -87,12 +87,22 @@ class SignatureStore:
         num_hashes: int = 16,
         band_size: int = 4,
         jaccard_threshold: float = 0.85,
+        max_bucket: int = 4096,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.num_hashes = num_hashes
         self.band_size = band_size
         self.jaccard_threshold = jaccard_threshold
+        # Hot-bucket cap for the WITHIN-BATCH LSH self-join — same
+        # guard and same default as dedup.minhash_lsh_pairs (see its
+        # docstring for the degradation contract). A micro-batch is
+        # only nominally small: with trigger(availableNow) over a
+        # landing area of few big files, the batch IS the corpus
+        # (maxFilesPerTrigger bounds files, not rows), so the self-join
+        # needs the same O(B^2)-per-bucket protection as the full
+        # rebuild.
+        self.max_bucket = max_bucket
 
     # -- helpers --------------------------------------------------------
     def _fs(self, sub: str):
@@ -331,22 +341,47 @@ class SignatureStore:
         store_dups = verified.select(F.col("_new_id").alias(id_col)).distinct()
 
         # 3. near dups WITHIN the batch: bucket-join the new bands with
-        # themselves, verify, keep the smaller id. Unlike the corpus-
-        # wide minhash_lsh_pairs (which carries a max_bucket star
-        # guard), this self-join needs none: exact dups are already
-        # gone (stage 1), so a hot bucket is near-identical-but-not-
-        # equal content bounded by the MICRO-BATCH size — worst case
-        # batch^2 pairs, sized by the ingest trigger, not the corpus.
-        # The store-probe join above is linear per bucket too: the
-        # store side holds only ACCEPTED (near-dup-distinct) docs and
-        # the batch side is broadcast, so a colliding bucket emits
+        # themselves, verify, keep the smaller id. The self-join
+        # carries the SAME hot-bucket star guard as the corpus-wide
+        # minhash_lsh_pairs (dedup.py) — the earlier argument that the
+        # trigger bounds the batch was wrong in exactly the way the r8
+        # bench demonstrated: trigger(availableNow) over a one-file
+        # landing area makes the micro-batch the whole corpus
+        # (maxFilesPerTrigger bounds FILES, not rows), so an
+        # adversarial batch (one band key shared by every doc) would
+        # emit O(batch^2) candidate pairs from a single bucket.
+        # Buckets larger than self.max_bucket degrade to a STAR around
+        # the bucket's min id — linear pairs, and because the hub is
+        # the bucket minimum, star pairs keep the (_ia < _ib) / larger-
+        # id-loses orientation. Degradation contract is identical to
+        # minhash_lsh_pairs: non-hub members of a hot bucket are
+        # verified against the hub only, so a non-hub doc that dupes a
+        # sibling but NOT the hub survives; for the realistic hot case
+        # (near-identical content — why the bucket is hot) every hub
+        # pair passes the verify and the accept set matches the
+        # unguarded plan exactly (pytest-pinned, test_incremental).
+        # The store-probe join above needs no guard: the store side
+        # holds only ACCEPTED (near-dup-distinct) docs and the batch
+        # side is broadcast, so a colliding bucket emits
         # store-bucket-size x batch-collisions rows, never bucket^2.
-        a = new_bands.select(F.col(id_col).alias("_ia"), "band", "band_key")
-        b = new_bands.select(F.col(id_col).alias("_ib"), "band", "band_key")
+        hot = (
+            new_bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_hub"))
+            .where(F.col("_n") > self.max_bucket)
+            .select("band", "band_key", "_hub")
+        )
+        tagged = new_bands.join(hot, ["band", "band_key"], "left")
+        small = tagged.where(F.col("_hub").isNull())
+        a = small.select(F.col(id_col).alias("_ia"), "band", "band_key")
+        b = small.select(F.col(id_col).alias("_ib"), "band", "band_key")
+        star = tagged.where(
+            F.col("_hub").isNotNull() & (F.col(id_col) != F.col("_hub"))
+        ).select(F.col("_hub").alias("_ia"), F.col(id_col).alias("_ib"))
         batch_pairs = (
             a.join(b, ["band", "band_key"])
             .where(F.col("_ia") < F.col("_ib"))
             .select("_ia", "_ib")
+            .unionByName(star)
             .distinct()
         )
         wh = batch.select(F.col(id_col), F.col("word_hashes"))

@@ -276,3 +276,46 @@ def test_torn_temporary_file_does_not_wedge_reads(spark, store, tmp_path):
     store.commit_batch("bbbb")
     assert rep.n_accepted == 1
     assert {r["doc_id"] for r in store.docs().collect()} == {0, 5}
+
+
+def test_hot_bucket_guard_bounds_within_batch_self_join(spark, tmp_path):
+    """Adversarial hot bucket (VERDICT r8 item 2): every doc in the
+    batch shares EVERY band key — same word set, permuted word order,
+    so content hashes are all distinct (stage-1 exact dedup removes
+    nothing) while the minhash signatures are identical (word_array is
+    a set; minhash is order-insensitive). Unguarded this is the
+    O(batch^2) single-bucket blowup; with max_bucket far below the
+    batch size the self-join degrades to a star around the bucket min.
+    The star must produce EXACTLY the unguarded answer here: the hub is
+    the smallest id and Jaccard(hub, x) = 1.0 for every member, so all
+    but the hub are near-rejected — the same larger-id-loses semantics
+    as dedup.minhash_lsh_pairs under its guard."""
+    from itertools import permutations
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(p) for p in permutations(words)][:40]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    guarded = SignatureStore(
+        spark, str(tmp_path / "g"), jaccard_threshold=0.8, max_bucket=4
+    )
+    acc_g, rep_g = guarded.ingest(_docs(spark, rows))
+    assert {r["doc_id"] for r in acc_g.collect()} == {0}
+    assert (rep_g.n_batch, rep_g.n_exact_rejected,
+            rep_g.n_near_rejected, rep_g.n_accepted) == (40, 0, 39, 1)
+
+    # Unguarded (default max_bucket=4096 never triggers at this size)
+    # agrees bit-for-bit — the guard changes the plan, not the answer.
+    unguarded = SignatureStore(spark, str(tmp_path / "u"), jaccard_threshold=0.8)
+    acc_u, rep_u = unguarded.ingest(_docs(spark, rows))
+    assert {r["doc_id"] for r in acc_u.collect()} == {0}
+    assert rep_u.n_near_rejected == 39
+
+    # The guarded store's persisted state is the survivor only, and a
+    # follow-up batch still dedups against it correctly.
+    assert guarded.docs().count() == 1
+    acc2, rep2 = guarded.ingest(
+        _docs(spark, [(100, texts[3]), (101, OTHER)])
+    )
+    assert {r["doc_id"] for r in acc2.collect()} == {101}
+    assert rep2.n_exact_rejected + rep2.n_near_rejected == 1
