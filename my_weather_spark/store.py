@@ -587,6 +587,16 @@ class TsStore:
         metadata-only answer is the point. The default exact path
         scans the data.
 
+        Snapshot binding: with ``exact_fallback=True`` the returned
+        DataFrame is bound to the CATALOG STATE AT CALL TIME (the
+        catalog is checkpointed alongside the fallback existence
+        probe, so the probe's plan-shape decision and the executed
+        plan always agree) — series stored after find() returns do not
+        appear when the result is executed later. The fallback scan
+        itself reads current data files within the snapshot's
+        fallback partitions. With ``exact_fallback=False`` the result
+        is fully lazy and reflects the catalog at execution time.
+
         delta_t (exact path) is the per-series mode of point spacing
         (dt_mode — the store knows the actual cadence). point_fx and
         olson_tz_id come from ``catalog`` (Domain.measurements, keyed
@@ -607,6 +617,22 @@ class TsStore:
                 cat_df = cat_df.where(F.col("source") == source)
             if pattern is not None:
                 cat_df = cat_df.where(F.col("series_id").rlike(pattern))
+            if exact_fallback:
+                # Pin ONE call-time catalog snapshot (r8 ADVICE): the
+                # needs_scan existence probe below runs a job NOW, but
+                # the returned DataFrame is lazy — without this pin a
+                # store() between find() and execution would re-read
+                # the catalog with the plan shape already frozen, and a
+                # newly interleaved/capped series would silently get
+                # NULL delta_t despite the exact-equal guarantee.
+                # Checkpointing the (filtered, tiny) catalog makes the
+                # probe decision and the executed plan read the same
+                # state; the probe job was already being paid, so this
+                # adds no extra scan. The exact_fallback=False path
+                # stays fully lazy/zero-job by design (metadata-only
+                # callers; NULL delta_t there is the documented answer
+                # for unanswerable series either way).
+                cat_df = cat_df.localCheckpoint(eager=True)
             # order a series' partition rows by period start: when they
             # don't interleave, the full ts-sorted point sequence is
             # exactly their concatenation, so total spacings = stored

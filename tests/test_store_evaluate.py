@@ -634,3 +634,50 @@ def test_catalog_legacy_flat_layout_migrates(spark, tmp_path):
     fast = store.find(fast=True).collect()[0]
     assert fast["created"] == _dt(1000).replace(tzinfo=None)
     assert fast["modified"] == _dt(2000).replace(tzinfo=None)
+
+
+def test_find_fast_is_bound_to_call_time_catalog_snapshot(spark, tmp_path):
+    """find(fast, exact_fallback=True) pins the catalog snapshot at
+    call time (r8 ADVICE): the fallback existence probe decides the
+    plan shape eagerly, so the lazy result must read the SAME state —
+    a store() between find() and execution must not surface a newly
+    interleaved series with the fallback branch already pruned away
+    (which would yield NULL delta_t despite the exact-equal
+    guarantee). The held DataFrame answers as of find(); a fresh
+    find() sees the new state exactly."""
+    from datetime import timedelta
+
+    store = TsStore(spark, str(tmp_path / "snap_store"))
+    rows = [("m", _dt(i * 3600), float(i)) for i in range(4)]
+    store.store(
+        spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double"
+        ),
+        source="src1",
+        ingest_time=_dt(1000),
+    )
+    held = store.find(fast=True)  # snapshot pinned here
+
+    # Interleave the same series under a second source AFTER find():
+    # post-write catalog marks 'm' needs_scan, but the held plan was
+    # built with needs_scan=False.
+    store.store(
+        spark.createDataFrame(
+            [("m", _dt(1800), 9.0), ("m", _dt(5400), 9.5)],
+            "series_id string, ts timestamp, value double",
+        ),
+        source="src2",
+        ingest_time=_dt(2000),
+    )
+
+    got = {r["name"]: r for r in held.collect()}
+    assert got["m"]["n_points"] == 4          # call-time state
+    assert got["m"]["delta_t"] == 3600.0      # not NULL, not post-write
+
+    # A fresh find() reflects the interleaved store and stays
+    # exact-equal to the scan path.
+    fresh = {r["name"]: r for r in store.find(fast=True).collect()}
+    exact = {r["name"]: r for r in store.find(fast=False).collect()}
+    assert fresh["m"]["n_points"] == 6
+    assert fresh["m"]["delta_t"] == exact["m"]["delta_t"]
+    assert fresh["m"]["delta_t"] is not None
