@@ -45,7 +45,7 @@ def _featured(
     CPU-heavy but byte-small, so a few-file input would otherwise run
     it near-serial (the r8 floor probe found dsir's identical scan on
     one task); no-op at production partition counts."""
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     return _with_feature_buckets(_fan_out(docs), text_col, dim).select(
         F.col(id_col), pos.alias("_is_p"), "_fb"

@@ -100,7 +100,7 @@ def contamination_flags(
     one core at sf0.1) — at 100 TB the input already has thousands of
     partitions and the fan-out is a no-op.
     """
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     bench = F.broadcast(
         benchmark_ngrams(benchmark, n, text_col).withColumn("_hit", F.lit(1))
@@ -179,7 +179,7 @@ def split_leakage(
         raise ValueError(f"n must be >= 1, got {n}")
     if train_label not in labels:
         raise ValueError(f"train_label {train_label!r} not in labels {labels}")
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
     from my_weather_spark.llm.sampling import split_assign
 
     assigned = split_assign(df, weights, labels, seed, id_col)

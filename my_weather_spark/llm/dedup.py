@@ -30,24 +30,8 @@ from operator import add
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from my_weather_spark.llm._util import fan_out as _fan_out
 from my_weather_spark.ops.timeseries import round6_portable
-
-
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism when the input
-    has fewer partitions than cores.
-
-    CPU-heavy narrow ops (md5 over shingle sets) are bottlenecked by
-    input partitioning: a corpus arriving as one small parquet file
-    plans one task and serializes the whole computation on one core.
-    At 100 TB inputs arrive with thousands of partitions and this is a
-    no-op; on small/few-file inputs the cheap shuffle buys full-core
-    parallelism for the expensive map that follows.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 # ----------------------------------------------------------------------

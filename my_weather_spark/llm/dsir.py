@@ -236,7 +236,7 @@ def importance_weights(
     (the floor-probe r8 reading was 10 near-single-task stages at
     sf0.1); at 100 TB inputs already carry thousands of partitions and
     the fan-out is a no-op."""
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     flag = [target.alias("_is_t")] if isinstance(target, Column) else []
     feats = (

@@ -115,7 +115,7 @@ def pq_encode(
                 {id_col: pdf[id_col].to_numpy(), "codes": list(codes.astype("int32"))}
             )
 
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         _encode, schema=f"{id_col} {id_type}, codes array<int>"

@@ -66,7 +66,7 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     scored = (
         _fan_out(c).join(F.broadcast(q))  # broadcast NL: corpus stays distributed
@@ -159,7 +159,7 @@ def cosine_threshold_pairs(
                 }
             )
 
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         _score, schema=out_schema
@@ -353,7 +353,7 @@ def semantic_decontam_flags(
                 }
             )
 
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     b_id_type = bench.schema[id_col].dataType.simpleString()
@@ -528,7 +528,7 @@ def ivf_assign(
             out[centroid_id_col] = ids[best]
             yield out
 
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     vec_type = corpus.schema[vec_col].dataType.simpleString()
@@ -741,7 +741,7 @@ def srp_codes(
                 out.append(pd.DataFrame(cols))
             yield pd.concat(out)
 
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     return _fan_out(corpus.select(id_col, vec_col)).mapInPandas(_code, schema)
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from my_weather_spark.llm.dedup import _fan_out
+from my_weather_spark.llm._util import fan_out as _fan_out
 from my_weather_spark.ops.timeseries import round6_portable
 
 # Stopword marker sets for the n-gram/stopword-hit language heuristic.
@@ -447,7 +447,7 @@ def hashed_bow(
     output: only non-empty buckets appear. One explode + one hash
     aggregate with map-side partials; no dim-sized row blowup.
     """
-    from my_weather_spark.llm.dedup import _fan_out
+    from my_weather_spark.llm._util import fan_out as _fan_out
 
     wh = _fan_out(df).select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("_w")

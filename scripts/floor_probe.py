@@ -142,13 +142,16 @@ def job_stats(spark, group: str) -> dict:
     return {"jobs": len(jobs), "stages": stages, "tasks": tasks}
 
 
-def exchange_count(df) -> int:
-    """Exchange operators in the query's INITIAL physical plan — an
-    upper bound, not the final adaptive plan: the instrumented noop
-    write runs its own QueryExecution, so ``df``'s own plan here is
-    unexecuted and AQE rewrites (broadcast conversions, coalesced
-    exchanges) are not reflected. Stage/task counts in job_stats are
-    the executed-run ground truth; this field is supplementary."""
+def initial_exchange_count(df) -> int:
+    """Exchange operators in the query's initial (pre-AQE) physical
+    plan — an UPPER BOUND, not what ran: the instrumented noop write
+    runs its own QueryExecution, so ``df``'s executedPlan() here
+    belongs to a never-executed sibling plan whose AQE rewrites
+    (broadcast conversions, coalesced exchanges) never happened.
+    Renamed from exchange_count (r8 ADVICE — the old name plus the
+    executedPlan() call read as the adaptive final plan, which this is
+    not). Stage/task counts in job_stats are the executed-run ground
+    truth; this field is supplementary."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange")
 
@@ -204,7 +207,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             spark.sparkContext.setJobGroup("", "")
             stats = job_stats(spark, group)
-            nexch = exchange_count(df)
+            nexch = initial_exchange_count(df)
 
             t1 = timed(
                 lambda: qs[n](spark, SF_DIR)
@@ -234,7 +237,7 @@ def main() -> None:
                 "floor_share": round(floor / t1, 3) if t1 > 0 else None,
                 "scale_slope_4x": round(t4 / t1, 2) if t1 > 0 else None,
                 **stats,
-                "exchanges": nexch,
+                "initial_exchanges": nexch,
                 "reps": reps,
             }
             out.append(rec)
@@ -242,11 +245,11 @@ def main() -> None:
 
         print("\n%-24s %6s %6s %7s %7s %6s %6s %6s" % (
             "query", "t1x", "t4x", "floor", "work1x", "ratio",
-            "stages", "exch"))
+            "stages", "exch0"))
         for r in out:
             print("%-24s %6.2f %6.2f %7.2f %7.2f %6s %6d %6d" % (
                 r["query"], r["t_1x"], r["t_4x"], r["floor_sec"],
-                r["work_sec_1x"], r["ratio"], r["stages"], r["exchanges"]))
+                r["work_sec_1x"], r["ratio"], r["stages"], r["initial_exchanges"]))
         print(
             "\nfloor_share >= (1 - 2*oracle/t1x) means the >2x excess is"
             " fully inside the data-independent floor."

@@ -40,9 +40,28 @@ TABLES = [
 # BASELINE.md "Sanctioned per-query ratio outliers": queries whose
 # toy-scale Spark/DuckDB ratio is structurally unrepresentative, each
 # with a documented design reason that disappears or reverses at the
-# 100 TB design point. The *_scaled suffix covers exactly the
-# distributed twins enumerated there (their windowed bases share the
-# same oracle at ~1x; the twins pay ranged-sort insurance by design).
+# 100 TB design point.
+#
+# The _scaled distributed twins are ENUMERATED, not suffix-matched
+# (r8 ADVICE): a future *_scaled query must earn its exclusion in
+# BASELINE.md and be added here deliberately — is_sanctioned() asserts
+# the registry's _scaled set equals this pinned list, so an unlisted
+# newcomer fails the probe loudly instead of being silently excluded.
+# (Their windowed bases share the same oracle at ~1x; the twins pay
+# ranged-sort insurance by design.)
+SANCTIONED_SCALED = {
+    "asof_join_views_scaled",
+    "ccnet_ppl_buckets_scaled",
+    "doc_length_percentiles_scaled",
+    "instant_interpolation_scaled",
+    "resample_time_weighted_scaled",
+    "running_total_scaled",
+    "value_deciles_scaled",
+    "w1_lag_delta_scaled",
+    "w2_end_extension_scaled",
+    "w5_sliding_count_scaled",
+}
+
 SANCTIONED_EXACT = {
     "mm_jpeg_image_stats",      # Spark entropy-decodes; oracle reads metadata
     "simhash_hamming_pairs",    # fused kernel, ~5 fixed stage floors
@@ -57,8 +76,18 @@ SANCTIONED_EXACT = {
 }
 
 
+def _check_scaled_pin() -> None:
+    registry_scaled = {n for n in entrymod.queries() if n.endswith("_scaled")}
+    if registry_scaled != SANCTIONED_SCALED:
+        raise RuntimeError(
+            "registry *_scaled set drifted from SANCTIONED_SCALED — a new "
+            "_scaled query must document its exclusion in BASELINE.md and "
+            f"be added here: {sorted(registry_scaled ^ SANCTIONED_SCALED)}"
+        )
+
+
 def is_sanctioned(name: str) -> bool:
-    return name.endswith("_scaled") or name in SANCTIONED_EXACT
+    return name in SANCTIONED_SCALED or name in SANCTIONED_EXACT
 
 
 # bench.py owns the run-cpu_calib-in-a-subprocess-and-parse logic;
@@ -67,6 +96,7 @@ from bench import calib_record as calib_stamp  # noqa: E402
 
 
 def main() -> None:
+    _check_scaled_pin()
     argv = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = 3
