@@ -6,8 +6,10 @@ across runs is the determinism check; any query whose fingerprint
 moves between runs must NOT be pinned (and its nondeterminism is a
 finding in itself).
 
-Usage: python scripts/pin_rows_only.py [sf_dir ...]
-Prints one JSON line per (query, sf).
+Usage: python scripts/pin_rows_only.py [--queries a,b] [sf_dir ...]
+Prints one JSON line per (query, sf). --queries restricts to a
+comma-separated subset (e.g. the sf0.1 stream_ingest_accepted pin,
+where running all six at that scale buys nothing).
 """
 
 from __future__ import annotations
@@ -33,14 +35,23 @@ QUERIES = [
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    argv = sys.argv[1:]
+    queries = QUERIES
+    if argv and argv[0] == "--queries":
+        wanted = argv[1].split(",")
+        unknown = set(wanted) - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"not rows-only queries: {sorted(unknown)}")
+        queries = wanted
+        argv = argv[2:]
+    sf_dirs = argv or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     spark = get_spark(
         app_name="pin_rows_only",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     qs = entrymod.queries()
     for sf_dir in sf_dirs:
-        for name in QUERIES:
+        for name in queries:
             df = qs[name](spark, sf_dir)
             fp = result_fingerprint(df)
             print(

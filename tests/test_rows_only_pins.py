@@ -50,6 +50,12 @@ PINS = {
         "f561570a8752885be1c99140f0099a0d0e5a9f7fd9b51ec7a7a94b652dff5c98",
     ("stream_ingest_accepted", "/root/testdata/sf0.01"):
         "f4dea04f241ccad3b8f44611c73a12c673601b3beb055393e052e7678fb4ea6a",
+    # sf0.1 (VERDICT r8 item 3): until round 9 this scale was exercised
+    # only by the driver bench — exactly where it failed unobserved.
+    # ~60-90 s one-off drain per session; determinism verified by two
+    # fresh-process runs of pin_rows_only.py --queries.
+    ("stream_ingest_accepted", "/root/testdata/sf0.1"):
+        "e0e6c4c43b419e12c86a8c0c7b2c319f09a0b44c13061d3e64267816bb03d2b0",
 }
 
 
