@@ -97,9 +97,11 @@ def main() -> None:
     # never-GC speed while still bounding the cleaner backlog (only
     # ~1/5 of queries run right after a full GC, diluting the ~7%
     # next-query penalty to ~1.4%, under the noise floor). The tick
-    # unit is ONE TIMED SPARK EXECUTION (same unit in perf_probe.py —
-    # keep them aligned; the backlog grows per execution, not per
-    # query name). Always OUTSIDE the timed windows.
+    # unit is ONE SPARK EXECUTION — warmup AND timed, since round 9
+    # (the r8 crash came precisely from the warmup's ~131 untracked
+    # executions; same unit in perf_probe.py — keep them aligned; the
+    # backlog grows per execution, not per query name). Always OUTSIDE
+    # the timed windows.
     _gc_tick = 0
 
     def jvm_gc(force: bool = False) -> None:
