@@ -60,10 +60,13 @@ def calib_record() -> dict | None:
 
 def _calib() -> list[float] | None:
     """Compact [st_ms, mt32_ms] projection for the bench JSON lines.
-    .get(): a cpu_calib output-format drift must degrade the stamp to
-    None, never crash the whole bench at startup (r8 ADVICE)."""
+    A cpu_calib output-format drift (missing/renamed keys) degrades
+    the stamp to None — the one 'no valid calib' shape readers already
+    handle — never crashes the bench at startup (r8 ADVICE)."""
     rec = calib_record()
-    return [rec.get("st_ms"), rec.get("mt32_ms")] if rec else None
+    if not rec or rec.get("st_ms") is None or rec.get("mt32_ms") is None:
+        return None
+    return [rec["st_ms"], rec["mt32_ms"]]
 
 
 def main() -> None:
@@ -171,6 +174,12 @@ def main() -> None:
                 print(f"[bench] REP FAILED, dropping {name}: {failed[name]}",
                       file=sys.stderr)
                 del reps[name]
+                # A failed execution still ran jobs and allocated
+                # blocks before raising — it ticks the GC cadence like
+                # any other execution (the r8 failure mode was exactly
+                # untracked executions aging the session).
+                gc.collect()
+                jvm_gc()
                 continue
             reps[name].append(round(time.perf_counter() - t0, 3))
             gc.collect()  # see warmup note — outside the timed window
@@ -229,7 +238,12 @@ def main() -> None:
             "total_median": round(sum(medians.values()), 3),
             "sf": _sf_label(SF_DIR),
             "n_queries": len(timings),
-            "failed": sorted(failed),
+            # Names capped at 10 so a mass-failure run (dead JVM ->
+            # ~130 entries) can never push even the fallback record
+            # over the 2000-char capture; the complete map is in the
+            # full record / bench_full.json.
+            "n_failed": len(failed),
+            "failed": sorted(failed)[:10],
             "calib_before": calib_before,
             "calib_after": calib_after,
         }
@@ -249,7 +263,8 @@ def main() -> None:
             "total_median": round(sum(medians.values()), 3),
             "sf": _sf_label(SF_DIR),
             "n_queries": len(timings),
-            "failed": sorted(failed),
+            "n_failed": len(failed),
+            "failed": sorted(failed)[:10],  # capped — see loop above
             "calib_before": calib_before,
             "calib_after": calib_after,
         }

@@ -41,7 +41,7 @@ def _featured(
     nb_scores checkpoints this frame so the model aggregate and the
     scoring fold both read it instead of re-running the split+grams
     chain (tokenization is the dominant cost of the whole op). The
-    corpus fans out first (llm/dedup._fan_out): the split+md5 pass is
+    corpus fans out first (llm/_util.fan_out): the split+md5 pass is
     CPU-heavy but byte-small, so a few-file input would otherwise run
     it near-serial (the r8 floor probe found dsir's identical scan on
     one task); no-op at production partition counts."""

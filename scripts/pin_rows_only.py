@@ -37,13 +37,16 @@ QUERIES = [
 def main() -> None:
     argv = sys.argv[1:]
     queries = QUERIES
-    if argv and argv[0] == "--queries":
-        wanted = argv[1].split(",")
+    if "--queries" in argv:  # accept the flag in any position
+        i = argv.index("--queries")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: pin_rows_only.py [--queries a,b] [sf_dir ...]")
+        wanted = argv[i + 1].split(",")
         unknown = set(wanted) - set(QUERIES)
         if unknown:
             raise SystemExit(f"not rows-only queries: {sorted(unknown)}")
         queries = wanted
-        argv = argv[2:]
+        argv = argv[:i] + argv[i + 2:]
     sf_dirs = argv or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     spark = get_spark(
         app_name="pin_rows_only",
