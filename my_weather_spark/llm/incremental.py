@@ -353,10 +353,18 @@ class SignatureStore:
         # Buckets larger than self.max_bucket degrade to a STAR around
         # the bucket's min id — linear pairs, and because the hub is
         # the bucket minimum, star pairs keep the (_ia < _ib) / larger-
-        # id-loses orientation. Degradation contract is identical to
-        # minhash_lsh_pairs: non-hub members of a hot bucket are
+        # id-loses orientation. Degradation contract MIRRORS
+        # minhash_lsh_pairs (non-hub members of a hot bucket are
         # verified against the hub only, so a non-hub doc that dupes a
-        # sibling but NOT the hub survives; for the realistic hot case
+        # sibling but NOT the hub survives) with one consequence
+        # AMPLIFIED here: a survivor is permanently ACCEPTED and
+        # persisted into the store, seeding all future batches —
+        # whereas in the batch pipeline a missed pair is often still
+        # recovered downstream via hub connectivity in the components
+        # step. Stores where exactness in hot buckets matters should
+        # raise max_bucket or run a periodic offline sweep
+        # (dedup.lsh_jaccard chain over the accepted corpus) to evict
+        # late-detected near-dups. For the realistic hot case
         # (near-identical content — why the bucket is hot) every hub
         # pair passes the verify and the accept set matches the
         # unguarded plan exactly (pytest-pinned, test_incremental).

@@ -628,7 +628,13 @@ class TsStore:
                 # Checkpointing the (filtered, tiny) catalog makes the
                 # probe decision and the executed plan read the same
                 # state; the probe job was already being paid, so this
-                # adds no extra scan. The exact_fallback=False path
+                # adds no extra scan. Checkpoint blocks stay pinned in
+                # executor storage until the Python-side DataFrame is
+                # garbage collected — a long-lived driver calling
+                # find() in a loop accumulates pinned (catalog-sized,
+                # i.e. tiny) blocks until its references drop; callers
+                # holding many results can del them or gc.collect() to
+                # release (r9 ADVICE). The exact_fallback=False path
                 # stays fully lazy/zero-job by design (metadata-only
                 # callers; NULL delta_t there is the documented answer
                 # for unanswerable series either way).

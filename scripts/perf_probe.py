@@ -210,6 +210,21 @@ def main() -> None:
     print("EX-SANCTIONED spark %.2f s   oracle %.2f s   ratio %.2fx  (%d queries)"
           % (xs, xo, xs / xo if xo else float("nan"), len(ex)))
 
+    # Stable core (VERDICT r9 item 3): the lsh_jaccard_near_dup DuckDB
+    # oracle is bimodal — 7.4-67.5 s across the three r9 sweeps for
+    # identical SQL — and single-handedly swings the all-queries
+    # headline between 0.82x and 2.13x while Spark holds 3.8-5.9 s.
+    # Excluding that one query from BOTH sides gives the denominator-
+    # stable comparator (1.64-1.65x in every r9 sweep, previously
+    # computed by hand in NOTES); first-class here so sweep-to-sweep
+    # movement is attributable mechanically.
+    _BIMODAL_ORACLE = {"lsh_jaccard_near_dup"}
+    core = [r for r in ex if r[0] not in _BIMODAL_ORACLE]
+    cs = sum(r[1] for r in core)
+    co = sum(r[2] for r in core)
+    print("STABLE-CORE   spark %.2f s   oracle %.2f s   ratio %.2fx  (%d queries, ex-sanctioned minus bimodal-oracle set)"
+          % (cs, co, cs / co if co else float("nan"), len(core)))
+
     if json_path:
         artifact = {
             "metric": "spark_duckdb_ratio",
@@ -227,6 +242,15 @@ def main() -> None:
                 "excluded": sorted(
                     r[0] for r in rows if is_sanctioned(r[0])
                 ),
+            },
+            # ex-sanctioned minus the bimodal-oracle set (both sides):
+            # the denominator-stable comparator — see stdout note.
+            "stable_core": {
+                "n_queries": len(core),
+                "spark_total_sec": round(cs, 2),
+                "oracle_total_sec": round(co, 2),
+                "ratio": round(cs / co, 3) if co else None,
+                "also_excluded": sorted(_BIMODAL_ORACLE),
             },
             "cpu_calib_before": calib_before,
             "cpu_calib_after": calib_stamp(),

@@ -127,10 +127,14 @@ def main() -> None:
     argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
     names: list[str] = []
+    label = ""
     i = 0
     while i < len(argv):
         if argv[i] == "--sf":
             sf_dir = argv[i + 1]
+            i += 2
+        elif argv[i] == "--label":
+            label = argv[i + 1]
             i += 2
         elif argv[i] == "-q":
             names = argv[i + 1 :]
@@ -144,8 +148,14 @@ def main() -> None:
     qs = entrymod.queries()
     if not names:
         names = list(qs)
+    import datetime
+
+    stamp = datetime.date.today().isoformat() + (f" ({label})" if label else "")
     lines = [
         "# PLAN AUDIT — physical-plan properties per query",
+        "",
+        f"Generated: {stamp} — regenerate every round (the anti-pattern",
+        "evidence must never be stale, even when no plan changed).",
         "",
         f"Scale dir: {sf_dir}. Checks: no row-at-a-time Python UDFs,",
         "no undeclared cartesian joins, plus per-query broadcast /",

@@ -56,6 +56,19 @@ PINS = {
     # fresh-process runs of pin_rows_only.py --queries.
     ("stream_ingest_accepted", "/root/testdata/sf0.1"):
         "e0e6c4c43b419e12c86a8c0c7b2c319f09a0b44c13061d3e64267816bb03d2b0",
+    # sf0.1, remaining five (VERDICT r9 item 5): all six rows-only
+    # queries now pinned at every scale the driver touches; determinism
+    # verified by two byte-identical fresh-process pin_rows_only runs.
+    ("w4_rdp_downsample", "/root/testdata/sf0.1"):
+        "6eae76680f4f9ea5ec90579d69c8859a0b1d8ee6b37bc7538a5fcfad6aa611d9",
+    ("w2_end_extension_raw", "/root/testdata/sf0.1"):
+        "daa4f44b21179ebcefa928922921c27f6de3c99d9c42db41436fe25fab54e2b6",
+    ("approx_distinct_users", "/root/testdata/sf0.1"):
+        "9de145337664fd383c0a6b1a971d7e8e55392d153cfe1e3a2e1f8498f8591e2a",
+    ("srp_cosine_near_dup", "/root/testdata/sf0.1"):
+        "a96b83059b05656f1cc9e3c83eeb30bf47a2e88e534869930307364f33e68f0f",
+    ("ann_ivf_topk", "/root/testdata/sf0.1"):
+        "c54c9ed2bac0400be47381cd360b2e69ab488c6e01bbb7ca93258846243658ab",
 }
 
 
