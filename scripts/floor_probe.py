@@ -181,7 +181,9 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    # headroom for the co-resident JVM — see perf_probe.py's threads
+    # note (all-cores DuckDB convoys 2-30x when any JVM thread wakes)
+    con.execute(f"SET threads TO {max(1, (os.cpu_count() or 8) - 4)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 

@@ -131,7 +131,18 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}")
 
     con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    # cpu_count - 4, NOT all cores (r10 bimodality root-cause): with a
+    # co-resident (idle) Spark JVM in this process, DuckDB at
+    # threads == all 32 cores convoys on its pipeline barriers whenever
+    # any JVM background thread wakes — measured 27-253 s on the
+    # lsh_jaccard_near_dup oracle vs 7-14 s standalone, the exact
+    # 7.4-67.5 s sweep-to-sweep bimodality of RATIO_r09/b/c. Leaving a
+    # few cores of headroom (24 and 28 both measured) restores
+    # standalone-parity timings (11-22 s window-dependent) and is the
+    # fair setting: while the oracle runs Spark is idle (dormant
+    # DuckDB costs Spark nothing in the reverse direction, so Spark
+    # keeps local[32]).
+    con.execute(f"SET threads TO {max(1, (os.cpu_count() or 8) - 4)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
