@@ -21,17 +21,13 @@ import os
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import duckdb
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from _duck import oracle_connect
 from my_weather_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 # ONE canonicalization contract for the whole repo: the fingerprint
@@ -68,9 +64,7 @@ def _bad_oracle_types(rel):
 def typecheck():
     """Preflight: every oracle's DuckDB output types must be portable.
     No Spark session needed — relation .types is resolved lazily."""
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    con = oracle_connect(SF_DIR)
     oracles = entrymod.oracle_sql()
     n_fail = 0
     for name, sql in oracles.items():
@@ -88,9 +82,9 @@ def typecheck():
 
 
 def main(names=None):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # JVM-headroom oracle connection (_duck.py): this process hosts a
+    # live Spark JVM, the exact all-cores convoy topology from r10
+    con = oracle_connect(SF_DIR)
     spark = get_spark(app_name="check_correctness")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

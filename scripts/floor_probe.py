@@ -42,10 +42,10 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import duckdb
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from _duck import oracle_connect
 from my_weather_spark.session import get_spark
 from my_weather_spark.tables import load_table
 
@@ -180,12 +180,9 @@ def main() -> None:
         app_name="floor_probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    con = duckdb.connect()
-    # headroom for the co-resident JVM — see perf_probe.py's threads
-    # note (all-cores DuckDB convoys 2-30x when any JVM thread wakes)
-    con.execute(f"SET threads TO {max(1, (os.cpu_count() or 8) - 4)}")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # JVM-headroom oracle connection + standard views (_duck.py —
+    # all-cores DuckDB convoys 2-30x when any JVM thread wakes)
+    con = oracle_connect(SF_DIR)
 
     scaled = build_scaled_dir(spark, perturb=perturb)
     try:

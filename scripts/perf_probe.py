@@ -26,16 +26,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import duckdb
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from _duck import oracle_connect
 from my_weather_spark.session import get_spark
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 # BASELINE.md "Sanctioned per-query ratio outliers": queries whose
 # toy-scale Spark/DuckDB ratio is structurally unrepresentative, each
@@ -130,21 +125,9 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
 
-    con = duckdb.connect()
-    # cpu_count - 4, NOT all cores (r10 bimodality root-cause): with a
-    # co-resident (idle) Spark JVM in this process, DuckDB at
-    # threads == all 32 cores convoys on its pipeline barriers whenever
-    # any JVM background thread wakes — measured 27-253 s on the
-    # lsh_jaccard_near_dup oracle vs 7-14 s standalone, the exact
-    # 7.4-67.5 s sweep-to-sweep bimodality of RATIO_r09/b/c. Leaving a
-    # few cores of headroom (24 and 28 both measured) restores
-    # standalone-parity timings (11-22 s window-dependent) and is the
-    # fair setting: while the oracle runs Spark is idle (dormant
-    # DuckDB costs Spark nothing in the reverse direction, so Spark
-    # keeps local[32]).
-    con.execute(f"SET threads TO {max(1, (os.cpu_count() or 8) - 4)}")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # JVM-headroom oracle connection + standard views — the r10
+    # convoy root cause and the fairness rationale live in _duck.py.
+    con = oracle_connect(sf_dir)
 
     spark = get_spark(
         app_name="perf_probe",
@@ -256,12 +239,17 @@ def main() -> None:
             },
             # ex-sanctioned minus the bimodal-oracle set (both sides):
             # the denominator-stable comparator — see stdout note.
+            # also_excluded lists only queries ACTUALLY probed and
+            # removed (a shortlist run that never measured lsh must
+            # not claim to have excluded it).
             "stable_core": {
                 "n_queries": len(core),
                 "spark_total_sec": round(cs, 2),
                 "oracle_total_sec": round(co, 2),
                 "ratio": round(cs / co, 3) if co else None,
-                "also_excluded": sorted(_BIMODAL_ORACLE),
+                "also_excluded": sorted(
+                    _BIMODAL_ORACLE & {r[0] for r in rows}
+                ),
             },
             "cpu_calib_before": calib_before,
             "cpu_calib_after": calib_stamp(),

@@ -19,7 +19,9 @@ stages actually run) — the no-row-UDF check is the static guarantee
 that nothing forces interpretation, and the notes column records the
 positive evidence (broadcasts, pushed filters, pruned read schemas).
 
-Usage: python scripts/plan_audit.py [--sf DIR] [-q name ...]
+Usage: python scripts/plan_audit.py [--sf DIR] [--label TEXT] [-q name ...]
+(-q consumes every remaining arg as query names, so it must come LAST;
+--label stamps the generated-on header, e.g. --label round-10.)
 Exit 1 on any violation. Writes PLAN_AUDIT.md at the repo root.
 """
 

@@ -23,15 +23,12 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession
 
 DEFAULT_QUERIES = ["q1_pricing_summary", "minhash_lsh_pairs", "running_total_scaled"]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 def _dt(s):
@@ -95,18 +92,16 @@ def library_boundary(spark):
 
 
 def driver_contract(spark, names):
-    import duckdb
-
     import __spark_entry__ as e
+    from _duck import oracle_connect
 
     df = e.entry(spark)
     n = df.count()
     assert n >= 0 and len(df.schema) > 0
     print(f"entry(): {n} rows OK")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # JVM-headroom oracle connection (_duck.py r10 convoy note)
+    con = oracle_connect(SF_DIR)
     oracles = e.oracle_sql()
     for name in names:
         q = e.queries()[name](spark, SF_DIR)
