@@ -4683,43 +4683,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's oracle check covers only the FIRST 50 registry entries
-# per round (queries() iterates insertion order). Round-10 window
-# (VERDICT r9 item 2 — rotate onto the now-stalest greens): (a) ALL 26
-# r7 greens that sat out both r8 and r9 — three rounds stale by r10;
-# nothing r7-stale survives this round (the set computed from
-# CORRECTNESS_r07 minus r08 minus r09 keys); (b) 24 of the 50 r8
-# greens that sat out r9 (two rounds stale), leading with the
-# verdict-named ones (q1/q3/q5/q8/q9/q21, the asof pair, w1/w2
-# scaled+base, pivot, sessionize, stream_curated_front, the
-# floor-quartet) and filling with the heavy dedup/quality kernels
-# (lsh chain, components, gopher, bm25, running_total, kmeans). The
-# remaining 26 r8 greens are r11 rotation debt. Out this round: all
-# r9-checked names (1 round fresh) and the rows-only set (covered by
-# the sf0.001/0.01/0.1 hash pins in tests/test_rows_only_pins.py —
-# stronger than the driver's rows-only count).
+# per round (queries() iterates insertion order). Round-11 window
+# (VERDICT r10 item 1 — rotate onto the now-stalest greens): (a) ALL
+# 26 r8 greens that sat out both r9 and r10 — two rounds stale by
+# r10, the verdict-named "r11 rotation debt" (the set computed from
+# CORRECTNESS_r08 minus r09 minus r10 keys; all 26 were full
+# hash-match greens in r8); (b) 24 of the 50 r9 greens that sat out
+# r10: the TPC-H block (q2/q4/q6/q7/q10-q20/q22, 16 queries), the
+# set-op/grouping block (anti/semi join, rollup, cube), and f1/f2/
+# f4/f7. Dropped from (b): f5_monthly_orders (passed the builder's
+# r10 out-of-window spot check) and f8_threshold_bins (operator F8
+# re-proven by r10-green part_size_bins) — both rotate with the r12
+# debt. The remaining 26 r9 greens are r12 rotation debt. Out this
+# round: all r10-checked names (1 round fresh) and the rows-only set
+# (covered by the sf0.001/0.01/0.1 hash pins in
+# tests/test_rows_only_pins.py — stronger than the driver's
+# rows-only count).
 _DRIVER_PRIORITY = [
-    # (a) round-7 greens, three rounds stale — the full stratum
-    "a6_bool_aggregates", "bpe_merge_table", "bpe_token_counts",
-    "ccnet_ppl_buckets", "ccnet_ppl_buckets_scaled", "corpus_stats",
-    "cosine_threshold_pairs", "doc_length_percentiles",
-    "instant_interpolation", "lm_perplexity_scores",
-    "p2_measurement_projection", "p4_scheme_routing", "p5_empty_guard",
-    "pack_bins_by_source", "part_size_bins", "pii_redaction",
-    "range_join_error_window", "resample_time_weighted",
-    "sample_stratified_counts", "set_except_nations",
-    "set_intersect_nations", "split_assign_counts", "text_hashed_bow",
-    "text_token_stats", "training_order_head", "w2_end_extension_scaled",
-    # (b) r8 greens two rounds stale — verdict-named first
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q8_market_share", "q9_profit_by_nation_year",
-    "q21_lone_returned_supplier",
-    "asof_join_views", "asof_join_views_scaled",
-    "w1_lag_delta", "w1_lag_delta_scaled", "w2_end_extension",
-    "pivot_daily_event_values", "sessionize_users", "stream_curated_front",
-    "split_leakage_stats", "dup_span_stats", "decontam_flags",
-    "dsir_selected",
-    "lsh_jaccard_near_dup", "near_dup_components", "gopher_quality_flags",
-    "bm25_relevance_scores", "running_total", "kmeans_clusters",
+    # (a) round-8 greens, two rounds stale — the full stratum
+    "above_customer_avg_orders", "distinct_users_per_type",
+    "instant_interpolation_scaled", "json_props_extract",
+    "line_boilerplate_clean", "mixed_interpretation_resample",
+    "mm_frame_sample", "mm_jpeg_image_stats", "mm_payload_stats",
+    "mm_wav_audio_stats", "nb_quality_flags", "pq_ann_topk",
+    "resample_hourly", "resample_time_weighted_scaled",
+    "running_total_scaled", "semantic_decontam_flags", "semdedup_kept",
+    "simhash_hamming_pairs", "source_jsd_divergence",
+    "temperature_mix_counts", "text_fingerprint",
+    "text_repetition_stats", "unimax_mix_alloc", "value_deciles_scaled",
+    "vocab_top_words", "w5_sliding_count_scaled",
+    # (b) r9 greens one round stale — TPC-H / set-op / f-family block
+    "q2_min_cost_supplier", "q4_late_shipment_priority",
+    "q6_forecast_revenue", "q7_nation_trade", "q10_returned_revenue",
+    "q11_important_stock", "q12_ship_delay_priority",
+    "q13_order_count_histogram", "q14_promo_share", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_bracket_revenue", "q20_promo_part_suppliers",
+    "q22_idle_customer_balance",
+    "anti_join_customers", "semi_join_suppliers", "rollup_order_priority",
+    "cube_events",
+    "f1_camel_to_snake", "f2_ascii_clean", "f4_url_roundtrip",
+    "f7_format_tiles",
 ]
 
 

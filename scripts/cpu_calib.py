@@ -24,12 +24,26 @@ container speed (measured: unpinned mt32 read 1530-2333 ms of pool
 oversubscription where the pinned workload reads ~570-610 ms).
 Import-order contract: keep the environ lines above `import numpy`.
 
-Usage: python scripts/cpu_calib.py
+Usage: python scripts/cpu_calib.py [--mini]
 Reference window (round 7, third sitting, pinned-BLAS): st ~270-300
 ms, mt32 ~570-610 ms healthy. Degraded-window thresholds under
 pinning are still being learned — treat mt32 sustained >= 1.5x the
 reference as a degraded stamp and record the reading beside any
 sweep it stamps.
+
+--mini: st single-rep, mt32 still best-of-3 (~2.5 s healthy vs
+~2.7 s full) for the in-bench calib_track stamps that fire every ~25
+timed executions. Two r11 calibration measurements shaped this:
+(a) the r10 degradation mode was mt-only — BENCH_r10 calib_mid read
+st 296 ms (healthy) beside mt32 1521 ms (2.6x degraded) — so the
+st-only mini first sketched in the r10 verdict is blind to exactly
+the drift being tracked; (b) short mt probes bias high one-sidedly
+(same borderline window: best-of-3 620-820 ms, min-of-2 906-1745,
+min-of-1 715-1416), enough to flap any threshold keyed to the
+best-of-3 bands, so the classification axis keeps its 3 reps and the
+saving comes only from the st side. mt32 in a mini stamp is
+therefore directly comparable to the full before/mid/after stamps;
+treat mini st as a sanity axis only.
 """
 
 from __future__ import annotations
@@ -89,16 +103,23 @@ def _multi_thread(n: int = 32) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    st = min(_single_thread() for _ in range(3))
-    mt = min(_multi_thread() for _ in range(3))
-    print(json.dumps({
+def main(mini: bool = False) -> None:
+    n_st = 1 if mini else 3
+    st = min(_single_thread() for _ in range(n_st))
+    mt = min(_multi_thread() for _ in range(3))  # see --mini note (b)
+    rec = {
         "metric": "cpu_calibration",
         "st_ms": round(st * 1000, 1),
         "mt32_ms": round(mt * 1000, 1),
-        "unit": "ms (best of 3, lower = faster container window)",
-    }))
+        "unit": f"ms (st best of {n_st}, mt32 best of 3; "
+                "lower = faster container window)",
+    }
+    if mini:
+        rec["mini"] = True
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(mini="--mini" in sys.argv[1:])

@@ -21,7 +21,10 @@ positive evidence (broadcasts, pushed filters, pruned read schemas).
 
 Usage: python scripts/plan_audit.py [--sf DIR] [--label TEXT] [-q name ...]
 (-q consumes every remaining arg as query names, so it must come LAST;
---label stamps the generated-on header, e.g. --label round-10.)
+--label IS the generated-on header, e.g. --label round-11 — no
+wall-clock date, so identical audits are byte-identical and the stamp
+can never disagree with the round tag; omitting it marks the header
+UNLABELED / not-for-commit.)
 Exit 1 on any violation. Writes PLAN_AUDIT.md at the repo root.
 """
 
@@ -150,9 +153,13 @@ def main() -> None:
     qs = entrymod.queries()
     if not names:
         names = list(qs)
-    import datetime
-
-    stamp = datetime.date.today().isoformat() + (f" ({label})" if label else "")
+    # The stamp is the --label alone (e.g. "round-11"): a wall-clock
+    # date made the output non-reproducible — regenerating identical
+    # plans on a different day produced a diff, and the date could
+    # silently disagree with the round tag (r10 ADVICE). --label is
+    # now required for a full (committable) audit; ad-hoc -q runs may
+    # omit it and get an explicitly unlabeled header.
+    stamp = label if label else "UNLABELED (ad-hoc run — not for commit)"
     lines = [
         "# PLAN AUDIT — physical-plan properties per query",
         "",
