@@ -14,7 +14,12 @@ headline ratio, the ex-sanctioned ratio (same math quoted in NOTES /
 BASELINE.md — the sanctioned outlier table's members excluded), the
 per-query numbers, and pinned-BLAS cpu_calib stamps taken in
 subprocesses immediately before and after the sweep (a subprocess
-because cpu_calib must pin thread pools BEFORE numpy loads).
+because cpu_calib must pin thread pools BEFORE numpy loads). Since
+r11 a --json sweep also carries an in-run calib_track (mini stamp
+every 50 timed executions) and per-query exec spans + a
+window_degraded flag, so a mid-sweep transient — like RATIO_r11
+sweep 1's lsh block, inflated 4-10x on BOTH engines between healthy
+edge stamps — is localizable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -85,9 +90,14 @@ def is_sanctioned(name: str) -> bool:
     return name in SANCTIONED_SCALED or name in SANCTIONED_EXACT
 
 
-# bench.py owns the run-cpu_calib-in-a-subprocess-and-parse logic;
-# import it so a cpu_calib output change is fixed in one place.
-from bench import calib_record as calib_stamp  # noqa: E402
+# bench.py owns the run-cpu_calib-in-a-subprocess-and-parse logic AND
+# the degraded-window classification; import both so a cpu_calib
+# output change or threshold recalibration is fixed in one place.
+from bench import (  # noqa: E402
+    DEGRADED_MT32_MS,
+    _stamp_degraded,
+    calib_record as calib_stamp,
+)
 
 
 def main() -> None:
@@ -116,6 +126,47 @@ def main() -> None:
             names.append(a)
             i += 1
     calib_before = calib_stamp() if json_path else None
+
+    # In-sweep window-attribution track (mirrors bench.py's
+    # calib_track; added r11 after RATIO_r11 sweep 1 carried a
+    # transient that inflated BOTH engines' lsh block 4-10x while the
+    # edge stamps read healthy — a mid-sweep event the artifact could
+    # not localize). A mini stamp (st x1, mt32 best-of-3) every 50
+    # timed executions; each query records its exec span so a
+    # transient is attributable to the queries that ran inside it.
+    # Only maintained for --json runs (ad-hoc stdout probes stay
+    # lean).
+    n_exec = [0]
+    track: list[dict] = []
+    if json_path:
+        track.append({
+            "exec": 0,
+            "stamp": (
+                [calib_before["st_ms"], calib_before["mt32_ms"]]
+                if calib_before and calib_before.get("st_ms") is not None
+                and calib_before.get("mt32_ms") is not None else None
+            ),
+            "full": True,
+        })
+
+    def tick() -> None:
+        """One timed execution happened (spark or oracle side); every
+        50th, stamp the window. Runs OUTSIDE both engines' timed
+        windows (between reps)."""
+        n_exec[0] += 1
+        if not json_path or n_exec[0] % 50:
+            return
+        rec = calib_stamp(mini=True)
+        track.append({
+            "exec": n_exec[0],
+            "stamp": (
+                None
+                if not rec or rec.get("st_ms") is None
+                or rec.get("mt32_ms") is None
+                else [rec["st_ms"], rec["mt32_ms"]]
+            ),
+            "full": False,
+        })
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -171,6 +222,7 @@ def main() -> None:
     for n in names:
         st = []
         ot = []
+        span_start = n_exec[0] + 1
         for _ in range(reps):
             t0 = time.perf_counter()
             qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -183,12 +235,14 @@ def main() -> None:
             # the collect runs outside the timed window of the NEXT rep.
             gc.collect()
             jvm_gc()
+            tick()
             if n in oracles:
                 t0 = time.perf_counter()
                 con.execute(oracles[n]).fetchall()
                 ot.append(time.perf_counter() - t0)
+                tick()
         s, o = min(st), (min(ot) if ot else float("nan"))
-        rows.append((n, s, o))
+        rows.append((n, s, o, (span_start, n_exec[0])))
         print("%-32s spark %6.2f  oracle %6.2f  ratio %5.2fx"
               % (n, s, o, s / o if o == o and o > 0 else float("nan")),
               flush=True)
@@ -220,6 +274,38 @@ def main() -> None:
           % (cs, co, cs / co if co else float("nan"), len(core)))
 
     if json_path:
+        calib_after = calib_stamp()
+        track.append({
+            "exec": n_exec[0],
+            "stamp": (
+                [calib_after["st_ms"], calib_after["mt32_ms"]]
+                if calib_after and calib_after.get("st_ms") is not None
+                and calib_after.get("mt32_ms") is not None else None
+            ),
+            "full": True,
+        })
+
+        def span_degraded(span: tuple[int, int]) -> bool:
+            """True if any stamp bounding or inside the query's exec
+            span reads degraded — the query's timings MAY carry window
+            inflation (localized to the stamp spacing, ~50 execs)."""
+            lo, hi = span
+            below = max(
+                (s for s in track if s["exec"] <= lo - 1),
+                key=lambda s: s["exec"],
+                default=None,
+            )
+            above = min(
+                (s for s in track if s["exec"] >= hi),
+                key=lambda s: s["exec"],
+                default=None,
+            )
+            inside = [s for s in track if lo <= s["exec"] < hi]
+            return any(
+                _stamp_degraded(s["stamp"])
+                for s in ([below, above] if below and above else []) + inside
+            )
+
         artifact = {
             "metric": "spark_duckdb_ratio",
             "sf": sf_dir,
@@ -252,12 +338,22 @@ def main() -> None:
                 ),
             },
             "cpu_calib_before": calib_before,
-            "cpu_calib_after": calib_stamp(),
+            "cpu_calib_after": calib_after,
+            # in-sweep window stamps (see tick()); exec positions count
+            # timed executions on either engine. window_degraded per
+            # query = some stamp bounding/inside its exec span read
+            # mt32 >= the threshold — its numbers MAY carry window
+            # inflation (re-probe the flagged names before reading
+            # them as plan evidence).
+            "calib_track": track,
+            "degraded_mt32_threshold_ms": DEGRADED_MT32_MS,
             "queries": {
                 r[0]: {
                     "spark_sec": round(r[1], 3),
                     "oracle_sec": round(r[2], 3) if r[2] == r[2] else None,
                     "sanctioned": is_sanctioned(r[0]),
+                    "exec_span": list(r[3]),
+                    "window_degraded": span_degraded(r[3]),
                 }
                 for r in rows
             },
