@@ -337,7 +337,10 @@ def main() -> None:
     if degraded_queries:
         rec = calib_record(mini=True)
         retry_calib.append(
-            None if not rec else [rec.get("st_ms"), rec.get("mt32_ms")]
+            None
+            if not rec or rec.get("st_ms") is None
+            or rec.get("mt32_ms") is None
+            else [rec["st_ms"], rec["mt32_ms"]]
         )
         for name in degraded_queries:
             gc.collect()
@@ -354,7 +357,10 @@ def main() -> None:
             retry_timings[name] = round(time.perf_counter() - t0, 3)
         rec = calib_record(mini=True)
         retry_calib.append(
-            None if not rec else [rec.get("st_ms"), rec.get("mt32_ms")]
+            None
+            if not rec or rec.get("st_ms") is None
+            or rec.get("mt32_ms") is None
+            else [rec["st_ms"], rec["mt32_ms"]]
         )
     full = {
         "metric": "total wall-clock of all declared queries (noop sink, best of 3)",
