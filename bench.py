@@ -334,15 +334,43 @@ def main() -> None:
     }
     retry_timings: dict[str, float] = {}
     retry_calib: list = []
+    retry_skipped: list[str] = []
+    retry_skipped_reason = ""
+    # Bound the retry block (r11 solo-run lesson): a fully-degraded
+    # window can flag ~every query, and 100+ single reps in a window
+    # that is STILL degraded add minutes of wall for zero information
+    # (the r11 retry bracket read [518 -> 1207] — the block itself
+    # re-degraded). Two guards, both recorded in the artifact:
+    # (a) if the pre-retry stamp is already degraded, skip the whole
+    # block (the retries would carry the same inflation they exist to
+    # correct); (b) otherwise retry at most the 40 slowest flagged
+    # queries (the most-watched inflations), listing the rest in
+    # retry_skipped.
+    _RETRY_CAP = 40
     if degraded_queries:
         rec = calib_record(mini=True)
-        retry_calib.append(
+        pre = (
             None
             if not rec or rec.get("st_ms") is None
             or rec.get("mt32_ms") is None
             else [rec["st_ms"], rec["mt32_ms"]]
         )
-        for name in degraded_queries:
+        retry_calib.append(pre)
+        retry_order = sorted(
+            degraded_queries, key=lambda n: -timings[n]
+        )
+        if _stamp_degraded(pre):
+            retry_skipped = retry_order
+            retry_skipped_reason = (
+                "pre-retry stamp degraded; retries would carry the "
+                "same window inflation"
+            )
+            retry_order = []
+        elif len(retry_order) > _RETRY_CAP:
+            retry_skipped = retry_order[_RETRY_CAP:]
+            retry_skipped_reason = f"retry cap {_RETRY_CAP}"
+            retry_order = retry_order[:_RETRY_CAP]
+        for name in retry_order:
             gc.collect()
             jvm_gc(force=True)
             t0 = time.perf_counter()
@@ -406,6 +434,10 @@ def main() -> None:
         "degraded_queries": degraded_queries,
         "retry_timings": retry_timings,
         "retry_calib": retry_calib,
+        # flagged queries NOT retried (degraded pre-retry stamp, or
+        # past the cap) + why — see the retry-bound comment above.
+        "retry_skipped": retry_skipped,
+        "retry_skipped_reason": retry_skipped_reason,
     }
     # Full record: one line on stdout + a sidecar file for readers of
     # the repo (the driver's log keeps only the LAST ~2000 chars). The
