@@ -96,6 +96,33 @@ def _stamp_degraded(stamp: list[float] | None) -> bool:
     return stamp is not None and stamp[1] >= DEGRADED_MT32_MS
 
 
+def track_span_degraded(
+    track: list[dict], lo: int, hi: int
+) -> bool:
+    """True if any calib-track stamp bounding or inside the exec span
+    (execs lo+1..hi; lo == hi-1 for a single rep) reads degraded —
+    pessimistic: a window that flips between stamps can't be localized
+    closer than the stamp spacing. The ONE shared implementation for
+    bench reps and perf_probe query spans (an earlier perf_probe copy
+    dropped the above-bound whenever the below-bound was absent, i.e.
+    for every span before the first mini stamp — exactly the sweep's
+    opening block was one-sidedly blind to a degradation first seen at
+    stamp #1)."""
+    below = max(
+        (s for s in track if s["exec"] <= lo),
+        key=lambda s: s["exec"],
+        default=None,
+    )
+    above = min(
+        (s for s in track if s["exec"] >= hi),
+        key=lambda s: s["exec"],
+        default=None,
+    )
+    bounds = [s for s in (below, above) if s is not None]
+    inside = [s for s in track if lo < s["exec"] < hi]
+    return any(_stamp_degraded(s["stamp"]) for s in bounds + inside)
+
+
 def main() -> None:
     # Console progress bars write to stdout and can leave "[Stage ..]"
     # fragments on the same line as the JSON record — the driver parses
@@ -315,17 +342,7 @@ def main() -> None:
     # before) and their own edge stamps so a retry taken in a still-
     # degraded window is recognizable as such.
     def _rep_degraded(e: int) -> bool:
-        below = max(
-            (s for s in calib_track if s["exec"] <= e - 1),
-            key=lambda s: s["exec"],
-        )
-        above = min(
-            (s for s in calib_track if s["exec"] >= e),
-            key=lambda s: s["exec"],
-        )
-        return _stamp_degraded(below["stamp"]) or _stamp_degraded(
-            above["stamp"]
-        )
+        return track_span_degraded(calib_track, e - 1, e)
 
     degraded_queries = {
         name: execs

@@ -95,8 +95,8 @@ def is_sanctioned(name: str) -> bool:
 # output change or threshold recalibration is fixed in one place.
 from bench import (  # noqa: E402
     DEGRADED_MT32_MS,
-    _stamp_degraded,
     calib_record as calib_stamp,
+    track_span_degraded,
 )
 
 
@@ -288,23 +288,11 @@ def main() -> None:
         def span_degraded(span: tuple[int, int]) -> bool:
             """True if any stamp bounding or inside the query's exec
             span reads degraded — the query's timings MAY carry window
-            inflation (localized to the stamp spacing, ~50 execs)."""
-            lo, hi = span
-            below = max(
-                (s for s in track if s["exec"] <= lo - 1),
-                key=lambda s: s["exec"],
-                default=None,
-            )
-            above = min(
-                (s for s in track if s["exec"] >= hi),
-                key=lambda s: s["exec"],
-                default=None,
-            )
-            inside = [s for s in track if lo <= s["exec"] < hi]
-            return any(
-                _stamp_degraded(s["stamp"])
-                for s in ([below, above] if below and above else []) + inside
-            )
+            inflation (localized to the stamp spacing, ~50 execs).
+            Shared implementation: bench.track_span_degraded (an
+            earlier local copy dropped the above-bound for every span
+            before the first mini stamp)."""
+            return track_span_degraded(track, span[0], span[1])
 
         artifact = {
             "metric": "spark_duckdb_ratio",
