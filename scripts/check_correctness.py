@@ -82,13 +82,25 @@ def typecheck():
 
 
 def main(names=None):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = names or list(qs)
+    # Fail fast on names that aren't registry entries (e.g. a stray
+    # flag: this script takes NO --sf option — scale comes from
+    # SPARK_GRAFT_SF_DIR_T2). Without this, "--sf <dir>" silently
+    # becomes two FAIL rows and miscounts a rehearsal readout; checked
+    # BEFORE the sessions spin up so a bad invocation fails in
+    # seconds, not after a Spark start.
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries (not in the registry): {unknown}")
+        print("usage: check_correctness.py [--types] [name ...]; "
+              "set SPARK_GRAFT_SF_DIR_T2 to change scale")
+        return 2
     # JVM-headroom oracle connection (_duck.py): this process hosts a
     # live Spark JVM, the exact all-cores convoy topology from r10
     con = oracle_connect(SF_DIR)
     spark = get_spark(app_name="check_correctness")
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    names = names or list(qs)
     n_pass = n_fail = 0
     for name in names:
         t0 = time.time()
