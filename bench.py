@@ -123,6 +123,39 @@ def track_span_degraded(
     return any(_stamp_degraded(s["stamp"]) for s in bounds + inside)
 
 
+# Bound the retry block (r11 solo-run lesson): a fully-degraded window
+# can flag ~every query, and 100+ single reps in a window that is
+# STILL degraded add minutes of wall for zero information (the r11
+# retry bracket read [518 -> 1207] — the block itself re-degraded).
+RETRY_CAP = 40
+
+
+def plan_retries(
+    degraded_queries: dict[str, list[int]],
+    timings: dict[str, float],
+    pre_stamp: list[float] | None,
+    cap: int = RETRY_CAP,
+) -> tuple[list[str], list[str], str]:
+    """Decide which degraded-flagged queries get an end-of-run retry
+    rep. Returns (retry_order, skipped, skip_reason). Two guards, both
+    recorded in the artifact: (a) pre-retry stamp already degraded ->
+    skip the whole block (the retries would carry the same inflation
+    they exist to correct); (b) otherwise retry at most the `cap`
+    slowest flagged queries (the most-watched inflations), listing the
+    rest in skipped. Pure function so the guards are unit-testable —
+    they first shipped untested and unexecuted (the sf0.001 smoke
+    flagged zero queries)."""
+    order = sorted(degraded_queries, key=lambda n: -timings[n])
+    if _stamp_degraded(pre_stamp):
+        return [], order, (
+            "pre-retry stamp degraded; retries would carry the "
+            "same window inflation"
+        )
+    if len(order) > cap:
+        return order[:cap], order[cap:], f"retry cap {cap}"
+    return order, [], ""
+
+
 def main() -> None:
     # Console progress bars write to stdout and can leave "[Stage ..]"
     # fragments on the same line as the JSON record — the driver parses
@@ -353,17 +386,6 @@ def main() -> None:
     retry_calib: list = []
     retry_skipped: list[str] = []
     retry_skipped_reason = ""
-    # Bound the retry block (r11 solo-run lesson): a fully-degraded
-    # window can flag ~every query, and 100+ single reps in a window
-    # that is STILL degraded add minutes of wall for zero information
-    # (the r11 retry bracket read [518 -> 1207] — the block itself
-    # re-degraded). Two guards, both recorded in the artifact:
-    # (a) if the pre-retry stamp is already degraded, skip the whole
-    # block (the retries would carry the same inflation they exist to
-    # correct); (b) otherwise retry at most the 40 slowest flagged
-    # queries (the most-watched inflations), listing the rest in
-    # retry_skipped.
-    _RETRY_CAP = 40
     if degraded_queries:
         rec = calib_record(mini=True)
         pre = (
@@ -373,20 +395,9 @@ def main() -> None:
             else [rec["st_ms"], rec["mt32_ms"]]
         )
         retry_calib.append(pre)
-        retry_order = sorted(
-            degraded_queries, key=lambda n: -timings[n]
+        retry_order, retry_skipped, retry_skipped_reason = plan_retries(
+            degraded_queries, timings, pre
         )
-        if _stamp_degraded(pre):
-            retry_skipped = retry_order
-            retry_skipped_reason = (
-                "pre-retry stamp degraded; retries would carry the "
-                "same window inflation"
-            )
-            retry_order = []
-        elif len(retry_order) > _RETRY_CAP:
-            retry_skipped = retry_order[_RETRY_CAP:]
-            retry_skipped_reason = f"retry cap {_RETRY_CAP}"
-            retry_order = retry_order[:_RETRY_CAP]
         for name in retry_order:
             gc.collect()
             jvm_gc(force=True)

@@ -7,7 +7,13 @@ the round artifacts get a degraded-window tag, so their edge cases
 artifact fidelity, not cosmetics.
 """
 
-from bench import DEGRADED_MT32_MS, _stamp_degraded, track_span_degraded
+from bench import (
+    DEGRADED_MT32_MS,
+    RETRY_CAP,
+    _stamp_degraded,
+    plan_retries,
+    track_span_degraded,
+)
 
 H = [300.0, 550.0]          # healthy stamp (mt32 well under threshold)
 D = [300.0, 1500.0]         # degraded stamp
@@ -94,3 +100,42 @@ class TestTrackSpanDegraded:
         # must not tag.
         t = _track((0, D), (25, H), (75, H), (100, D))
         assert track_span_degraded(t, 40, 60) is False
+
+
+class TestPlanRetries:
+    DQ = {"a": [1, 2, 3], "b": [4, 5, 6], "c": [7, 8, 9]}
+    TIMES = {"a": 1.0, "b": 3.0, "c": 2.0}
+
+    def test_healthy_prestamp_retries_all_slowest_first(self):
+        order, skipped, reason = plan_retries(self.DQ, self.TIMES, H)
+        assert order == ["b", "c", "a"]
+        assert skipped == [] and reason == ""
+
+    def test_degraded_prestamp_skips_whole_block(self):
+        order, skipped, reason = plan_retries(self.DQ, self.TIMES, D)
+        assert order == []
+        assert skipped == ["b", "c", "a"]
+        assert "degraded" in reason
+
+    def test_none_prestamp_does_not_skip(self):
+        # calib unavailable classifies as not-degraded (same convention
+        # as _stamp_degraded) — the retries still run.
+        order, skipped, _ = plan_retries(self.DQ, self.TIMES, None)
+        assert order == ["b", "c", "a"] and skipped == []
+
+    def test_cap_keeps_slowest_and_lists_rest(self):
+        dq = {f"q{i}": [i] for i in range(10)}
+        times = {f"q{i}": float(i) for i in range(10)}
+        order, skipped, reason = plan_retries(dq, times, H, cap=4)
+        assert order == ["q9", "q8", "q7", "q6"]
+        assert skipped == [f"q{i}" for i in range(5, -1, -1)]
+        assert reason == "retry cap 4"
+
+    def test_at_cap_no_skip(self):
+        dq = {f"q{i}": [i] for i in range(RETRY_CAP)}
+        times = {f"q{i}": float(i) for i in range(RETRY_CAP)}
+        order, skipped, reason = plan_retries(dq, times, H)
+        assert len(order) == RETRY_CAP and skipped == [] and reason == ""
+
+    def test_empty_input(self):
+        assert plan_retries({}, {}, H) == ([], [], "")
