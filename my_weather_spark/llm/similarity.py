@@ -769,11 +769,12 @@ def srp_lsh_pairs(
     near-dup clusters, and everything else never pairs up.
 
     The candidate generation and exact verify are FUSED per bucket:
-    codes carry their vector, buckets are grouped once
-    (groupBy(band, band_key) + applyInPandas), and each bucket scores
-    its own all-pairs with one blocked BLAS product, emitting only the
-    over-threshold pairs. Shuffled bytes are one (vector + code) row
-    per (doc, band) — Σ bucket sizes — never one row per candidate
+    singleton buckets are dropped on the narrow code rows first, the
+    vectors are joined onto the surviving rows, buckets are grouped
+    once, and each bucket scores its own all-pairs with one blocked
+    BLAS product, emitting only the over-threshold pairs. Shuffled
+    vector bytes are one (vector + code) row per COLLIDING (doc, band)
+    — Σ sizes of multi-member buckets — never one row per candidate
     PAIR, which at near-dup-dense corpora is orders of magnitude
     larger. Zero-norm vectors never reach the verify (dropped in
     srp_codes), so cos is never NaN. Duplicate finds across bands
@@ -795,17 +796,24 @@ def srp_lsh_pairs(
     # hashed-BoW aggregation) is computed once, not once per use.
     proj = corpus.select(id_col, vec_col).localCheckpoint(eager=True)
     codes = srp_codes(proj, n_planes, band_bits, seed, id_col, vec_col)
-    # Vectors ride to the buckets via a JVM-side join onto the code
-    # rows (Tungsten-format arrays, no Python round-trip) and cross
-    # into Python exactly once, at the mapInPandas verify boundary.
-    codes = codes.join(proj, id_col)
-    # Drop singleton buckets JVM-side — they can't produce a pair, and
-    # they are the vast majority of buckets under sparse banding. The
-    # window's hash partitioning on the bucket key is the same
-    # partitioning the verify needs, so Catalyst reuses the exchange.
+    # Drop singleton buckets on the NARROW code rows (id, band,
+    # band_key) — they can't produce a pair, and they are the vast
+    # majority of buckets under sparse banding. Sizing buckets before
+    # the vectors are attached keeps the bucket-key exchange at ~20
+    # bytes/row; the wide embedding payload is joined on afterwards and
+    # shuffled only for the surviving (collision) rows.
     wb = W.partitionBy("band", "band_key")
-    sized = codes.withColumn("_n", F.count(F.lit(1)).over(wb)).where(F.col("_n") >= 2)
-    parted = sized.repartition("band", "band_key").sortWithinPartitions(
+    sized = (
+        codes.withColumn("_n", F.count(F.lit(1)).over(wb))
+        .where(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    # Vectors ride to the surviving buckets via a JVM-side join onto
+    # the code rows (Tungsten-format arrays, no Python round-trip) and
+    # cross into Python exactly once, at the mapInPandas verify
+    # boundary.
+    fat = sized.join(proj, id_col)
+    parted = fat.repartition("band", "band_key").sortWithinPartitions(
         "band", "band_key"
     )
     id_type = corpus.schema[id_col].dataType.simpleString()

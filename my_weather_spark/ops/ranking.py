@@ -555,6 +555,83 @@ def percent_rank_expr(rank_col: str, total: int) -> Column:
     return (F.col(rank_col) - 1) / F.lit(float(total - 1))
 
 
+def _grouped_numbered(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[str],
+    out_col: str,
+    n_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared engine behind grouped_row_number/grouped_exact_percentiles:
+    (numbered df, tiny per-group stats df with (group, n_col)).
+
+    Everything per-group is derived from ONE per-(partition, group)
+    COUNT aggregate over the checkpointed ranged sort — the group is
+    the LEADING range key, so each group is a contiguous run of the
+    global order and min_rank(g) = 1 + Σ_{g' < g} count(g'). That
+    count table has ~n_groups + n_partitions rows (each group spans
+    adjacent partitions only), so the cross-partition cumulations are
+    single-task windows over a tiny frame, and the Python numbering
+    pass over the full data runs exactly ONCE (the old shape re-ran it
+    for a stats aggregate over its own output).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in [group_col, *order_by]]
+    parted = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    pg = parted.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_c"))
+    w_pid = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    pid_off = (
+        pg.groupBy("_pid")
+        .agg(F.sum("_c").alias("_pc"))
+        .select("_pid", F.coalesce(F.sum("_pc").over(w_pid), F.lit(0)).alias("_off"))
+    )
+    # group sizes + count of all preceding groups' rows, in the SAME
+    # ascending order the range partitioner used (leading sort key)
+    w_grp = W.orderBy(group_col).rowsBetween(W.unboundedPreceding, -1)
+    gstats = (
+        pg.groupBy(group_col)
+        .agg(F.sum("_c").cast("long").alias(n_col))
+        .select(
+            group_col,
+            n_col,
+            F.coalesce(F.sum(n_col).over(w_grp), F.lit(0)).alias("_prior"),
+        )
+    )
+    schema_out = StructType(
+        list(parted.schema.fields) + [StructField("_local", LongType())]
+    )
+
+    def _number(batches):
+        base = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_local"] = range(base + 1, base + 1 + len(pdf))
+            base += len(pdf)
+            yield pdf
+
+    numbered = parted.mapInPandas(_number, schema=schema_out)
+    # global_rank = _local + _off; min_rank(group) = _prior + 1
+    out = (
+        numbered.join(F.broadcast(pid_off), "_pid")
+        .join(F.broadcast(gstats), group_col)
+        .withColumn(
+            out_col, (F.col("_local") + F.col("_off") - F.col("_prior")).cast("long")
+        )
+        .drop("_pid", "_local", "_off", "_prior")
+    )
+    return out, gstats.drop("_prior")
+
+
 def grouped_row_number(
     df: DataFrame,
     group_col: str,
@@ -570,24 +647,18 @@ def grouped_row_number(
     A per-group ranking window sends each group's entire history to
     one task — with a handful of hot groups (languages, sources) that
     is a straggler at 100 TB. Distributed shape: ONE ranged global
-    sort on (group, *order_by) via global_row_number, then a tiny
-    per-group (min rank, count) aggregate broadcast back —
-    rank_in_group = global_rank - min_rank(group) + 1. Contiguity of
-    the global order within each group makes this exact; ``order_by``
-    must total-order rows WITHIN a group (include a tie-breaker),
-    exactly as for any deterministic ranking.
+    sort on (group, *order_by), numbered within partitions in a single
+    Python pass, with per-partition and per-group offsets derived from
+    a tiny per-(partition, group) count aggregate broadcast back —
+    rank_in_group = local_rank + partition_offset - rows_in_prior_groups.
+    Contiguity of the global order within each group makes this exact;
+    ``order_by`` must total-order rows WITHIN a group (include a
+    tie-breaker), exactly as for any deterministic ranking.
     """
-    ranked, _ = global_row_number(
-        df, [group_col, *order_by], out_col="_g_rn", num_partitions=num_partitions
+    out, _ = _grouped_numbered(
+        df, group_col, order_by, out_col, n_col, num_partitions
     )
-    stats = ranked.groupBy(group_col).agg(
-        F.min("_g_rn").alias("_g_min"), F.count(F.lit(1)).alias(n_col)
-    )
-    return (
-        ranked.join(F.broadcast(stats), group_col)
-        .withColumn(out_col, (F.col("_g_rn") - F.col("_g_min") + 1).cast("long"))
-        .drop("_g_rn", "_g_min")
-    )
+    return out
 
 
 def ntile_col_expr(rank_col: str, total_col: str, k: int) -> Column:
@@ -638,21 +709,22 @@ def grouped_exact_percentiles(
     for p in ps:
         if not (isinstance(p, int) and 1 <= p <= 100):
             raise ValueError(f"percentiles must be ints in 1..100, got {p!r}")
-    ranked = grouped_row_number(
+    ranked, gstats = _grouped_numbered(
         df.select(group_col, value_col, id_col),
         group_col,
         [value_col, id_col],
-        num_partitions=num_partitions,
+        "grn",
+        "n_group",
+        num_partitions,
     )
-    # rename the target-side keys: targets derives FROM ranked, and a
-    # qualified self-join on the shared lineage is ambiguous to Spark
+    # targets come from the TINY per-group stats table (never from the
+    # numbered output, which would re-run the full numbering pass);
+    # rename the target-side keys so the join is unambiguous
     targets = (
-        ranked.groupBy(group_col)
-        .agg(F.max("n_group").alias("_n"))
-        .select(
+        gstats.select(
             F.col(group_col).alias("_t_grp"),
             F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
-            F.col("_n"),
+            F.col("n_group").alias("_n"),
         )
         .withColumn(
             "_target",
