@@ -164,9 +164,14 @@ def split_leakage(
     by construction), both sides here are corpus-derived.
 
     Scale shape: the (doc, split, gram) frame is built once (in-row
-    gram hashing, one narrow pass) and feeds BOTH the train-side
-    distinct and the eval-side probe on the same 8-byte shuffle key —
-    the duplicate_span_stats exchange-reuse shape. The train gram set
+    gram hashing, one narrow pass, MATERIALIZED pre-explode: the
+    train-distinct and eval-probe subtrees get different filters
+    pushed in, so Catalyst cannot reuse one scan between them and an
+    unmaterialized frame re-runs the whole parse+md5 pass per
+    consumer — the minhash-bands lesson; the checkpoint holds hash
+    ARRAYS, about the bytes of the text they came from, never the
+    exploded frame) and feeds BOTH the train-side distinct and the
+    eval-side probe on the same 8-byte shuffle key. The train gram set
     is corpus-sized, so the probe is an honest shuffle join at scale
     (AQE broadcasts it at toy scale); eval docs with no grams survive
     via explode_outer with n_grams = 0, leaked = false. Hash
@@ -183,7 +188,12 @@ def split_leakage(
     from my_weather_spark.llm.sampling import split_assign
 
     assigned = split_assign(df, weights, labels, seed, id_col)
-    grams = _with_ngram_hashes(_fan_out(assigned), text_col, n, "_g").select(
+    hashed = (
+        _with_ngram_hashes(_fan_out(assigned), text_col, n, "_g")
+        .select(id_col, "split", "_g")
+        .localCheckpoint(eager=True)
+    )
+    grams = hashed.select(
         id_col, "split", F.explode_outer("_g").alias("gram_h")
     )
     train_set = (

@@ -313,23 +313,31 @@ def duplicate_span_stats(
     :func:`drop_span_duplicates`).
 
     Scale shape: the (doc, span) frame is built once (in-row gram
-    hashing, one narrow pass) and feeds BOTH the span-frequency
-    aggregate and the probe join on the same 8-byte shuffle key. The
-    frequency side is filtered to ``_nd >= min_docs`` BEFORE the probe
-    join: only spans that can flag anything ride the join's build
-    side, so at normal duplication rates AQE sees a small side and
-    converts the probe to a broadcast-hash join at runtime (no probe
-    sort, no fetch); at pathological duplication rates it stays a
-    shuffle join on the reused 8-byte-key exchange — the canonical
-    distributed exact-substring-dedup shape (the suffix-array
-    formulation is single-node). Hash collisions (~2^-60) can only
-    over-flag, the conservative direction.
+    hashing, one narrow pass, MATERIALIZED pre-explode — the frequency
+    and probe subtrees get different filters pushed in, so Catalyst
+    cannot exchange-reuse them and an unmaterialized frame re-runs the
+    whole parse+md5 pass per consumer, the minhash-bands lesson) and
+    feeds BOTH the span-frequency aggregate and the probe join on the
+    same 8-byte shuffle key. The checkpoint holds hash ARRAYS
+    (~8 bytes/gram, about the bytes of the text it came from), never
+    the exploded frame. The frequency side is filtered to
+    ``_nd >= min_docs`` BEFORE the probe join: only spans that can
+    flag anything ride the join's build side, so at normal duplication
+    rates AQE sees a small side and converts the probe to a
+    broadcast-hash join at runtime (no probe sort, no fetch); at
+    pathological duplication rates it stays a shuffle join on the
+    8-byte key — the canonical distributed exact-substring-dedup shape
+    (the suffix-array formulation is single-node). Hash collisions
+    (~2^-60) can only over-flag, the conservative direction.
     """
     from my_weather_spark.llm.decontam import _with_ngram_hashes
 
-    spans = _with_ngram_hashes(_fan_out(df), text_col, n, "_g").select(
-        id_col, F.explode_outer("_g").alias("span_h")
+    hashed = (
+        _with_ngram_hashes(_fan_out(df), text_col, n, "_g")
+        .select(id_col, "_g")
+        .localCheckpoint(eager=True)
     )
+    spans = hashed.select(id_col, F.explode_outer("_g").alias("span_h"))
     dup = (
         spans.where(F.col("span_h").isNotNull())
         .groupBy("span_h")
@@ -386,6 +394,17 @@ def jaccard_for_candidates(
     quadratic word-level self-join — this is the function to feed LSH
     output at corpus scale.
 
+    The corpus is PRE-FILTERED to docs that appear in a candidate pair
+    (semi-join on the distinct candidate ids) BEFORE the word-split +
+    md5 pass, and the hashed word sets are materialized once for the
+    two join sides: LSH candidates are a sliver of the corpus, so the
+    parse+hash cost tracks |candidate docs|, not 2 x |corpus| (the
+    old shape hashed every doc twice — once per join side). When the
+    candidate set is small AQE broadcasts the id list (no corpus
+    shuffle); in the near-dup-dense worst case the semi-join is an
+    honest shuffle bounded by one corpus pass, still under the old
+    two-pass cost.
+
     ``hashed=True`` (default) intersects 60-bit md5 word hashes
     (longs) instead of strings: ~3x cheaper to ship and intersect,
     exact up to a ~2^-60-per-word-pair collision — negligible even at
@@ -403,12 +422,25 @@ def jaccard_for_candidates(
         )
     else:
         words = word_array(text_col)
-    d = df.select(F.col(id_col), words.alias("_ws"))
+    # The candidate frame is consumed twice below (id prefilter + the
+    # verify join) and is typically the output of an LSH chain —
+    # materialize it so that chain runs once, not per consumer.
+    cand = candidates.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    d = (
+        df.join(ids, id_col, "left_semi")
+        .select(F.col(id_col), words.alias("_ws"))
+        .localCheckpoint(eager=True)
+    )
     a = d.select(F.col(id_col).alias("doc_a"), F.col("_ws").alias("_wa"))
     b = d.select(F.col(id_col).alias("doc_b"), F.col("_ws").alias("_wb"))
     n_part = df.sparkSession.sparkContext.defaultParallelism * 4
     return (
-        candidates.select("doc_a", "doc_b")
+        cand
         .repartition(n_part, "doc_a", "doc_b")
         .join(a, "doc_a")
         .join(b, "doc_b")
