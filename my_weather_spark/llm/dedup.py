@@ -220,11 +220,17 @@ def minhash_lsh_pairs(
     # join — the band rows themselves are never re-shuffled for the
     # guard (a window over (band, band_key) would sort-shuffle every
     # band row just to learn its bucket size).
+    # The hot table is consumed by THREE subtrees (both pair-join
+    # sides and the star branch), and each consumer would otherwise
+    # replay the full bucket-size aggregate over the band table —
+    # materialize it once; it is tiny (≤ corpus/max_bucket rows,
+    # empty on healthy data).
     hot = (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_hub"))
         .where(F.col("_n") > max_bucket)
         .select("band", "band_key", "_hub")
+        .localCheckpoint(eager=True)
     )
     tagged = bands.join(hot, ["band", "band_key"], "left")
     small = tagged.where(F.col("_hub").isNull())

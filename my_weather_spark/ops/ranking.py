@@ -447,23 +447,37 @@ def sliding_range_count(
     (rows inside the boundary bin up to the point). Bin-level
     cumulative counts come from :func:`grouped_prefix_sum` over a
     densified (group, bin) table (~time_span / bin_size rows per
-    group — tiny); the within-bin remainders are bucket equi-joins
-    bounded by one bin's rows. Every stage is a hash join or
-    aggregate on (group, bin) — no per-key history ever serializes
+    group — tiny, checkpointed so its subtree runs once for both
+    boundary lookups); the within-bin remainders come from ONE
+    merge-scan: real rows and two per-row phantom probes (one at
+    ``sec``, one at ``sec - p - 1``) union into a single frame,
+    partitioned by (group, bin) and sorted by value with reals before
+    phantoms on ties, and a running ``sum(is_real)`` window reads off
+    "rows in this bin <= v" at every phantom position. That replaces
+    the old shape's two probe-side equi-joins (each fanning every row
+    out by its bin's row count, then re-collapsing through a
+    ``first()`` sort-aggregate per join) with one exchange of ~3x the
+    row count and zero fanout. Per-(group, bin) window partitions are
+    bounded by one bin's rows — no per-key history ever serializes
     through one task.
 
-    ``id_cols`` must uniquely identify rows (the remainder counts
-    group by them). ``sec_col`` is integer seconds (or any integer
-    time unit; ``preceding`` in the same unit).
+    ``id_cols`` must uniquely identify rows (the phantom pivot groups
+    by them). ``sec_col`` is integer seconds (or any integer time
+    unit; ``preceding`` in the same unit).
     """
+    from pyspark.sql.window import Window as W
+
     bin_size = bin_size or max(1, preceding)
     g = list(group_by)
     _bin = F.floor(F.col(sec_col) / F.lit(float(bin_size))).cast("long")
+    # One narrow pass over the input, materialized: feeds the bin
+    # histogram AND the merge-scan reals (different pushed filters per
+    # consumer would otherwise re-run the scan twice).
     rows = df.select(
         *g,
         F.col(sec_col).alias("_s2"),
         _bin.alias("_b2"),
-    )
+    ).localCheckpoint(eager=True)
     binned = rows.groupBy(*g, "_b2").agg(F.count(F.lit(1)).alias("_c"))
     rng = binned.groupBy(*g).agg(
         F.min("_b2").alias("_lo"), F.max("_b2").alias("_hi")
@@ -473,7 +487,9 @@ def sliding_range_count(
         .join(binned, g + ["_b2"], "left")
         .withColumn("_c", F.coalesce("_c", F.lit(0)))
     )
-    cum_end = grouped_prefix_sum(dense, g, ["_b2"], "_c", out_col="_cum")
+    cum_end = grouped_prefix_sum(
+        dense, g, ["_b2"], "_c", out_col="_cum"
+    ).localCheckpoint(eager=True)
 
     probes = (
         df.withColumn("_b", _bin)
@@ -481,6 +497,76 @@ def sliding_range_count(
         .withColumn(
             "_tb", F.floor(F.col("_t") / F.lit(float(bin_size))).cast("long")
         )
+    )
+    pay = [c for c in df.columns if c not in id_cols]
+
+    # Merge-scan: reals carry _real=1; each probe row contributes two
+    # phantoms (_real=0) — the s-side at its own value (payload rides
+    # here exactly once) and the t-side at the window's lower bound.
+    real = rows.select(
+        *g,
+        F.col("_b2").alias("_bk"),
+        F.col("_s2").alias("_v"),
+        F.lit(1).alias("_real"),
+    )
+    # Both phantoms come from ONE pass over the input via an in-row
+    # explode (two separate select branches would each rescan the
+    # source); the t-side's payload/bin columns are nulled so only the
+    # s-side carries payload bytes through the exchange.
+    npay = [c for c in pay if c not in g]
+    both = probes.select(
+        *id_cols,
+        *g,
+        *npay,
+        "_b",
+        "_tb",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_b").alias("_bk"),
+                    F.col(sec_col).cast("long").alias("_v"),
+                    F.lit(1).alias("_side"),
+                ),
+                F.struct(
+                    F.col("_tb").alias("_bk"),
+                    F.col("_t").cast("long").alias("_v"),
+                    F.lit(0).alias("_side"),
+                ),
+            )
+        ).alias("_e"),
+    )
+    phantoms = both.select(
+        *id_cols,
+        *g,
+        F.col("_e._bk").alias("_bk"),
+        F.col("_e._v").alias("_v"),
+        F.lit(0).alias("_real"),
+        F.col("_e._side").alias("_side"),
+        *[F.when(F.col("_e._side") == 1, F.col(c)).alias(c) for c in npay],
+        F.when(F.col("_e._side") == 1, F.col("_b")).alias("_b"),
+        F.when(F.col("_e._side") == 1, F.col("_tb")).alias("_tb"),
+    )
+    u = real.unionByName(phantoms, allowMissingColumns=True)
+    # Reals sort BEFORE phantoms on equal values (desc on _real), so a
+    # phantom's running count is exactly "reals in this bin <= v" —
+    # ties at the probe value included, matching RANGE ... CURRENT ROW.
+    w_bin = (
+        W.partitionBy(*g, "_bk")
+        .orderBy(F.col("_v").asc(), F.col("_real").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ph = u.withColumn("_cnt", F.sum("_real").over(w_bin)).where(
+        F.col("_real") == 0
+    )
+    # Exactly two phantoms per id: pivot them back to one row. Payload
+    # lives only on the s-side, so ignorenulls-first is deterministic.
+    rem = ph.groupBy(*id_cols).agg(
+        *[
+            F.first(F.when(F.col("_side") == 1, F.col(c)), ignorenulls=True).alias(c)
+            for c in pay + ["_b", "_tb"]
+        ],
+        F.max(F.when(F.col("_side") == 1, F.col("_cnt"))).alias("_rem_s"),
+        F.max(F.when(F.col("_side") == 0, F.col("_cnt"))).alias("_rem_t"),
     )
 
     def _base(p: DataFrame, bin_col: str, alias: str) -> DataFrame:
@@ -491,38 +577,15 @@ def sliding_range_count(
             alias, F.coalesce(alias, F.lit(0))
         )
 
-    def _remainder(p: DataFrame, bin_col: str, upto_col: str, alias: str) -> DataFrame:
-        j = p.join(
-            rows.withColumnRenamed("_b2", bin_col), g + [bin_col], "left"
-        )
-        agg_cols = [F.first(c).alias(c) for c in p.columns if c not in id_cols]
-        return (
-            j.groupBy(*id_cols)
-            .agg(
-                *agg_cols,
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("_s2") <= F.col(upto_col), 1).otherwise(0)
-                    ),
-                    F.lit(0),
-                ).alias(alias),
-            )
-        )
-
-    p = _base(probes, "_b", "_base_s")
+    p = _base(rem, "_b", "_base_s")
     p = _base(p, "_tb", "_base_t")
-    p = _remainder(p, "_b", sec_col, "_rem_s")
-    p = _remainder(p, "_tb", "_t", "_rem_t")
-    return (
-        p.withColumn(
-            out_col,
-            (
-                (F.col("_base_s") + F.col("_rem_s"))
-                - (F.col("_base_t") + F.col("_rem_t"))
-            ).cast("long"),
-        )
-        .drop("_b", "_t", "_tb", "_base_s", "_base_t", "_rem_s", "_rem_t")
-    )
+    return p.withColumn(
+        out_col,
+        (
+            (F.col("_base_s") + F.col("_rem_s"))
+            - (F.col("_base_t") + F.col("_rem_t"))
+        ).cast("long"),
+    ).select(*id_cols, *pay, out_col)
 
 
 def ntile_expr(rank_col: str, total: int, k: int) -> Column:
