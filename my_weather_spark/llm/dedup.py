@@ -265,14 +265,22 @@ def jaccard_pairs(
     an LSH pass isn't warranted. At 100 TB you'd feed LSH candidates
     instead (join with minhash_lsh_pairs output).
     """
-    words = word_set(df, text_col, id_col)
-    sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
-    if pair_scope_col:
-        scope = df.select(id_col, pair_scope_col)
-        words = words.join(scope, id_col)
-        inter_keys = ["word", pair_scope_col]
-    else:
-        inter_keys = ["word"]
+    # Build the per-doc distinct word array IN-ROW and materialize it
+    # once: explode(array_distinct(...)) is row-for-row the same set
+    # word_set's explode->distinct produces, but needs no distinct
+    # shuffle, and the three consumers below (sizes + both join sides)
+    # would each replay the parse otherwise. Docs with zero words
+    # yield no exploded rows and never reach the inner size-joins —
+    # exactly as before.
+    scope_cols = [pair_scope_col] if pair_scope_col else []
+    d = df.select(
+        F.col(id_col), *scope_cols, word_array(text_col).alias("_ws")
+    ).localCheckpoint(eager=True)
+    sizes = d.select(F.col(id_col), F.size("_ws").alias("n_words"))
+    words = d.select(
+        F.col(id_col), *scope_cols, F.explode("_ws").alias("word")
+    )
+    inter_keys = ["word", *scope_cols]
     a = words.select(*[F.col(c) for c in inter_keys], F.col(id_col).alias("doc_a"))
     b = words.select(*[F.col(c) for c in inter_keys], F.col(id_col).alias("doc_b"))
     inter = (
@@ -479,8 +487,14 @@ def jaccard_pairs_dense(
     exploded word pairs).
     """
     words = F.array_sort(word_array(text_col))
-    d = _fan_out(df).select(
-        F.col(id_col), F.col(pair_scope_col).alias("_scope"), words.alias("_ws")
+    # Materialized once: both self-join sides consume d, and an
+    # unmaterialized frame re-runs the parse + per-doc sort per side.
+    d = (
+        _fan_out(df)
+        .select(
+            F.col(id_col), F.col(pair_scope_col).alias("_scope"), words.alias("_ws")
+        )
+        .localCheckpoint(eager=True)
     )
     a = d.select(
         F.col(id_col).alias("doc_a"), F.col("_scope"), F.col("_ws").alias("_wa")
