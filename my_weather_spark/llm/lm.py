@@ -290,21 +290,29 @@ def ppl_buckets(
         src, ref, alpha, text_col, id_col, carry_cols=(gc,)
     )
     if distributed:
-        # checkpoint the scored corpus ONCE: the bucketing pass and
-        # the final outer join would otherwise re-run the whole LM
-        # scoring chain — the dsir scored-keys rule. LAZY so
-        # materialization piggybacks on the first consumer's job.
+        # checkpoint the scored corpus ONCE: both branches below
+        # would otherwise re-run the whole LM scoring chain — the
+        # dsir scored-keys rule. LAZY so materialization piggybacks
+        # on the first consumer's job.
         scored = scored.localCheckpoint(eager=False)
         ranked = ranking.grouped_row_number(
             scored.where(F.col("ppl").isNotNull()), gc, ["ppl", id_col]
         )
-        buckets = ranked.select(
-            id_col,
+        # ranked rows carry every scored column, so the bucket is
+        # computed IN PLACE and the scoreless docs union back with a
+        # NULL bucket — no corpus-size join back (the old
+        # scored JOIN buckets shape shuffled two corpus-size frames
+        # by id just to re-attach one derived column).
+        bucketed = ranked.select(
+            *scored.columns,
             F.element_at(
                 label_arr, ranking.ntile_col_expr("grn", "n_group", k)
             ).alias("bucket"),
         )
-        out = scored.join(buckets, id_col, "left")
+        unscored = scored.where(F.col("ppl").isNull()).withColumn(
+            "bucket", F.lit(None).cast("string")
+        )
+        out = bucketed.unionByName(unscored)
     else:
         # Single window pass, no checkpoint, no join back: NULL-ppl
         # docs sort LAST within their group (isNull() ascending), so
