@@ -574,6 +574,34 @@ def test_ppl_buckets_match_window_and_null_for_short(spark):
         lm.ppl_bucket_filter(docs, ref, keep=("head", "torso"))
 
 
+def test_ppl_buckets_distributed_attaches_bucket_in_place(spark):
+    # Regression guard for the r11 optimization: the distributed path
+    # must not re-attach the derived bucket column via a corpus-size
+    # join (the old shape planned a SortMergeJoin of two corpus-size
+    # frames by id); buckets are computed in place on the ranked rows
+    # and the scoreless docs union back.
+    from my_weather_spark.llm import lm
+
+    ref = spark.createDataFrame(
+        [(900, "the cat sat on the mat and the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today", "en"),
+            (2, "the dog sat on the rug again", "en"),
+            (3, "zq glorp wibble frobnicate snork", "en"),
+            (4, "short", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = lm.ppl_buckets(docs, ref, group_col="lang", distributed=True)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert "ShuffledHashJoin" not in plan, plan[:800]
+    assert "Union" in plan, plan[:800]
+
+
 def test_curate_corpus_ppl_bucket_stage(spark):
     from my_weather_spark.llm.pipeline import curate_corpus
 
