@@ -127,52 +127,79 @@ def grouped_prefix_sum(
     ``order_by`` must totally order rows WITHIN a group for a
     deterministic result (same as any running-sum window).
     """
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
     from pyspark.sql.window import Window as W
 
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in group_by + order_by]
+    # `_pgk` is a non-null STRUCT of the group cols: struct equality
+    # compares fields null-safely, so keying the offsets aggregate and
+    # join by it keeps NULL-group rows (a raw-column equi-join would
+    # silently DROP them — NULL never equals NULL — even though every
+    # (pid, group) has its offset row by construction). It is built by
+    # a plain projection over the pinned frame on each side — never
+    # carried through the Arrow pass (struct cells cross pandas as
+    # per-row dicts; measured ~20% wall on a 100k-row consumer) and
+    # never as an eqNullSafe join condition (measured ~100x Catalyst
+    # size-estimate inflation downstream, flipping consumers'
+    # broadcast joins to sort-merge).
     parted = (
         df.repartitionByRange(n_part, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    partials = parted.groupBy("_pid", *group_by).agg(
-        F.sum(value_col).alias("_s")
-    )
+    partials = parted.groupBy(
+        "_pid", F.struct(*group_by).alias("_pgk")
+    ).agg(F.sum(value_col).alias("_s"))
     w_off = (
-        W.partitionBy(*group_by)
+        W.partitionBy("_pgk")
         .orderBy("_pid")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     offsets = partials.select(
         "_pid",
-        *group_by,
+        "_pgk",
         F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_off"),
     )
 
     gcols = list(group_by)
-    vtype = df.schema[value_col].dataType
+    vtype = parted.schema[value_col].dataType
 
     def _cumsum(batches):
+        import pandas as pd
+
+        # NULL group values are ordinary partitions to the window this
+        # operator twins (PARTITION BY g treats NULL as one key), so
+        # they must be ordinary groups here too: dropna=False keeps
+        # them in the cumsum, and key comparisons go through a
+        # NaN-aware normalizer (pandas renders NULL as NaN/None/NaT
+        # depending on dtype, and NaN != NaN would silently break the
+        # cross-batch carry for a NULL-group run).
+        def _norm_key(row):
+            return tuple(None if pd.isna(x) else x for x in row)
+
         carry_key = None
         carry_val = 0
         for pdf in batches:
             pdf = pdf.copy()
-            local = pdf.groupby(gcols, sort=False)[value_col].cumsum()
+            local = pdf.groupby(gcols, sort=False, dropna=False)[value_col].cumsum()
             if carry_key is not None and len(pdf):
-                first = tuple(pdf.iloc[0][gcols])
+                first = _norm_key(pdf.iloc[0][gcols])
                 if first == carry_key:
                     # contiguous prefix of the batch continues the
                     # carried group (rows are sorted by group), so the
                     # prefix length is simply the run of matching rows
-                    mask = (pdf[gcols] == carry_key).all(axis=1)
-                    run = (~mask).to_numpy().argmax() if not mask.all() else len(pdf)
+                    mask = None
+                    for c, kv in zip(gcols, carry_key):
+                        col = pdf[c]
+                        m = (col.isna() if kv is None else (col == kv)).to_numpy()
+                        mask = m if mask is None else (mask & m)
+                    run = (~mask).argmax() if not mask.all() else len(pdf)
                     local.iloc[:run] = local.iloc[:run] + carry_val
             if len(pdf):
-                carry_key = tuple(pdf.iloc[-1][gcols])
+                carry_key = _norm_key(pdf.iloc[-1][gcols])
                 carry_val = local.iloc[-1]
             pdf["_local"] = local
             yield pdf
@@ -182,9 +209,10 @@ def grouped_prefix_sum(
     )
     local = parted.mapInPandas(_cumsum, schema=schema_out)
     return (
-        local.join(F.broadcast(offsets), ["_pid"] + gcols)
+        local.withColumn("_pgk", F.struct(*group_by))
+        .join(F.broadcast(offsets), ["_pid", "_pgk"])
         .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_pid", "_local", "_off")
+        .drop("_pid", "_pgk", "_local", "_off")
     )
 
 
@@ -478,15 +506,48 @@ def sliding_range_count(
         F.col(sec_col).alias("_s2"),
         _bin.alias("_b2"),
     ).localCheckpoint(eager=True)
-    binned = rows.groupBy(*g, "_b2").agg(F.count(F.lit(1)).alias("_c"))
-    rng = binned.groupBy(*g).agg(
+    # Group keys join null-safely throughout the cum-table machinery:
+    # groupBy/windows treat a NULL group value as an ordinary key, so
+    # the equi-joins that re-attach derived tables must too — a plain
+    # join on the raw group columns silently zeroes the cumulative
+    # terms for NULL groups (wrong, even negative, counts) while the
+    # window remainders stay real. Null-safety rides `_gk`, a non-null
+    # STRUCT of the group cols (struct equality compares fields
+    # null-safely) built ONCE here over the pinned rows and CARRIED
+    # through the tiny tables in USING-join form. The formulation is
+    # deliberate: an eqNullSafe join condition, or a struct built
+    # fresh at each join side, measured a 10^2–10^6x inflation of
+    # Catalyst's size estimate for the cum table, flipping the _base
+    # joins below from broadcast to sort-merge (full probe-side
+    # exchanges); this shape keeps the estimate at ~2 MiB (sf0.1) and
+    # the broadcasts intact — see plans/r12/w5_sliding_count_scaled_*.
+    binned = rows.groupBy(F.struct(*g).alias("_gk"), "_b2").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    rng = binned.groupBy("_gk").agg(
         F.min("_b2").alias("_lo"), F.max("_b2").alias("_hi")
     )
     dense = (
-        rng.select(*g, F.explode(F.sequence("_lo", "_hi")).alias("_b2"))
-        .join(binned, g + ["_b2"], "left")
+        rng.select("_gk", F.explode(F.sequence("_lo", "_hi")).alias("_b2"))
+        .join(binned, ["_gk", "_b2"], "left")
         .withColumn("_c", F.coalesce("_c", F.lit(0)))
+        # raw group cols back out of the struct for the prefix sum's
+        # pandas kernel (struct cells cross Arrow as unhashable dicts)
+        .select(
+            "_gk", *[F.col(f"_gk.{c}").alias(c) for c in g], "_b2", "_c"
+        )
     )
+    # Two pins on purpose: grouped_prefix_sum's internal checkpoint
+    # fixes the sampled range-partition bounds for its own consumers,
+    # and this outer one (a) lets both _base consumers share the tiny
+    # cum table and (b) captures its REAL size so the planner
+    # broadcast-joins it in the initial plan. The single-pin fusion was
+    # built and measured (r12): toy-scale min −8%/median flat, but the
+    # un-checkpointed cum subtree loses those stats and both _base
+    # joins planned as SortMergeJoin with a full probe-side Exchange
+    # each (plans/r12/w5_sliding_count_scaled_fused.txt) — AQE converts
+    # them back at runtime, but the probe data still pays two shuffle
+    # writes the pinned shape never does. Reverted.
     cum_end = grouped_prefix_sum(
         dense, g, ["_b2"], "_c", out_col="_cum"
     ).localCheckpoint(eager=True)
@@ -514,9 +575,12 @@ def sliding_range_count(
     # source); the t-side's payload/bin columns are nulled so only the
     # s-side carries payload bytes through the exchange.
     npay = [c for c in pay if c not in g]
+    # group cols already present via id_cols must not be selected twice
+    # (COLUMN_ALREADY_EXISTS); they still partition the window below.
+    g_extra = [c for c in g if c not in id_cols]
     both = probes.select(
         *id_cols,
-        *g,
+        *g_extra,
         *npay,
         "_b",
         "_tb",
@@ -537,7 +601,7 @@ def sliding_range_count(
     )
     phantoms = both.select(
         *id_cols,
-        *g,
+        *g_extra,
         F.col("_e._bk").alias("_bk"),
         F.col("_e._v").alias("_v"),
         F.lit(0).alias("_real"),
@@ -570,11 +634,21 @@ def sliding_range_count(
     )
 
     def _base(p: DataFrame, bin_col: str, alias: str) -> DataFrame:
+        # null-safe via the struct key CARRIED from the pinned rows
+        # (fresh-building it on this side would inflate the estimate
+        # and break the broadcast — see the comment above `rows`); the
+        # probe side builds its struct fresh, which is harmless: only
+        # the build (ce) side's estimate drives the join strategy.
         ce = cum_end.select(
-            *g, (F.col("_b2") + 1).alias(bin_col), F.col("_cum").alias(alias)
+            "_gk",
+            (F.col("_b2") + 1).alias(bin_col),
+            F.col("_cum").alias(alias),
         )
-        return p.join(ce, g + [bin_col], "left").withColumn(
-            alias, F.coalesce(alias, F.lit(0))
+        return (
+            p.withColumn("_gk", F.struct(*g))
+            .join(ce, ["_gk", bin_col], "left")
+            .withColumn(alias, F.coalesce(alias, F.lit(0)))
+            .drop("_gk")
         )
 
     p = _base(rem, "_b", "_base_s")

@@ -596,7 +596,12 @@ def test_ppl_buckets_distributed_attaches_bucket_in_place(spark):
         "doc_id long, text string, lang string",
     )
     got = lm.ppl_buckets(docs, ref, group_col="lang", distributed=True)
+    # Execute first: under AQE the pre-action executedPlan is the
+    # initial adaptive plan; the guard must hold on what actually ran
+    # (AQE re-planning could otherwise reintroduce a join unseen).
+    got.collect()
     plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:800]
     assert "SortMergeJoin" not in plan, plan[:800]
     assert "ShuffledHashJoin" not in plan, plan[:800]
     assert "Union" in plan, plan[:800]

@@ -293,6 +293,85 @@ def test_sliding_range_count_matches_window(spark):
     assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
 
 
+def test_sliding_range_count_null_groups_match_window(spark):
+    # r11 ADVICE repro: the window side treats NULL as an ordinary
+    # partition but the cum-table equi-joins never matched it, yielding
+    # zero/negative counts. Group keys must join null-safely.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    rows = [(1, None, 10), (2, None, 20), (3, None, 700), (4, None, 1400)]
+    rows += [(10 + i, "a", s) for i, s in enumerate([5, 300, 650, 1500])]
+    df = spark.createDataFrame(rows, "id long, g string, sec long")
+    got = ranking.sliding_range_count(df, ["g"], ["id"], "sec", 600).select(
+        "id", "g", "sec", "n_in_window"
+    )
+    w = W.partitionBy("g").orderBy("sec").rangeBetween(-600, 0)
+    want = df.withColumn("n_in_window", F.count(F.lit(1)).over(w)).select(
+        "id", "g", "sec", "n_in_window"
+    )
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_sliding_range_count_group_in_id_cols(spark):
+    # r11 ADVICE repro: group_by overlapping id_cols raised
+    # COLUMN_ALREADY_EXISTS in the phantom-probe select.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice(["a", "b"]), rng.randrange(0, 3000)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, sec long")
+    got = ranking.sliding_range_count(df, ["g"], ["g", "id"], "sec", 600).select(
+        "id", "g", "sec", "n_in_window"
+    )
+    w = W.partitionBy("g").orderBy("sec").rangeBetween(-600, 0)
+    want = df.withColumn("n_in_window", F.count(F.lit(1)).over(w)).select(
+        "id", "g", "sec", "n_in_window"
+    )
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_grouped_prefix_sum_null_groups_match_window(spark):
+    # NULL-group rows must neither vanish (the offsets join is now
+    # null-safe) nor lose their cumsum (pandas groupby dropna=False,
+    # NaN-aware carry across Arrow batches).
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from my_weather_spark.ops import ranking
+
+    rng = random.Random(3)
+    rows = [
+        (i, rng.choice(["a", "b", None]), rng.randrange(-50, 50))
+        for i in range(301)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = ranking.grouped_prefix_sum(
+            df, ["g"], ["id"], "v", out_col="cum", num_partitions=4
+        ).select("id", "g", "v", "cum")
+        w = (
+            W.partitionBy("g")
+            .orderBy("id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        want = df.withColumn("cum", F.sum("v").over(w)).select("id", "g", "v", "cum")
+        assert got.count() == df.count()
+        assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
 def test_grouped_lag_matches_window(spark):
     import random
 
