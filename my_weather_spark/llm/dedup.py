@@ -408,16 +408,24 @@ def jaccard_for_candidates(
     quadratic word-level self-join — this is the function to feed LSH
     output at corpus scale.
 
-    The corpus is PRE-FILTERED to docs that appear in a candidate pair
-    (semi-join on the distinct candidate ids) BEFORE the word-split +
-    md5 pass, and the hashed word sets are materialized once for the
-    two join sides: LSH candidates are a sliver of the corpus, so the
-    parse+hash cost tracks |candidate docs|, not 2 x |corpus| (the
-    old shape hashed every doc twice — once per join side). When the
-    candidate set is small AQE broadcasts the id list (no corpus
-    shuffle); in the near-dup-dense worst case the semi-join is an
-    honest shuffle bounded by one corpus pass, still under the old
-    two-pass cost.
+    When the candidate pair set is small relative to the corpus
+    (``4 x |pairs| < |docs|``), the corpus is PRE-FILTERED to docs that
+    appear in a candidate pair (semi-join on the distinct candidate
+    ids) BEFORE the word-split + md5 pass, so the parse+hash cost
+    tracks |candidate docs|, not |corpus|; AQE broadcasts the small id
+    list, so the corpus is never shuffled for it. The prefilter is
+    GATED because its cost is a distinct over 2 x |pairs| id rows,
+    which is bounded by the PAIR set, not by one corpus pass: in a
+    near-dup-dense corpus (|pairs| >> |docs|, candidate ids ~ the whole
+    corpus — the sf0.1 bench corpus measures 2.36 M pairs over 5 k
+    docs with 91% id coverage) it costs strictly more than the full
+    parse it would save, so the gate skips it and parses the corpus
+    once. The two counts driving the gate are one count on the pinned
+    pair set and one column-pruned corpus count — both trivial next to
+    either branch. Under the gate threshold, candidate-id coverage of
+    the corpus is at most 2 x |pairs| / |docs| < 50%, so the prefilter
+    saves more than half the parse and its distinct runs over fewer
+    rows than the corpus has.
 
     ``hashed=True`` (default) intersects 60-bit md5 word hashes
     (longs) instead of strings: ~3x cheaper to ship and intersect,
@@ -436,19 +444,27 @@ def jaccard_for_candidates(
         )
     else:
         words = word_array(text_col)
-    # The candidate frame is consumed twice below (id prefilter + the
-    # verify join) and is typically the output of an LSH chain —
-    # materialize it so that chain runs once, not per consumer.
+    # The candidate frame is consumed at least twice below (the gate
+    # count + the verify join, plus the id prefilter when it wins) and
+    # is typically the output of an LSH chain — materialize it so that
+    # chain runs once, not per consumer.
     cand = candidates.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
+    n_pairs = cand.count()
+    n_docs = df.count()
+    base = df
+    if 4 * n_pairs < n_docs:
+        ids = (
+            cand.select(F.col("doc_a").alias(id_col))
+            .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        base = df.join(ids, id_col, "left_semi")
+    # Lazy checkpoint: the word sets are shared by the two verify join
+    # sides (materialized once, on first use) without a separate eager
+    # job barrier serializing the parse behind the LSH chain.
     d = (
-        df.join(ids, id_col, "left_semi")
-        .select(F.col(id_col), words.alias("_ws"))
-        .localCheckpoint(eager=True)
+        base.select(F.col(id_col), words.alias("_ws"))
+        .localCheckpoint(eager=False)
     )
     a = d.select(F.col(id_col).alias("doc_a"), F.col("_ws").alias("_wa"))
     b = d.select(F.col(id_col).alias("doc_b"), F.col("_ws").alias("_wb"))

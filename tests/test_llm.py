@@ -130,6 +130,44 @@ def test_jaccard_verify_step(docs):
         assert j.get(k) == v
 
 
+def test_jaccard_for_candidates_prefilter_gate_branches(spark):
+    # The candidate-id prefilter is gated on 4*|pairs| < |docs|; both
+    # branches must score identical jaccards. 40 docs / 2 pairs takes
+    # the prefilter branch; the same pairs duplicated past the
+    # threshold take the full-parse branch.
+    rows = [(i, f"unique words for document number {i} alpha beta") for i in range(36)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy dog"),
+        (102, "the quick brown fox jumps over a sleepy dog"),
+        (103, "entirely different content lives in this one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(100, 101), (100, 102)], "doc_a long, doc_b long"
+    )
+    # prefilter branch: 4*2 < 40
+    got_pre = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_for_candidates(df, cand, min_jaccard=0.0).collect()
+    }
+    # full-parse branch: enough extra distinct pairs to cross the gate
+    # (4 * 14 >= 40 docs); the shared pairs must score identically
+    extra = spark.createDataFrame(
+        [(i, 103) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got_full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_for_candidates(
+            df, cand.unionByName(extra), min_jaccard=0.0
+        ).collect()
+    }
+    for k, v in got_pre.items():
+        assert got_full[k] == v
+    assert got_pre[(100, 101)] == 1.0
+    assert 0.5 < got_pre[(100, 102)] < 1.0
+
+
 def test_simhash_near_dups_close(docs):
     h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=16).collect()}
     assert h[0] == h[1]
