@@ -127,6 +127,24 @@ def minhash_signatures(
     pass over the corpus instead of an exploded
     (docs x words x hashes) shuffle.
     """
+    wide = _minhash_band_keys(df, num_hashes, band_size, text_col, id_col)
+    return wide.select(
+        F.col(id_col),
+        F.posexplode("_keys").alias("band", "band_key"),
+    )
+
+
+def _minhash_band_keys(
+    df: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """WIDE band-key layout: (id, _keys) with ``_keys[b]`` the band-b
+    key. ``minhash_signatures`` posexplodes this into the tall layout;
+    ``minhash_lsh_pairs`` keeps it wide so each candidate join can see
+    every band's key on one row (exactly-once pair emission)."""
     if num_hashes > len(_MINHASH_A):
         raise ValueError(f"at most {len(_MINHASH_A)} hash functions supported")
     if num_hashes % band_size != 0:
@@ -163,18 +181,16 @@ def minhash_signatures(
     with_sigs = with_h.select(F.col(id_col), sigs.alias("_sigs"))
     return with_sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.array_join(
-                    F.transform(
-                        F.slice(F.col("_sigs"), b * band_size + 1, band_size),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.array_join(
+                F.transform(
+                    F.slice(F.col("_sigs"), b * band_size + 1, band_size),
+                    lambda x: x.cast("string"),
                 ),
-            )
-        ).alias("band", "band_key"),
+                ",",
+            ),
+        ).alias("_keys"),
     )
 
 
@@ -207,46 +223,121 @@ def minhash_lsh_pairs(
     capped and uncapped plans are bit-identical on the oracle data;
     the degradation is asserted linear in test_llm.
     """
-    # Materialize the signature table once (the srp_lsh_pairs pattern):
-    # the guard's bucket-size aggregate plus the two join sides would
-    # otherwise each replay the md5-per-word corpus pass — Catalyst
-    # can't exchange-reuse the three subtrees because different
-    # filters/projections get pushed into each.
-    bands = minhash_signatures(df, num_hashes, band_size, text_col, id_col)
-    bands = bands.localCheckpoint(eager=True)
-    # Hot-bucket detection via an aggregate, not a window: the hot set
-    # (≤ corpus/max_bucket buckets, zero on healthy data) is a TINY
-    # table, so tagging band rows with it is an AQE-picked broadcast
-    # join — the band rows themselves are never re-shuffled for the
-    # guard (a window over (band, band_key) would sort-shuffle every
-    # band row just to learn its bucket size).
-    # The hot table is consumed by THREE subtrees (both pair-join
-    # sides and the star branch), and each consumer would otherwise
-    # replay the full bucket-size aggregate over the band table —
-    # materialize it once; it is tiny (≤ corpus/max_bucket rows,
-    # empty on healthy data).
+    # Materialize the WIDE signature table once (the srp_lsh_pairs
+    # pattern): the guard's bucket-size aggregate plus every per-band
+    # join side would otherwise each replay the md5-per-word corpus
+    # pass — Catalyst can't exchange-reuse the subtrees because
+    # different filters/projections get pushed into each.
+    n_bands = num_hashes // band_size
+    wide = _minhash_band_keys(
+        df, num_hashes, band_size, text_col, id_col
+    ).localCheckpoint(eager=True)
+    # Hot-bucket detection via ONE aggregate over the exploded keys,
+    # not a window (a window over (band, band_key) would sort-shuffle
+    # every band row just to learn its bucket size). The hot table is
+    # tiny (≤ corpus/max_bucket rows, empty on healthy data) and is
+    # consumed by every band branch below — materialize it once, with
+    # the hub's full key vector attached (needed to suppress star
+    # pairs already emitted by an earlier band).
+    tall = wide.select(
+        F.col(id_col), F.posexplode("_keys").alias("band", "band_key")
+    )
     hot = (
-        bands.groupBy("band", "band_key")
+        tall.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_hub"))
         .where(F.col("_n") > max_bucket)
         .select("band", "band_key", "_hub")
+        .join(
+            wide.select(
+                F.col(id_col).alias("_hub"), F.col("_keys").alias("_hub_keys")
+            ),
+            "_hub",
+        )
         .localCheckpoint(eager=True)
     )
-    tagged = bands.join(hot, ["band", "band_key"], "left")
-    small = tagged.where(F.col("_hub").isNull())
-    a = small.select(F.col(id_col).alias("doc_a"), "band", "band_key")
-    b = small.select(F.col(id_col).alias("doc_b"), "band", "band_key")
-    pairs = (
-        a.join(b, ["band", "band_key"])  # bucket join — the LSH step
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    # Hot buckets: hub-and-spoke to the bucket minimum.
-    star = (
-        tagged.where(F.col("_hub").isNotNull() & (F.col(id_col) != F.col("_hub")))
-        .select(F.col("_hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
-    )
-    return pairs.unionByName(star).distinct()
+    # Tag every doc with its per-band hub (NULL = that band's bucket is
+    # small): n_bands broadcast left-joins against the tiny hot table —
+    # the wide rows are never shuffled for the guard.
+    tagged = wide
+    for bi in range(n_bands):
+        hb = hot.where(F.col("band") == bi).select(
+            F.col("band_key").alias(f"_k{bi}"), F.col("_hub").alias(f"_hub{bi}")
+        )
+        tagged = tagged.withColumn(f"_k{bi}", F.col("_keys")[bi]).join(
+            F.broadcast(hb), f"_k{bi}", "left"
+        )
+
+    # EXACTLY-ONCE pair emission: a pair is emitted by its SMALLEST
+    # candidate band — band b emits it only when no earlier band j
+    # already had it as a candidate (same band-j key AND, for a hot
+    # band-j bucket, doc_a is that bucket's hub). Output is distinct by
+    # construction, so the old full pair-set distinct() — an exchange
+    # of the ENTIRE candidate set, measured ~2.3 s of this query's
+    # 2.6 s at sf0.1 and the dominant exchange at corpus scale — is
+    # gone; what it cost is one narrow self-join per band instead of
+    # one on the exploded table (same total probe count and bytes).
+    def _not_candidate_at(j: int, a_prefix: str, b_prefix: str):
+        same_key = F.col(f"{a_prefix}k{j}") == F.col(f"{b_prefix}k{j}")
+        emitted = F.col(f"{a_prefix}hub{j}").isNull() | (
+            F.col("doc_a") == F.col(f"{a_prefix}hub{j}")
+        )
+        return ~(same_key & emitted)
+
+    parts = []
+    for bi in range(n_bands):
+        small = tagged.where(F.col(f"_hub{bi}").isNull())
+        a = small.select(
+            F.col(id_col).alias("doc_a"),
+            F.col(f"_k{bi}").alias("_jk"),
+            *[F.col(f"_k{j}").alias(f"_ak{j}") for j in range(bi)],
+            *[F.col(f"_hub{j}").alias(f"_ahub{j}") for j in range(bi)],
+        )
+        b = small.select(
+            F.col(id_col).alias("doc_b"),
+            F.col(f"_k{bi}").alias("_jk"),
+            *[F.col(f"_k{j}").alias(f"_bk{j}") for j in range(bi)],
+        )
+        p = (
+            a.join(b, "_jk")  # bucket join — the LSH step
+            .where(F.col("doc_a") < F.col("doc_b"))
+        )
+        for j in range(bi):
+            p = p.where(_not_candidate_at(j, "_a", "_b"))
+        parts.append(p.select("doc_a", "doc_b"))
+        # Hot buckets: hub-and-spoke to the bucket minimum (doc_a =
+        # hub < member). Members re-join the hot slice to see the
+        # hub's earlier-band keys; the member row carries its own
+        # earlier-band keys/hubs, and key-equality at band j implies
+        # hub and member share that band-j bucket (and hence its
+        # hotness), so the same smallest-band rule applies.
+        hb_full = hot.where(F.col("band") == bi).select(
+            F.col("band_key").alias(f"_k{bi}"), "_hub", "_hub_keys"
+        )
+        members = (
+            tagged.where(
+                F.col(f"_hub{bi}").isNotNull() & (F.col(id_col) != F.col(f"_hub{bi}"))
+            )
+            .join(F.broadcast(hb_full.drop("_hub")), f"_k{bi}")
+            .select(
+                F.col(f"_hub{bi}").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                "_hub_keys",
+                *[F.col(f"_k{j}").alias(f"_bk{j}") for j in range(bi)],
+                *[F.col(f"_hub{j}").alias(f"_bhub{j}") for j in range(bi)],
+            )
+        )
+        star = members
+        for j in range(bi):
+            same_key = F.col("_hub_keys")[j] == F.col(f"_bk{j}")
+            emitted = F.col(f"_bhub{j}").isNull() | (
+                F.col("doc_a") == F.col(f"_bhub{j}")
+            )
+            star = star.where(~(same_key & emitted))
+        parts.append(star.select("doc_a", "doc_b"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ----------------------------------------------------------------------
